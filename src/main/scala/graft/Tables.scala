@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's deterministic Parquet testdata
+  * (TESTDATA.md: TPC-H-ish star schema + events/documents/embeddings).
+  *
+  * At 100 TB these would be partitioned/bucketed catalog tables; the
+  * loaders keep the access path behind one seam so the storage layout
+  * can change without touching operators.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * natively; read nanos as long and floor-divide to micros — exactly the
+    * truncation DuckDB applies, so the oracle agrees bit-for-bit.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works against the
+    * same names the DuckDB oracle uses (SURVEY.md §3.3 ad-hoc SQL surface).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

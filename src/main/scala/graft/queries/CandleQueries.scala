@@ -1,0 +1,57 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.Candles
+import org.apache.spark.sql.functions._
+
+/** OHLCV candle queries over the `events` tick table — the reference's
+  * core day-close aggregation (`etl/etl.py:342-370`) and the dashboard
+  * daily resample (`dashboard/timescaledb_model.py:557-572`,
+  * `dashboard/tabs/tab2.py:103-109`).
+  */
+object CandleQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ohlcv_daily",
+      Some("""
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min_by(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max_by(value, ts) AS close,
+               COUNT(*) AS volume,
+               ROUND(SUM(value), 4) AS turnover,
+               ROUND((min_by(value, ts) + max(value) + min(value) + max_by(value, ts)) / 4, 4) AS mean
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+        ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val candles = Candles.ohlcvDaily(Tables.events(spark, dir), "user_id", "ts", "value")
+        candles
+          .withColumn("turnover", round(col("turnover"), 4))
+          .withColumn("mean", round(col("mean"), 4))
+          .orderBy("user_id", "day")
+      }),
+    QueryDef(
+      "resample_daily",
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               min_by(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max_by(value, ts) AS close,
+               ROUND(AVG(value), 4) AS mean_value,
+               COUNT(*) AS volume
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+        ORDER BY day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Candles.resampleDaily(Tables.events(spark, dir), "ts", "value")
+          .withColumn("mean_value", round(col("mean_value"), 4))
+          .orderBy("day")
+      })
+  )
+}
