@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def catalog: Seq[QueryDef] =
-    graft.queries.CandleQueries.entries
+    graft.queries.CandleQueries.entries ++
+      graft.queries.WindowQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

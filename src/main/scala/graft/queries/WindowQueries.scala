@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.analytics.Indicators
+import graft.etl.Compress
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window/analytic operator coverage (SURVEY.md §2.5 W1–W6) over the
+  * `events` tick table: lag + pct-change, tick compression, per-day
+  * first/last, rolling Bollinger bands.
+  */
+object WindowQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "lag_pct_change",
+      Some("""
+        SELECT user_id, ts, value,
+               lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value,
+               ROUND(abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts))
+                     / nullif(abs(lag(value) OVER (PARTITION BY user_id ORDER BY ts)), 0), 4) AS pct_change
+        FROM events
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("value"))
+          .withColumn("prev_value", lag(col("value"), 1).over(w))
+          .withColumn("pct_change", round(
+            abs(col("value") - col("prev_value")) /
+              when(abs(col("prev_value")) === 0, lit(null)).otherwise(abs(col("prev_value"))), 4))
+          .orderBy("user_id", "ts")
+      }),
+
+    QueryDef(
+      "tick_compression",
+      Some("""
+        WITH t AS (
+          SELECT user_id, ts, value,
+                 CAST(ts AS DATE) AS day,
+                 lag(value) OVER w AS prev,
+                 lag(CAST(ts AS DATE)) OVER w AS prev_day,
+                 lead(CAST(ts AS DATE)) OVER w AS next_day
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, ts, value FROM t
+        WHERE coalesce(abs(value - prev) / nullif(abs(prev), 0) > 0.001, false)
+           OR prev IS NULL
+           OR next_day IS NULL
+           OR prev_day <> day
+           OR next_day <> day
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Compress.tickCompression(
+          Tables.events(spark, dir).select("user_id", "ts", "value"),
+          key = "user_id", ts = "ts", value = "value")
+          .orderBy("user_id", "ts")
+      }),
+
+    QueryDef(
+      "first_last_day",
+      Some("""
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               min_by(value, ts) AS first_value,
+               max_by(value, ts) AS last_value
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+        ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        // Spark side exercises W3/W4's row_number formulation; the oracle
+        // uses min_by/max_by — identical because ts is unique per key.
+        val day = to_date(col("ts")).as("day")
+        val ev = Tables.events(spark, dir).select(col("user_id"), day, col("ts"), col("value"))
+        val wAsc  = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"))
+        val wDesc = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts").desc)
+        ev.withColumn("_rna", row_number().over(wAsc))
+          .withColumn("_rnd", row_number().over(wDesc))
+          .filter(col("_rna") === 1 || col("_rnd") === 1)
+          .groupBy(col("user_id"), col("day"))
+          .agg(
+            min(col("ts")).as("first_ts"),
+            max(col("ts")).as("last_ts"),
+            min_by(col("value"), col("ts")).as("first_value"),
+            max_by(col("value"), col("ts")).as("last_value"))
+          .orderBy("user_id", "day")
+      }),
+
+    QueryDef(
+      "bollinger",
+      Some("""
+        WITH t AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN COUNT(*) OVER w = 20 THEN AVG(value) OVER w END AS mid,
+                 CASE WHEN COUNT(*) OVER w = 20 THEN STDDEV_SAMP(value) OVER w END AS sd
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, ts, value,
+               ROUND(mid, 4) AS bb_mid,
+               ROUND(sd, 4) AS bb_std,
+               ROUND(mid + 2 * sd, 4) AS bb_upper,
+               ROUND(mid - 2 * sd, 4) AS bb_lower
+        FROM t
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Indicators.bollinger(
+          Tables.events(spark, dir).select("user_id", "ts", "value"),
+          key = "user_id", ts = "ts", close = "value", n = 20, numStd = 2.0)
+          .withColumn("bb_mid", round(col("bb_mid"), 4))
+          .withColumn("bb_std", round(col("bb_std"), 4))
+          .withColumn("bb_upper", round(col("bb_upper"), 4))
+          .withColumn("bb_lower", round(col("bb_lower"), 4))
+          .orderBy("user_id", "ts")
+      })
+  )
+}
