@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def catalog: Seq[QueryDef] =
     graft.queries.CandleQueries.entries ++
-      graft.queries.WindowQueries.entries
+      graft.queries.WindowQueries.entries ++
+      graft.queries.JoinQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

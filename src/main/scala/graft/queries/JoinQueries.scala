@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.Companies
+import org.apache.spark.sql.functions._
+
+/** Join operator coverage (SURVEY.md §2.3 J1–J6, §2.7 U2, §2.4 A7).
+  *
+  * Scale posture: every dimension side is explicitly `broadcast()` —
+  * customer/supplier/nation are dimension-sized even at 100 TB fact scale,
+  * so no join here shuffles the fact table on its own key more than once,
+  * and big sums use exact integer-cents arithmetic (order-independent)
+  * rather than float summation.
+  */
+object JoinQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+    // J1: tick stream enriched by broadcast dimension lookup
+    // (`etl/etl.py:326-328` symbol→cid map join).
+    QueryDef(
+      "broadcast_enrich",
+      Some("""
+        SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val cust = Tables.customer(spark, dir)
+        ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"), "left")
+          .select("event_id", "user_id", "c_name", "c_mktsegment", "value")
+          .orderBy("event_id")
+      }),
+
+    // J1+A1 at fact scale: lineitem ⋈ orders ⋈ customer revenue rollup.
+    // Exact integer-cents sum: per-row cents are bit-identical in both
+    // engines, and integer addition is order-independent — no float
+    // summation-order risk at any scale.
+    QueryDef(
+      "join_agg_revenue",
+      Some("""
+        SELECT c.c_mktsegment, o.o_orderstatus,
+               COUNT(*) AS n_items,
+               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment, o.o_orderstatus
+        ORDER BY c.c_mktsegment, o.o_orderstatus
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir)
+        val c = Tables.customer(spark, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long")).as("revenue_cents"))
+          .orderBy("c_mktsegment", "o_orderstatus")
+      }),
+
+    // J4: semi join — customers having at least one order
+    // (`dashboard/timescaledb_model.py:460-471` JOIN+DISTINCT ≡ semi join).
+    QueryDef(
+      "semi_join_active",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.customer(spark, dir)
+          .join(Tables.orders(spark, dir),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      }),
+
+    // J3/J5: anti join — customers with no high-value order
+    // (NOT IN → null-aware anti join; `etl/etl.py:823`).
+    QueryDef(
+      "anti_join_inactive",
+      Some("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.customer(spark, dir)
+          .join(Tables.orders(spark, dir).filter(col("o_totalprice") > 200000),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      }),
+
+    // J6: point lookup by dimension attribute then fact fetch
+    // (`dashboard/timescaledb_model.py:511-532`).
+    QueryDef(
+      "point_lookup",
+      Some("""
+        SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_name = 'Customer#000000042'
+        ORDER BY o.o_orderkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir).filter(col("c_name") === "Customer#000000042")
+        Tables.orders(spark, dir)
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+          .orderBy("o_orderkey")
+      }),
+
+    // J2: last-writer-wins identity resolution — per customer, the
+    // attributes of their latest order (`etl/etl.py:272-280` in-run UPDATE
+    // rewritten as max_by aggregation; version = unique monotone orderkey).
+    QueryDef(
+      "scd_last_writer",
+      Some("""
+        SELECT o_custkey,
+               max_by(o_orderstatus, o_orderkey) AS o_orderstatus,
+               max_by(o_orderpriority, o_orderkey) AS o_orderpriority,
+               max(o_orderkey) AS o_orderkey
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY o_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Companies.lastWriterWins(
+          Tables.orders(spark, dir), key = "o_custkey", versionCol = "o_orderkey",
+          attrs = Seq("o_orderstatus", "o_orderpriority"))
+          .orderBy("o_custkey")
+      }),
+
+    // U2: deterministic dedup-keep-first (`etl/etl.py:231, 254`).
+    QueryDef(
+      "dedup_keep_first",
+      Some("""
+        SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice FROM (
+          SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+          FROM orders) t
+        WHERE rn = 1
+        ORDER BY o_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Companies.dedupKeepFirst(
+          Tables.orders(spark, dir)
+            .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice"),
+          key = "o_custkey", orderCol = "o_orderkey")
+          .orderBy("o_custkey")
+      }),
+
+    // J3+A7 composite: register new companies — incoming keys not in the
+    // existing dimension get dense ids maxExistingId + row_number
+    // (`etl/etl.py:282-299`). Existing dim = keys not divisible by 3.
+    QueryDef(
+      "company_registration",
+      Some("""
+        SELECT c_custkey, c_name,
+               (SELECT max(c_custkey) FROM customer WHERE c_custkey % 3 <> 0)
+                 + row_number() OVER (ORDER BY c_custkey) AS new_id
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0)
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val cust = Tables.customer(spark, dir)
+        val existing = cust.filter(col("c_custkey") % 3 =!= 0)
+        val maxId = existing.agg(max(col("c_custkey")).as("_max_id"))
+        val fresh = Companies.newKeys(
+          cust.select("c_custkey", "c_name"), existing.select("c_custkey"), "c_custkey")
+        // scalar max joined in via broadcast instead of a driver collect —
+        // stays a pure distributed plan (SURVEY.md §7.4 item 1)
+        Companies.assignDenseIds(fresh, "c_custkey", 0, "_rn")
+          .crossJoin(broadcast(maxId))
+          .select(col("c_custkey"), col("c_name"),
+            (col("_max_id") + col("_rn")).as("new_id"))
+          .orderBy("c_custkey")
+      })
+  )
+}
