@@ -13,7 +13,10 @@ object SparkEntry {
   private def catalog: Seq[QueryDef] =
     graft.queries.CandleQueries.entries ++
       graft.queries.WindowQueries.entries ++
-      graft.queries.JoinQueries.entries
+      graft.queries.JoinQueries.entries ++
+      graft.queries.AggQueries.entries ++
+      graft.queries.FunctionQueries.entries ++
+      graft.queries.SqlQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -36,9 +36,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Canonical read: like `load`, but with per-table fixups (events' nanos
+    * timestamps become micros).
+    */
+  def canonical(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else load(spark, dir, name)
+
   /** Register every table as a temp view so `spark.sql` works against the
     * same names the DuckDB oracle uses (SURVEY.md §3.3 ad-hoc SQL surface).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach(n => canonical(spark, dir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.analytics.Indicators
+import org.apache.spark.sql.functions._
+
+/** Aggregate / set / sort operator coverage (SURVEY.md §2.4 A5–A9,
+  * §2.6 O1–O5, §2.7 U1/U3, §2.2 P5–P8).
+  */
+object AggQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+    // A5/A6: table stats — counts, distinct counts, min/max bounds
+    // (`etl/etl.py:869-878`, `dashboard/timescaledb_model.py:492, 606-633`).
+    QueryDef(
+      "table_stats",
+      Some("""
+        SELECT COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(DISTINCT event_type) AS n_types,
+               CAST(min(ts) AS DATE) AS min_day,
+               CAST(max(ts) AS DATE) AS max_day
+        FROM events
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir).agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          to_date(min(col("ts"))).as("min_day"),
+          to_date(max(col("ts"))).as("max_day"))
+      }),
+
+    // A8: horizontal per-row mean/std over four numeric columns with
+    // sample ddof=1 (`dashboard/tabs/tab2.py:123-124`), computed closed-form.
+    QueryDef(
+      "row_stats",
+      Some("""
+        WITH t AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 min_by(value, ts) AS open, max(value) AS high,
+                 min(value) AS low, max_by(value, ts) AS close
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), m AS (
+          SELECT *, (open + high + low + close) / 4 AS mu FROM t
+        )
+        SELECT user_id, day,
+               ROUND(mu, 4) AS row_mean,
+               ROUND(sqrt(((open-mu)*(open-mu) + (high-mu)*(high-mu)
+                         + (low-mu)*(low-mu) + (close-mu)*(close-mu)) / 3), 4) AS row_std
+        FROM m
+        ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val candles = graft.etl.Candles.ohlcvDaily(
+          Tables.events(spark, dir), "user_id", "ts", "value")
+        candles.select(
+          col("user_id"), col("day"),
+          round(Indicators.rowMean4(col("open"), col("high"), col("low"), col("close")), 4).as("row_mean"),
+          round(Indicators.rowStd4(col("open"), col("high"), col("low"), col("close")), 4).as("row_std"))
+          .orderBy("user_id", "day")
+      }),
+
+    // A9: histogram over a date part (`etl/etl.py:652-657`).
+    QueryDef(
+      "month_histogram",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY y, m
+        ORDER BY y, m
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.orders(spark, dir)
+          .groupBy(
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+          .orderBy("y", "m")
+      }),
+
+    // U1/U3: union-all of per-source batches then DISTINCT
+    // (`etl/etl.py:306, 423` pd.concat; `dashboard/timescaledb_model.py:461`).
+    QueryDef(
+      "union_distinct",
+      Some("""
+        SELECT user_id, event_type FROM (
+          SELECT user_id, event_type FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, event_type FROM events WHERE value > 150
+        ) t
+        GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val a = ev.filter(col("event_type") === "purchase").select("user_id", "event_type")
+        val b = ev.filter(col("value") > 150).select("user_id", "event_type")
+        a.unionByName(b).distinct().orderBy("user_id", "event_type")
+      }),
+
+    // P5/P6: range-cleanup DELETE and conditional UPDATE rewritten as
+    // filter + when/otherwise (`etl/etl.py:817, 820`).
+    QueryDef(
+      "range_cleanup",
+      Some("""
+        SELECT event_id, user_id, value,
+               CASE WHEN value < 1 THEN 0.0 ELSE value END AS value_fixed
+        FROM events
+        WHERE value IS NOT NULL AND value > 0 AND value <= 100000
+        ORDER BY event_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir)
+          .filter(col("value").isNotNull && col("value") > 0 && col("value") <= 100000)
+          .select(col("event_id"), col("user_id"), col("value"),
+            when(col("value") < 1, lit(0.0)).otherwise(col("value")).as("value_fixed"))
+          .orderBy("event_id")
+      }),
+
+    // P8/O3/O4: time-range predicate + order + limit
+    // (`dashboard/timescaledb_model.py:530, 545`; partition-prunable at scale).
+    QueryDef(
+      "time_range_topk",
+      Some("""
+        SELECT event_id, ts, user_id, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        ORDER BY value DESC, event_id
+        LIMIT 100
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir)
+          .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+          .select("event_id", "ts", "user_id", "value")
+          .orderBy(col("value").desc, col("event_id"))
+          .limit(100)
+      }),
+
+    // O5: pagination — order + limit/offset (`dashboard/tabs/tab2.py:155-157`).
+    QueryDef(
+      "limit_offset_page",
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 50 OFFSET 200
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.orders(spark, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+          .offset(200)
+          .limit(50)
+      }),
+
+    // A7-scalar + M5: grouped max + arithmetic (`etl/etl.py:292-299`).
+    QueryDef(
+      "group_max_next_id",
+      Some("""
+        SELECT c_mktsegment, max(c_custkey) AS max_id, max(c_custkey) + 1 AS next_id,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.customer(spark, dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            max(col("c_custkey")).as("max_id"),
+            (max(col("c_custkey")) + 1).as("next_id"),
+            count(lit(1)).as("n"))
+          .orderBy("c_mktsegment")
+      })
+  )
+}

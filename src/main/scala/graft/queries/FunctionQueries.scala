@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ingest.Normalize
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar-function coverage (SURVEY.md §2.8 F1–F9, §2.9 D1–D5, §2.10
+  * M1–M4). The reference's dirty inputs (prefixed symbols, decimal-comma
+  * prices with "(c)" markers, free-text market names, filename-embedded
+  * timestamps) are synthesized DETERMINISTICALLY from testdata columns, so
+  * the oracle can rebuild byte-identical inputs and independently verify
+  * the cleanup expressions.
+  */
+object FunctionQueries {
+
+  // synthetic Boursorama-style symbol: prefix chosen by key mod 9, then
+  // 'SYM<key>' (FIXTURES.md §1.1)
+  private def syntheticSymbol(key: Column): Column = {
+    val prefixes = Seq("1rP", "1rA", "1u", "1g", "FF55-", "1z", "FF11_", "1b", "")
+    val prefix = prefixes.zipWithIndex.foldLeft(lit(""): Column) {
+      case (acc, (p, i)) => when(key % 9 === i, lit(p)).otherwise(acc)
+    }
+    concat(prefix, lit("SYM"), key.cast("string"))
+  }
+
+  // single line: the enclosing query uses stripMargin, which would eat the
+  // leading bar of a line-initial `||`
+  private val syntheticSymbolSql =
+    "CASE c_custkey % 9 WHEN 0 THEN '1rP' WHEN 1 THEN '1rA' WHEN 2 THEN '1u' " +
+      "WHEN 3 THEN '1g' WHEN 4 THEN 'FF55-' WHEN 5 THEN '1z' " +
+      "WHEN 6 THEN 'FF11_' WHEN 7 THEN '1b' ELSE '' END || " +
+      "'SYM' || CAST(c_custkey AS VARCHAR)"
+
+  val entries: Seq[QueryDef] = Seq(
+    // F1/F2: SRD name prefix strip + symbol/market normalization — the
+    // reference's hottest function (4M calls, `etl/etl.py:66-101, 119`),
+    // here a codegen'd when-chain verified against an independent SQL
+    // formulation in DuckDB.
+    QueryDef(
+      "symbol_normalize",
+      Some(s"""
+        WITH s AS (
+          SELECT c_custkey,
+                 $syntheticSymbolSql AS raw_symbol,
+                 CASE WHEN c_custkey % 4 = 0 THEN 'SRD' || c_name ELSE c_name END AS raw_name
+          FROM customer
+        )
+        SELECT c_custkey, raw_symbol, raw_name,
+               CASE WHEN raw_symbol LIKE '1rP%' THEN substr(raw_symbol, 4)
+                    WHEN raw_symbol LIKE '1rA%' THEN substr(raw_symbol, 4)
+                    WHEN raw_symbol LIKE '1u%' THEN substr(raw_symbol, 3)
+                    WHEN raw_symbol LIKE '1g%' THEN substr(raw_symbol, 3)
+                    WHEN raw_symbol LIKE 'FF55-%' THEN substr(raw_symbol, 6)
+                    WHEN raw_symbol LIKE '1z%' THEN substr(raw_symbol, 3)
+                    WHEN raw_symbol LIKE 'FF11\\_%' ESCAPE '\\' THEN substr(raw_symbol, 6)
+                    WHEN raw_symbol LIKE '1b%' THEN substr(raw_symbol, 3)
+                    ELSE raw_symbol END AS symbol,
+               CAST(CASE WHEN raw_symbol LIKE '1rP%' THEN 6
+                    WHEN raw_symbol LIKE '1rA%' THEN 5
+                    WHEN raw_symbol LIKE '1u%' THEN 2
+                    WHEN raw_symbol LIKE '1g%' THEN 3
+                    WHEN raw_symbol LIKE 'FF55-%' THEN 4
+                    WHEN raw_symbol LIKE '1z%' THEN 7
+                    WHEN raw_symbol LIKE 'FF11\\_%' ESCAPE '\\' THEN 8
+                    WHEN raw_symbol LIKE '1b%' THEN 8
+                    ELSE 6 END AS BIGINT) AS mid,
+               CASE WHEN raw_name LIKE 'SRD%' THEN substr(raw_name, 4) ELSE raw_name END AS name
+        FROM s
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val base = Tables.customer(spark, dir).select(
+          col("c_custkey"),
+          syntheticSymbol(col("c_custkey")).as("raw_symbol"),
+          when(col("c_custkey") % 4 === 0, concat(lit("SRD"), col("c_name")))
+            .otherwise(col("c_name")).as("raw_name"))
+        base.select(
+          col("c_custkey"), col("raw_symbol"), col("raw_name"),
+          Normalize.bareSymbol(col("raw_symbol")).as("symbol"),
+          Normalize.marketIdFromSymbol(col("raw_symbol"), lit(6)).cast("long").as("mid"),
+          Normalize.stripSrd(col("raw_name")).as("name"))
+          .orderBy("c_custkey")
+      }),
+
+    // F3–F5: dirty price/volume parsing — decimal commas, "(c)" markers,
+    // junk characters, to-numeric-with-coerce (`etl/etl.py:189-193, 529-531`).
+    QueryDef(
+      "price_parse",
+      Some("""
+        WITH s AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR) AS cents,
+                 CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty
+          FROM lineitem
+        ), d AS (
+          SELECT l_orderkey, l_linenumber,
+                 substr(cents, 1, length(cents) - 2) || ',' || substr(cents, length(cents) - 1, 2) || ' (c)' AS dirty_price,
+                 qty || ' units' AS dirty_volume
+          FROM s
+        )
+        SELECT l_orderkey, l_linenumber, dirty_price, dirty_volume,
+               CAST(replace(regexp_replace(dirty_price, '\([a-zA-Z]\)|\s+', '', 'g'), ',', '.') AS DOUBLE) AS price,
+               CAST(regexp_replace(dirty_volume, '[^0-9]+', '', 'g') AS DOUBLE) AS volume
+        FROM d
+        ORDER BY l_orderkey, l_linenumber
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val cents = round(col("l_extendedprice") * 100).cast("long").cast("string")
+        val qty = col("l_quantity").cast("long").cast("string")
+        Tables.lineitem(spark, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            concat(
+              cents.substr(lit(1), length(cents) - 2), lit(","),
+              cents.substr(length(cents) - 1, lit(2)), lit(" (c)")).as("dirty_price"),
+            concat(qty, lit(" units")).as("dirty_volume"))
+          .withColumn("price", Normalize.cleanPriceBoursorama(col("dirty_price")))
+          .withColumn("volume", Normalize.cleanVolumeEuronext(col("dirty_volume")))
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // F7: free-text market → id via case-insensitive contains chain —
+    // replaces the reference's only per-row Python UDF (`etl/etl.py:546-564`).
+    QueryDef(
+      "market_map_text",
+      Some("""
+        WITH s AS (
+          SELECT c_custkey,
+                 CASE c_custkey % 8
+                   WHEN 0 THEN 'Euronext PARIS'
+                   WHEN 1 THEN 'Euronext Amsterdam MTF'
+                   WHEN 2 THEN 'London Stock Exchange'
+                   WHEN 3 THEN 'Borsa Italiana (Milan)'
+                   WHEN 4 THEN 'BME - Madrid'
+                   WHEN 5 THEN 'Euronext Brussels'
+                   WHEN 6 THEN 'Deutsche Boerse XETRA'
+                   ELSE 'OTC venue' END AS market_text
+          FROM customer
+        )
+        SELECT c_custkey, market_text,
+               CAST(CASE WHEN lower(market_text) LIKE '%paris%' THEN 6
+                    WHEN lower(market_text) LIKE '%amsterdam%' THEN 5
+                    WHEN lower(market_text) LIKE '%london%' THEN 2
+                    WHEN lower(market_text) LIKE '%milan%' THEN 3
+                    WHEN lower(market_text) LIKE '%madrid%' THEN 4
+                    WHEN lower(market_text) LIKE '%brussels%' THEN 8
+                    WHEN lower(market_text) LIKE '%xetra%' THEN 7
+                    ELSE 6 END AS BIGINT) AS mid
+        FROM s
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val texts = Seq(
+          "Euronext PARIS", "Euronext Amsterdam MTF", "London Stock Exchange",
+          "Borsa Italiana (Milan)", "BME - Madrid", "Euronext Brussels",
+          "Deutsche Boerse XETRA", "OTC venue")
+        val text = texts.zipWithIndex.foldLeft(lit("OTC venue"): Column) {
+          case (acc, (t, i)) => when(col("c_custkey") % 8 === i, lit(t)).otherwise(acc)
+        }
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"), text.as("market_text"))
+          .withColumn("mid", Normalize.marketIdFromText(col("market_text")).cast("long"))
+          .orderBy("c_custkey")
+      }),
+
+    // F8/F9 + D1–D4: filename-embedded event time — regex date extraction,
+    // underscore-time fix, parts, truncation, arithmetic
+    // (`etl/etl.py:139-159, 538-542`).
+    QueryDef(
+      "filename_dates",
+      Some("""
+        WITH s AS (
+          SELECT o_orderkey,
+                 'paris ' || strftime(o_orderdate, '%Y-%m-%d') || ' 09_30_00.bz2' AS fname,
+                 o_orderdate
+          FROM orders
+        )
+        SELECT o_orderkey, fname,
+               CAST(regexp_extract(fname, '(\d{4}-\d{2}-\d{2})', 1) AS DATE) AS file_date,
+               strptime(regexp_extract(fname, '(\d{4}-\d{2}-\d{2})', 1) || ' ' ||
+                        replace(regexp_extract(fname, '(\d{2}_\d{2}_\d{2})', 1), '_', ':'),
+                        '%Y-%m-%d %H:%M:%S') AS file_ts,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(o_orderdate AS DATE) - 30 AS back_30d
+        FROM s
+        ORDER BY o_orderkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.orders(spark, dir)
+          .select(
+            col("o_orderkey"),
+            concat(lit("paris "), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+              lit(" 09_30_00.bz2")).as("fname"),
+            col("o_orderdate"))
+          .select(
+            col("o_orderkey"), col("fname"),
+            Normalize.fileDate(col("fname")).as("file_date"),
+            Normalize.fileTimestamp(col("fname")).as("file_ts"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+            date_sub(to_date(col("o_orderdate")), 30).as("back_30d"))
+          .orderBy("o_orderkey")
+      }),
+
+    // M1–M3: abs, null-safe division, round (`etl/etl.py:388-390`,
+    // `dashboard/tabs/tab2.py:117-124`).
+    QueryDef(
+      "math_functions",
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               abs(l_discount - l_tax) AS abs_diff,
+               l_extendedprice / nullif(l_quantity, 0) AS unit_price,
+               l_extendedprice / nullif(l_quantity - l_quantity, 0) AS div_by_zero_is_null
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+      """.stripMargin.trim),
+      (spark, dir) => {
+        // no round(): row-level expressions are the same IEEE ops in both
+        // engines → bit-identical; round() would ADD divergence at exact
+        // .5 ties (price/quantity often terminates, e.g. x/8 = x.xxxx5)
+        val q = col("l_quantity")
+        Tables.lineitem(spark, dir)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_discount") - col("l_tax")).as("abs_diff"),
+            (col("l_extendedprice") /
+              when(q === 0, lit(null)).otherwise(q)).as("unit_price"),
+            (col("l_extendedprice") /
+              when(q - q === 0, lit(null)).otherwise(q - q)).as("div_by_zero_is_null"))
+          .orderBy("l_orderkey", "l_linenumber")
+      })
+  )
+}

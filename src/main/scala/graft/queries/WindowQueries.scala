@@ -18,8 +18,8 @@ object WindowQueries {
       Some("""
         SELECT user_id, ts, value,
                lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value,
-               ROUND(abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts))
-                     / nullif(abs(lag(value) OVER (PARTITION BY user_id ORDER BY ts)), 0), 4) AS pct_change
+               abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts))
+                 / nullif(abs(lag(value) OVER (PARTITION BY user_id ORDER BY ts)), 0) AS pct_change
         FROM events
         ORDER BY user_id, ts
       """.stripMargin.trim),
@@ -28,9 +28,9 @@ object WindowQueries {
         Tables.events(spark, dir)
           .select(col("user_id"), col("ts"), col("value"))
           .withColumn("prev_value", lag(col("value"), 1).over(w))
-          .withColumn("pct_change", round(
+          .withColumn("pct_change",
             abs(col("value") - col("prev_value")) /
-              when(abs(col("prev_value")) === 0, lit(null)).otherwise(abs(col("prev_value"))), 4))
+              when(abs(col("prev_value")) === 0, lit(null)).otherwise(abs(col("prev_value"))))
           .orderBy("user_id", "ts")
       }),
 

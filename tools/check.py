@@ -37,7 +37,7 @@ def cmp(a, b, name, sort_rows=False):
             av = av.astype(float); bv = bv.astype(float)
             bad = ~(np.isclose(av, bv, rtol=0, atol=1e-9, equal_nan=True))
             if bad.any():
-                i = int(np.argmax(bad.values))
+                i = int(np.argmax(bad))
                 return f"float col {c} row {i}: {av.iloc[i]!r} != {bv.iloc[i]!r}"
         else:
             if not av.astype(str).equals(bv.astype(str)):
