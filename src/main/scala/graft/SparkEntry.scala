@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.JoinQueries.entries ++
       graft.queries.AggQueries.entries ++
       graft.queries.FunctionQueries.entries ++
-      graft.queries.SqlQueries.entries
+      graft.queries.SqlQueries.entries ++
+      graft.queries.TextQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

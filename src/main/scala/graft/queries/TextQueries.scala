@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.textops.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over `documents`: quality scoring,
+  * language ID, fingerprinting, exact / n-gram-Jaccard / MinHash-LSH /
+  * SimHash deduplication. Oracle SQL is GENERATED from the same constants
+  * the Spark side uses (stopword lists, hash params), so the two engines
+  * cannot drift.
+  */
+object TextQueries {
+
+  import TextAnalysis.{inList, langOrder, stopwords}
+
+  private val toksDuck = TextAnalysis.tokensExprDuck
+
+  // ---- language-ID oracle: nested CASE replicating the strict-> fold ----
+  private def langPredSql: String = {
+    // fold state as SQL strings: (bestLangExpr, bestScoreExpr)
+    langOrder.tail.foldLeft((s"'${langOrder.head}'", s"score_${langOrder.head}")) {
+      case ((bestL, bestS), l) =>
+        (s"(CASE WHEN score_$l > $bestS THEN '$l' ELSE $bestL END)",
+          s"(CASE WHEN score_$l > $bestS THEN score_$l ELSE $bestS END)")
+    }._1
+  }
+
+  private val langScoresDuck = langOrder.map { l =>
+    s"CAST(len(list_filter(toks, t -> t IN (${inList(stopwords(l))}))) AS BIGINT) AS score_$l"
+  }.mkString(",\n                 ")
+
+  // ---- minhash oracle pieces, generated from Dedup.minhashParams ----
+  private val shinglesDuck =
+    s"""tok AS (
+          SELECT doc_id, $toksDuck AS toks FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(toks, (x, i) ->
+              CASE WHEN i + 4 <= len(toks)
+                   THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] END)) AS shingle
+            FROM tok) t
+          WHERE shingle IS NOT NULL
+        )"""
+
+  private val sigSelectDuck = Dedup.minhashParams.zipWithIndex.map { case ((a, b), i) =>
+    s"min(($a * s + $b) % ${Dedup.minhashP}) AS mh$i"
+  }.mkString(", ")
+
+  private val bandsDuck = (0 until Dedup.minhashParams.size / Dedup.bandSize).map { bnd =>
+    val key = (0 until Dedup.bandSize)
+      .map(j => s"CAST(mh${bnd * Dedup.bandSize + j} AS VARCHAR)")
+      .mkString(" || '_' || ")
+    s"SELECT doc_id, $bnd AS band, $key AS band_key FROM sig"
+  }.mkString(" UNION ALL ")
+
+  private val simhashSumsDuck = (0 until Dedup.simhashBits)
+    .map(b => s"SUM(cnt * (((h >> $b) & 1) * 2 - 1)) AS w$b").mkString(", ")
+  private val simhashValDuck = (0 until Dedup.simhashBits)
+    .map(b => s"(CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "text_quality",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, $toksDuck AS toks FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(length(text) AS DOUBLE) / len(toks) AS avg_token_len,
+                 CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) / length(text) AS alnum_ratio,
+                 CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+                 CAST(len(list_filter(toks, t -> t IN (${inList(stopwords("en"))}))) AS DOUBLE) / len(toks) AS stopword_ratio
+          FROM d
+        )
+        SELECT doc_id, n_tokens, n_chars, avg_token_len, alnum_ratio, punct_ratio, stopword_ratio,
+               CAST(0.4 AS DOUBLE) * alnum_ratio + CAST(0.4 AS DOUBLE) * stopword_ratio
+                 + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio) AS quality_score
+        FROM r
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        TextAnalysis.withQuality(Tables.documents(spark, dir))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_chars2").as("n_chars"),
+            col("avg_token_len"), col("alnum_ratio"), col("punct_ratio"),
+            col("stopword_ratio"), col("quality_score"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef(
+      "lang_id",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, $toksDuck AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, lang,
+                 $langScoresDuck
+          FROM d
+        )
+        SELECT doc_id, lang, ${langOrder.map(l => s"score_$l").mkString(", ")},
+               $langPredSql AS predicted_lang
+        FROM s
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        TextAnalysis.withLangId(Tables.documents(spark, dir))
+          .select(col("doc_id") +: col("lang") +:
+            langOrder.map(l => col(s"score_$l")) :+ col("predicted_lang"): _*)
+          .orderBy("doc_id")
+      }),
+
+    QueryDef(
+      "doc_fingerprint",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, text, $toksDuck AS toks FROM documents
+        )
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS md5_fp,
+               ${TextAnalysis.rollingHashExprDuck} AS rolling_fp
+        FROM d
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.documents(spark, dir)
+          .withColumn("toks", expr(TextAnalysis.tokensExpr))
+          .select(
+            col("doc_id"),
+            md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("md5_fp"),
+            expr(TextAnalysis.rollingHashExpr).as("rolling_fp"))
+          .orderBy("doc_id")
+      }),
+
+    QueryDef(
+      "dedup_exact",
+      Some("""
+        SELECT md5(lower(trim(text))) AS text_hash,
+               min(doc_id) AS canonical_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+        ORDER BY canonical_id
+      """.stripMargin.trim),
+      (spark, dir) =>
+        Dedup.exactDuplicates(Tables.documents(spark, dir)).orderBy("canonical_id")),
+
+    QueryDef(
+      "dedup_jaccard",
+      Some(s"""
+        WITH $shinglesDuck,
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+        ORDER BY doc_a, doc_b
+      """.stripMargin.trim),
+      (spark, dir) =>
+        Dedup.jaccardPairs(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
+          .orderBy("doc_a", "doc_b")),
+
+    QueryDef(
+      "dedup_minhash_lsh",
+      Some(s"""
+        WITH $shinglesDuck,
+        k AS (SELECT doc_id, ${Dedup.shingleKeyExprDuck} AS s FROM sh),
+        sig AS (SELECT doc_id, $sigSelectDuck FROM k GROUP BY doc_id),
+        bands AS ($bandsDuck),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7
+        ORDER BY doc_a, doc_b
+      """.stripMargin.trim),
+      (spark, dir) =>
+        Dedup.minhashLshPairs(Tables.documents(spark, dir), n = 5, minJaccard = 0.7)
+          .orderBy("doc_a", "doc_b")),
+
+    QueryDef(
+      "dedup_simhash",
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($toksDuck) AS tok FROM documents
+        ), tc AS (
+          SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+        ), h AS (
+          SELECT doc_id, cnt, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tc
+        ), w AS (
+          SELECT doc_id, $simhashSumsDuck FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST($simhashValDuck AS BIGINT) AS simhash
+        FROM w
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) =>
+        Dedup.simhash(Tables.documents(spark, dir)).orderBy("doc_id"))
+  )
+}

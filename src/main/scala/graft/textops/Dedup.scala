@@ -1,0 +1,151 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline: exact (hash),
+  * n-gram Jaccard, MinHash+LSH, SimHash. Designed for the 100 TB shape:
+  *  - no O(n²) pair enumeration anywhere — candidates come from key joins
+  *    (shingle, LSH band, simhash chunk), which shuffle-partition by key;
+  *  - signatures are single-pass groupBy aggregations (one shuffle per
+  *    stage);
+  *  - all hashing is exact integer arithmetic on md5 prefixes, so results
+  *    are reproducible across engines and runs.
+  */
+object Dedup {
+
+  /** word n-gram shingles (default 5) of lowercased whitespace tokens,
+    * distinct per doc */
+  def shingles(documents: DataFrame, n: Int = 5): DataFrame =
+    documents
+      .withColumn("toks", expr(TextAnalysis.tokensExpr))
+      .withColumn("shingle", explode(expr(
+        s"""transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)),
+              i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")}))""")))
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+
+  /** Exact duplicate groups by md5 of canonicalized text: every doc mapped
+    * to its group's canonical (minimum) doc_id.
+    */
+  def exactDuplicates(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("text_hash", md5(lower(trim(col("text")))))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Pairwise n-gram Jaccard ≥ `minJaccard` via shingle-key join:
+    * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. The join key is the
+    * shingle, so work scales with shared-shingle pairs, not n².
+    */
+  def jaccardPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val sh = shingles(documents, n).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash parameters: k=16 universal-hash functions (a*s + b) mod P over
+    * 60-bit shingle keys reduced mod P. Fixed odd constants — shared with
+    * the oracle SQL by interpolation.
+    */
+  val minhashP = 1000000007L
+  val minhashParams: Seq[(Long, Long)] = Seq(
+    (387461209L, 91249823L), (193847123L, 823471993L), (748291831L, 12938471L),
+    (928374651L, 548372911L), (132984721L, 745829103L), (847362519L, 231984673L),
+    (564738291L, 918273645L), (291837465L, 384756129L), (675849302L, 129384756L),
+    (819273645L, 564839201L), (402938475L, 748392015L), (593847261L, 102938475L),
+    (738291046L, 839201746L), (147382910L, 493827561L), (958372610L, 647382910L),
+    (362910473L, 758293041L))
+  val bandSize = 4 // 16 hashes → 4 bands of 4 → Jaccard ~0.7+ candidates
+
+  /** 60-bit md5-prefix key of a shingle, reduced mod P (both engines). */
+  val shingleKeyExpr =
+    s"cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % $minhashP"
+  val shingleKeyExprDuck =
+    s"CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % $minhashP"
+
+  /** Per-doc MinHash signature: one groupBy pass computing all k minima. */
+  def minhashSignatures(documents: DataFrame, n: Int = 5): DataFrame = {
+    val keyed = shingles(documents, n).withColumn("s", expr(shingleKeyExpr))
+    val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("s") + lit(b)) % lit(minhashP)).as(s"mh$i")
+    }
+    keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: unpivot the signature into (doc_id, band, band_key). */
+  def lshBands(signatures: DataFrame): DataFrame = {
+    val nBands = minhashParams.size / bandSize
+    val bands = (0 until nBands).map { bnd =>
+      val cols = (0 until bandSize).map(j => col(s"mh${bnd * bandSize + j}").cast("string"))
+      signatures.select(
+        col("doc_id"), lit(bnd).as("band"),
+        concat_ws("_", cols: _*).as("band_key"))
+    }
+    bands.reduce(_ unionByName _)
+  }
+
+  /** MinHash-LSH near-dup pairs: docs sharing any band bucket, verified
+    * with true shingle Jaccard ≥ `minJaccard`.
+    */
+  def minhashLshPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.7): DataFrame = {
+    val bands = lshBands(minhashSignatures(documents, n))
+    val candidates = bands.as("x")
+      .join(bands.as("y"), Seq("band", "band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = shingles(documents, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")), Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "n_b"), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over token frequencies: bit b set iff
+    * Σ_tokens cnt·(2·bit_b(h(token))−1) > 0, h = 60-bit md5 prefix.
+    * One explode + one groupBy = one shuffle; the 32 bit-sums are
+    * computed as 32 aggregate expressions in the same pass.
+    */
+  val simhashBits = 32
+
+  def simhash(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .withColumn("toks", expr(TextAnalysis.tokensExpr))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", expr(s"cast(conv(substring(md5(tok), 1, 15), 16, 10) as bigint)"))
+    val bitSums = (0 until simhashBits).map { b =>
+      sum(col("cnt") * (shiftright(col("h"), b).bitwiseAND(1) * 2 - 1)).as(s"w$b")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until simhashBits)
+      .map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), hash.as("simhash"))
+  }
+}

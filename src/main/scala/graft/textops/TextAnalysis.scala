@@ -1,0 +1,95 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language ID,
+  * fingerprinting. All pure `Column` expressions / array HOFs — codegen
+  * stays intact, no UDFs, so the ops scale linearly with document bytes
+  * and shuffle nothing.
+  *
+  * Shared constants (stopword lists, hash moduli) are interpolated into
+  * both the Spark expressions and the DuckDB oracle SQL from this one
+  * object, so engine and oracle cannot drift.
+  */
+object TextAnalysis {
+
+  /** whitespace tokenization of lowercased, trimmed text */
+  def tokensExpr: String = "split(lower(trim(text)), '\\\\s+')"
+  def tokensExprDuck: String = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  // Per-language stopword marker lists (tiny n-gram-ish heuristic).
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "for", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "fur", "auf", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "en", "que", "por", "con", "una", "del"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "une", "que", "pour", "dans"))
+  /** deterministic arg-max order when scores tie */
+  val langOrder: Seq[String] = Seq("en", "de", "es", "fr")
+
+  def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")
+
+  /** count of tokens belonging to `words` (Spark array HOF) */
+  def hitCount(words: Seq[String]): Column =
+    expr(s"size(filter(toks, t -> t IN (${inList(words)})))").cast("long")
+
+  /** polynomial rolling hash over tokens: each token → 60-bit md5 prefix
+    * mod 1000003, folded left as h = (h*31 + k) mod 1e9+7. Exact integer
+    * arithmetic → bit-identical across engines; order-sensitive by design
+    * (it fingerprints the token SEQUENCE, not the bag).
+    */
+  val tokenMod = 1000003L
+  val fpMod = 1000000007L
+
+  def rollingHashExpr: String =
+    s"""aggregate(
+          transform(toks, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % $tokenMod),
+          cast(0 as bigint),
+          (h, k) -> (h * 31 + k) % $fpMod)"""
+
+  def rollingHashExprDuck: String =
+    s"""list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $tokenMod)),
+          (h, k) -> (h * 31 + k) % $fpMod)"""
+
+  /** Tokenize + per-document quality metrics. All ratios are
+    * CAST(x AS DOUBLE)/y — single deterministic division per row.
+    */
+  def withQuality(documents: DataFrame): DataFrame = {
+    val d = documents.withColumn("toks", expr(tokensExpr))
+    val nTok = size(col("toks")).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).cast("long")
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long")
+    val stopHits = hitCount(stopwords("en"))
+    d.withColumn("n_tokens", nTok)
+      .withColumn("n_chars2", nChars)
+      .withColumn("avg_token_len", col("n_chars2").cast("double") / col("n_tokens"))
+      .withColumn("alnum_ratio", alnum.cast("double") / col("n_chars2"))
+      .withColumn("punct_ratio", punct.cast("double") / col("n_chars2"))
+      .withColumn("stopword_ratio", stopHits.cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        lit(0.4) * col("alnum_ratio") + lit(0.4) * col("stopword_ratio") +
+          lit(0.2) * (lit(1.0) - col("punct_ratio")))
+  }
+
+  /** Language ID: stopword-hit scores per language, deterministic arg-max
+    * (ties resolved in `langOrder`).
+    */
+  def withLangId(documents: DataFrame): DataFrame = {
+    val d = documents.withColumn("toks", expr(tokensExpr))
+    val scored = langOrder.foldLeft(d) { (acc, l) =>
+      acc.withColumn(s"score_$l", hitCount(stopwords(l)))
+    }
+    // strict > chain in langOrder: a later language wins only when strictly higher
+    val pred = langOrder.tail.foldLeft((lit(langOrder.head), col(s"score_${langOrder.head}"))) {
+      case ((bestLang, bestScore), l) =>
+        val s = col(s"score_$l")
+        (when(s > bestScore, lit(l)).otherwise(bestLang),
+          when(s > bestScore, s).otherwise(bestScore))
+    }
+    scored.withColumn("predicted_lang", pred._1)
+  }
+}
