@@ -17,7 +17,9 @@ object SparkEntry {
       graft.queries.AggQueries.entries ++
       graft.queries.FunctionQueries.entries ++
       graft.queries.SqlQueries.entries ++
-      graft.queries.TextQueries.entries
+      graft.queries.TextQueries.entries ++
+      graft.queries.SimilarityQueries.entries ++
+      graft.queries.MultimodalQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings` (64-dim float vectors):
+  * exact brute-force cosine top-k (baseline) and sign-LSH bucketed top-k
+  * (the sublinear scale path). All reductions are exact int64 on a 1e-4
+  * quantization grid — see Similarity's scaladoc for why this makes ranks
+  * engine-reproducible.
+  */
+object SimilarityQueries {
+
+  private val quantDuck =
+    """e AS (
+         SELECT vec_id, label,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+         FROM embeddings
+       ), n AS (
+         SELECT vec_id, label, q,
+                list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)), (a, v) -> a + v) AS norm2
+         FROM e
+       )"""
+
+  private val dotDuck =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(list_zip(qa.q, cb.q), p -> p[1] * p[2])), (a, v) -> a + v)"""
+
+  private val bucketDuck = (0 until 6)
+    .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)")
+    .mkString(" + ")
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "embedding_stats",
+      Some(s"""
+        WITH $quantDuck
+        SELECT label, COUNT(*) AS n_vectors,
+               CAST(SUM(norm2) AS BIGINT) AS sum_norm2,
+               CAST(SUM(norm2) AS DOUBLE) / COUNT(*) AS avg_norm2
+        FROM n
+        GROUP BY label
+        ORDER BY label
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Similarity.quantized(Tables.embeddings(spark, dir))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            sum(col("norm2")).as("sum_norm2"),
+            (sum(col("norm2")).cast("double") / count(lit(1))).as("avg_norm2"))
+          .orderBy("label")
+      }),
+
+    QueryDef(
+      "ann_cosine_topk",
+      Some(s"""
+        WITH $quantDuck,
+        pairs AS (
+          SELECT qa.vec_id AS query_id, cb.vec_id AS cand_id,
+                 $dotDuck AS dot,
+                 qa.norm2 AS na, cb.norm2 AS nb
+          FROM n qa JOIN n cb ON qa.vec_id < 32 AND qa.vec_id <> cb.vec_id
+        ), scored AS (
+          SELECT query_id, cand_id,
+                 CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) AS cos
+          FROM pairs
+        ), ranked AS (
+          SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Similarity.bruteForceTopK(Tables.embeddings(spark, dir), k = 10, maxQueryId = 32)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef(
+      "ann_lsh_topk",
+      Some(s"""
+        WITH eb AS (
+          SELECT vec_id, embedding, CAST($bucketDuck AS BIGINT) AS bucket FROM embeddings
+        ), e AS (
+          SELECT vec_id, bucket,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+          FROM eb
+        ), n AS (
+          SELECT vec_id, bucket, q,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)), (a, v) -> a + v) AS norm2
+          FROM e
+        ), pairs AS (
+          SELECT qa.vec_id AS query_id, qa.bucket AS bucket, cb.vec_id AS cand_id,
+                 $dotDuck AS dot,
+                 qa.norm2 AS na, cb.norm2 AS nb
+          FROM n qa JOIN n cb ON qa.bucket = cb.bucket AND qa.vec_id < 64 AND qa.vec_id <> cb.vec_id
+        ), scored AS (
+          SELECT query_id, bucket, cand_id,
+                 CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) AS cos
+          FROM pairs
+        ), ranked AS (
+          SELECT query_id, bucket, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, bucket, cand_id, cos, rank FROM ranked
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Similarity.lshBucketTopK(Tables.embeddings(spark, dir), k = 5, maxQueryId = 64, bits = 6)
+          .withColumn("bucket", col("bucket").cast("long"))
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
+      })
+  )
+}

@@ -1,0 +1,86 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Determinism design: embeddings are quantized to integer 1e-4 grid
+  * (`q_i = round(x_i·10⁴)`), dot products and squared norms are EXACT
+  * int64 sums (order-independent — no float summation ambiguity), and the
+  * only floating ops are one sqrt and one division per pair — bit-identical
+  * in any engine. This makes top-k ranks reproducible across engines,
+  * partitionings and runs, which raw float32 reductions are not.
+  *
+  * Scale paths:
+  *  - `bruteForceTopK`: exact baseline — broadcast the (small) query set
+  *    against the corpus, one window per query for top-k. O(|Q|·n)·d.
+  *  - `lshBucketTopK`: sign-LSH on the first `bits` dimensions buckets the
+  *    corpus (one shuffle on the bucket key); queries only score their own
+  *    bucket. Approximate: recall < 1 by construction, cost O(n·k/2^bits).
+  */
+object Similarity {
+
+  /** quantized embedding (int64 per dim) + exact squared norm */
+  def quantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .withColumn("q", expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
+      .withColumn("norm2", expr("aggregate(transform(q, v -> v * v), cast(0 as bigint), (a, v) -> a + v)"))
+
+  /** exact int64 dot product of two quantized vectors */
+  def dotExpr(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)")
+
+  /** cosine = dot / (√norm2_a · √norm2_b); null-safe on zero vectors */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") /
+      when(sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")) === 0, lit(null))
+        .otherwise(sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** Exact cosine top-k: for each query vector (vec_id < maxQueryId), the
+    * k nearest corpus vectors by quantized cosine. Query side is broadcast;
+    * ranking ties break on candidate id.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int, maxQueryId: Long): DataFrame = {
+    val e = quantized(embeddings)
+    val queries = e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm2").as("na"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("norm2").as("nb"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("dot", dotExpr("qa", "qb"))
+      .withColumn("cos", cosine(col("dot"), col("na"), col("nb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
+  /** sign-LSH bucket key from the first `bits` dimensions' signs */
+  def bucketExpr(bits: Int): Column =
+    (0 until bits)
+      .map(d => when(expr(s"element_at(embedding, ${d + 1})") > 0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Approximate top-k: candidates restricted to the query's sign-LSH
+    * bucket. The bucket join shuffles on the bucket key — no cross join
+    * against the full corpus.
+    */
+  def lshBucketTopK(embeddings: DataFrame, k: Int, maxQueryId: Long, bits: Int = 6): DataFrame = {
+    val e = quantized(embeddings).withColumn("bucket", bucketExpr(bits))
+    val queries = e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("bucket"), col("q").as("qa"), col("norm2").as("na"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("bucket"), col("q").as("qb"), col("norm2").as("nb"))
+    val scored = corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("dot", dotExpr("qa", "qb"))
+      .withColumn("cos", cosine(col("dot"), col("na"), col("nb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "bucket", "cand_id", "cos", "rank")
+  }
+}
