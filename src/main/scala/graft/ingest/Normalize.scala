@@ -41,28 +41,36 @@ object Normalize {
   def stripSrd(name: Column): Column =
     when(name.startsWith("SRD"), name.substr(lit(4), length(name))).otherwise(name)
 
+  /** pandas `to_numeric(errors='coerce')`: unparseable → null. Spark 4's
+    * ANSI mode makes a bare cast THROW on garbage, so guard with a numeric
+    * regex instead (pure expression, codegen-friendly, no try_cast needed).
+    */
+  private val doubleRe = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+  def toDoubleCoerce(c: Column): Column =
+    when(c.rlike(doubleRe), c.cast("double"))
+
   /** Boursorama dirty price → double: drop `"(c)"`-style letter markers and
     * whitespace, decimal comma → dot, unparseable → null
     * (`etl/etl.py:189-193`, errors='coerce').
     */
   def cleanPriceBoursorama(last: Column): Column =
-    regexp_replace(
+    toDoubleCoerce(regexp_replace(
       regexp_replace(last.cast("string"), "\\([a-zA-Z]\\)|\\s+", ""),
-      ",", ".").cast("double")
+      ",", "."))
 
   /** Euronext dirty price → double: keep digits/dot/comma only, comma → dot
     * (`etl/etl.py:529`).
     */
   def cleanPriceEuronext(last: Column): Column =
-    regexp_replace(
+    toDoubleCoerce(regexp_replace(
       regexp_replace(coalesce(last.cast("string"), lit("")), "[^0-9.,]+", ""),
-      ",", ".").cast("double")
+      ",", "."))
 
   /** Euronext volume → double, non-digits stripped, null → 0
     * (`etl/etl.py:531`).
     */
   def cleanVolumeEuronext(volume: Column): Column =
-    coalesce(regexp_replace(volume.cast("string"), "[^0-9]+", "").cast("double"), lit(0.0))
+    coalesce(toDoubleCoerce(regexp_replace(volume.cast("string"), "[^0-9]+", "")), lit(0.0))
 
   /** Euronext free-text market → id via case-insensitive substring match,
     * default Paris 6 (`etl/etl.py:546-564` — the reference's only per-row

@@ -1,0 +1,86 @@
+package graft
+
+import graft.etl.{Candles, Companies, Compress}
+import org.apache.spark.sql.functions._
+
+/** Invariant checks from FIXTURES.md §2: tick compression keeps all
+  * boundary rows and only >0.1% moves in the interior; OHLC candles
+  * satisfy low ≤ open, close, mean ≤ high and volume = tick count.
+  */
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ticks = Tables.events(spark, sf).select("user_id", "ts", "value")
+
+  test("tick compression keeps first/last of every (key, day) and of every key") {
+    val kept = Compress.tickCompression(ticks, "user_id", "ts", "value")
+    val boundaries = ticks
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+    val missingFirst = boundaries.join(
+      kept, boundaries("user_id") === kept("user_id") &&
+        boundaries("first_ts") === kept("ts"), "left_anti")
+    val missingLast = boundaries.join(
+      kept, boundaries("user_id") === kept("user_id") &&
+        boundaries("last_ts") === kept("ts"), "left_anti")
+    assert(missingFirst.count() == 0 && missingLast.count() == 0)
+  }
+
+  test("tick compression drops only small moves (interior rows all moved > 0.1%)") {
+    val kept = Compress.tickCompression(ticks, "user_id", "ts", "value")
+    assert(kept.count() <= ticks.count())
+    // every dropped row is interior and moved ≤ 0.1% vs its predecessor
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"ts")
+    val dropped = ticks
+      .withColumn("prev", lag($"value", 1).over(w))
+      .withColumn("pct", abs($"value" - $"prev") /
+        when(abs($"prev") === 0, lit(null)).otherwise(abs($"prev")))
+      .join(kept.select($"user_id", $"ts"), Seq("user_id", "ts"), "left_anti")
+    assert(dropped.filter($"pct" > 0.001).count() == 0)
+  }
+
+  test("OHLCV candles: low ≤ open, close, mean ≤ high; volume = tick count") {
+    val candles = Candles.ohlcvDaily(ticks, "user_id", "ts", "value")
+    val bad = candles.filter(
+      $"low" > $"open" || $"low" > $"close" || $"low" > $"mean" ||
+        $"high" < $"open" || $"high" < $"close" || $"high" < $"mean")
+    assert(bad.count() == 0)
+    val vol = candles.agg(sum($"volume")).as[Long].head()
+    assert(vol == ticks.count())
+  }
+
+  test("candles on a literal day reproduce the reference's first/max/min/last/sum") {
+    val data = Seq(
+      (1L, "2024-01-01 09:00:00", 10.0), (1L, "2024-01-01 10:00:00", 12.0),
+      (1L, "2024-01-01 11:00:00", 8.0), (1L, "2024-01-01 12:00:00", 11.0),
+      (2L, "2024-01-01 09:30:00", 5.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp($"ts_s"))
+    val c = Candles.ohlcvDaily(data, "user_id", "ts", "value")
+      .filter($"user_id" === 1L).collect()(0)
+    assert(c.getAs[Double]("open") == 10.0 && c.getAs[Double]("close") == 11.0)
+    assert(c.getAs[Double]("high") == 12.0 && c.getAs[Double]("low") == 8.0)
+    assert(c.getAs[Long]("volume") == 4L && c.getAs[Double]("mean") == 10.25)
+  }
+
+  test("company pipeline: dedup, new keys, dense ids, last-writer-wins") {
+    val incoming = Seq(
+      ("AAA", 3L, "Alpha"), ("AAA", 1L, "AlphaOld"), ("BBB", 2L, "Beta"),
+      ("CCC", 5L, "Gamma"))
+      .toDF("symbol", "version", "name")
+    val deduped = Companies.dedupKeepFirst(incoming, "symbol", "version")
+    assert(deduped.count() == 3)
+    assert(deduped.filter($"symbol" === "AAA").select("name").as[String].head() == "AlphaOld")
+
+    val existing = Seq("AAA").toDF("symbol")
+    val fresh = Companies.newKeys(deduped, existing, "symbol")
+    assert(fresh.select("symbol").as[String].collect().toSet == Set("BBB", "CCC"))
+
+    val withIds = Companies.assignDenseIds(fresh, "symbol", maxExistingId = 10L)
+    val ids = withIds.select("symbol", "id").as[(String, Long)].collect().toMap
+    assert(ids == Map("BBB" -> 11L, "CCC" -> 12L))
+
+    val resolved = Companies.lastWriterWins(incoming, "symbol", "version", Seq("name"))
+    assert(resolved.filter($"symbol" === "AAA").select("name").as[String].head() == "Alpha")
+  }
+}

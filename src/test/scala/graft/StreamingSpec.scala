@@ -1,0 +1,51 @@
+package graft
+
+import graft.etl.Candles
+import graft.streaming.StreamingCandles
+import org.apache.spark.sql.functions._
+
+/** Streaming semantics = batch semantics on the same data (SURVEY.md
+  * §2.11): the candle a streaming day-close emits must equal the batch
+  * aggregation's candle.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming daily candles equal batch candles (complete mode replay)") {
+    val batchDf = Tables.events(spark, sf).select("user_id", "ts", "value")
+    // file source needs a directory — stage the single parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = StreamingCandles.fileStream(
+      spark, streamDir.toString, Tables.load(spark, sf, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "ts", "value")
+
+    val q = StreamingCandles.dailyCandles(stream, "user_id", "ts", "value")
+      .writeStream.format("memory").queryName("candles_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("candles_stream")
+      val batch = Candles.ohlcvDaily(batchDf, "user_id", "ts", "value")
+        .select($"day", $"user_id", $"open", $"high", $"low", $"close", $"volume", $"turnover")
+      assert(streamed.count() == batch.count())
+      val mismatched = streamed.join(batch,
+        Seq("day", "user_id", "open", "high", "low", "close", "volume"), "left_anti")
+      assert(mismatched.count() == 0)
+    } finally q.stop()
+  }
+
+  test("stateful registration emits each key exactly once with first-seen time") {
+    val input = Seq(
+      ("AAA", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("AAA", java.sql.Timestamp.valueOf("2024-01-01 09:00:00")),
+      ("BBB", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))).toDS()
+    val regs = StreamingCandles.registerNewKeys(input).collect()
+    assert(regs.map(_.key).sorted.toSeq == Seq("AAA", "BBB"))
+    assert(regs.find(_.key == "AAA").get.firstSeen ==
+      java.sql.Timestamp.valueOf("2024-01-01 09:00:00"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.textops.{Dedup, TextAnalysis}
+import graft.similarity.Similarity
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("jaccard pairs find the planted near-duplicates, all ≥ threshold") {
+    val pairs = Dedup.jaccardPairs(docs, n = 5, minJaccard = 0.8)
+    assert(pairs.count() > 0)
+    assert(pairs.filter($"jaccard" < 0.8 || $"jaccard" > 1.0).count() == 0)
+    assert(pairs.filter($"doc_a" >= $"doc_b").count() == 0)
+  }
+
+  test("minhash-LSH candidates contain every very-high-jaccard pair") {
+    val truth = Dedup.jaccardPairs(docs, n = 5, minJaccard = 0.95)
+      .select("doc_a", "doc_b")
+    val lsh = Dedup.minhashLshPairs(docs, n = 5, minJaccard = 0.7)
+      .select("doc_a", "doc_b")
+    // 4 bands × 4 rows: P(catch | j=0.95) = 1-(1-0.95^4)^4 ≈ 0.9996 per
+    // pair; the planted ~0.98 pairs must all surface
+    val missed = truth.join(lsh, Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() == 0)
+  }
+
+  test("simhash: near-duplicate pairs are close in hamming distance") {
+    val sims = Dedup.simhash(docs)
+    val pairs = Dedup.jaccardPairs(docs, n = 5, minJaccard = 0.95)
+    val withHash = pairs
+      .join(sims.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"), Seq("doc_a"))
+      .join(sims.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"), Seq("doc_b"))
+      .withColumn("hamming", bit_count($"ha".bitwiseXOR($"hb")))
+    val avgHam = withHash.agg(avg($"hamming")).as[Double].head()
+    assert(avgHam < 8.0, s"near-dup avg hamming $avgHam should be low (32-bit hash)")
+  }
+
+  test("language ID is deterministic and scores count real stopword hits") {
+    val out = TextAnalysis.withLangId(docs.limit(50))
+    assert(out.filter($"predicted_lang".isNull).count() == 0)
+    val row = TextAnalysis
+      .withLangId(Seq((1L, "the cat and the hat is on the mat")).toDF("doc_id", "text"))
+      .select("score_en", "predicted_lang").collect()(0)
+    assert(row.getLong(0) == 6L && row.getString(1) == "en") // the×3, and, is, on
+  }
+
+  test("similarity: cosine bounded, self excluded, LSH subset of brute force") {
+    val bf = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), k = 10, maxQueryId = 16)
+    assert(bf.filter($"cos" > 1.0000001 || $"cos" < -1.0000001).count() == 0)
+    assert(bf.filter($"query_id" === $"cand_id").count() == 0)
+    val lsh = Similarity.lshBucketTopK(Tables.embeddings(spark, sf), k = 5, maxQueryId = 16)
+    // every LSH hit must also be a valid scored pair with identical cosine
+    val joined = lsh.join(bf.withColumnRenamed("cos", "cos_bf"),
+      Seq("query_id", "cand_id"))
+    assert(joined.filter($"cos" =!= $"cos_bf").count() == 0)
+  }
+
+  test("multimodal stub features: byte length, header hex, frame count") {
+    val f = Multimodal.features(spark,
+      Seq((7L, "abcdWXYZ" * 16, "en", "src1", 128L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect()(0)
+    assert(f.getAs[Long]("n_bytes") == 128L)
+    assert(f.getAs[String]("header_hex") == "61626364") // 'abcd'
+    assert(f.getAs[Long]("n_frames") == 2L)
+    assert(f.getAs[Boolean]("decoded_ok"))
+    assert(f.getAs[String]("media_type") == "image/fake-src1")
+  }
+}
