@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Exact int64 dot product of two `array<bigint>` columns as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * Why a custom Expression (SURVEY.md §7.3 preference order b): the
+  * composable alternative `aggregate(zip_with(a, b, (x,y) -> x*y), 0, +)`
+  * allocates an intermediate array per row and falls back to interpreted
+  * evaluation (higher-order functions don't codegen), which dominates the
+  * ANN scoring loop. This fuses to one branch-free loop inside the
+  * generated code — the hot path of `Similarity` stays inside
+  * WholeStageCodegen. Semantics are identical: exact integer sum,
+  * order-independent.
+  */
+case class DotProductI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // callers guarantee array<bigint> inputs (AbstractDataType — the type
+  // contract mechanism — is private[sql], so no ExpectsInputTypes here)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var s = 0L
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI64 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session registration for the engine's native SQL functions, so they are
+  * callable from both the Column API (`expr("graft_dot(a, b)")`) and the
+  * ad-hoc SQL surface.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProductI64(exprs(0), exprs(1)), "built-in")
+}

@@ -22,15 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** quantized embedding (int64 per dim) + exact squared norm */
-  def quantized(embeddings: DataFrame): DataFrame =
+  /** quantized embedding (int64 per dim) + exact squared norm.
+    * norm2 = graft_dot(q, q): the custom codegen'd Catalyst expression
+    * (graft.functions.DotProductI64) — HOF `aggregate` would fall back to
+    * interpreted eval in the hot loop.
+    */
+  def quantized(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings
       .withColumn("q", expr("transform(embedding, x -> cast(round(cast(x as double) * 10000) as bigint))"))
-      .withColumn("norm2", expr("aggregate(transform(q, v -> v * v), cast(0 as bigint), (a, v) -> a + v)"))
+      .withColumn("norm2", expr("graft_dot(q, q)"))
+  }
 
   /** exact int64 dot product of two quantized vectors */
-  def dotExpr(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)")
+  def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** cosine = dot / (√norm2_a · √norm2_b); null-safe on zero vectors */
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =

