@@ -19,11 +19,15 @@ object SparkEntry {
       graft.queries.SqlQueries.entries ++
       graft.queries.TextQueries.entries ++
       graft.queries.SimilarityQueries.entries ++
-      graft.queries.MultimodalQueries.entries
+      graft.queries.MultimodalQueries.entries ++
+      graft.queries.PipelineQueries.entries
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference ETL as one DAG: filter → compress → candle →
+    * broadcast-enrich (SURVEY.md §3.1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("ohlcv_daily")(spark, "/root/testdata/sf0.001")
+    queries("etl_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

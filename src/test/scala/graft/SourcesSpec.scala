@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // typed Volume: DROPMALFORMED drops rows whose values fail to parse
+  // (token-count-mismatch lines are null-padded/truncated by Spark CSV,
+  // not treated as malformed)
+  private val csvSchema = StructType(Seq(
+    StructField("Symbol", StringType),
+    StructField("Last", StringType),
+    StructField("Volume", IntegerType)))
+
+  test("dirty CSV scan drops malformed lines, keeps parseable ones") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("paris 2024-03-01.csv")
+    Files.writeString(f,
+      "Symbol\tLast\tVolume\n" +
+        "AAA\t1 234,56 (c)\t100\n" +
+        "XXX\tbroken\tnot_a_number\n" +
+        "BBB\t77,5\t200\n")
+    val df = Sources.dirtyCsv(spark, dir.toString, csvSchema)
+    // NOTE: count() alone would report 3 — CSV column pruning parses no
+    // columns for count, so malformed values are never seen; the drop
+    // happens when the typed column is actually read
+    val cleaned = df.select(
+      $"Symbol",
+      graft.ingest.Normalize.cleanPriceBoursorama($"Last").as("price"),
+      $"Volume")
+      .collect()
+    assert(cleaned.length == 2)
+    assert(cleaned.map(r => (r.getString(0), r.getDouble(1))).toSet ==
+      Set(("AAA", 1234.56), ("BBB", 77.5)))
+  }
+
+  test("filename-date extraction + range pruning keeps only in-range files") {
+    val dir = Files.createTempDirectory("graft-days")
+    for (d <- Seq("2024-03-01", "2024-03-02", "2024-03-05"))
+      Files.writeString(dir.resolve(s"paris $d.csv"),
+        s"Symbol\tLast\tVolume\nAAA\t10\t1\n")
+    val df = Sources.dirtyCsv(spark, dir.toString, csvSchema)
+    val pruned = Sources.pruneByFileDate(df, "2024-03-01", "2024-03-02")
+    assert(pruned.count() == 2)
+    assert(pruned.select("file_date").distinct().as[java.sql.Date].collect()
+      .map(_.toString).sorted.toSeq == Seq("2024-03-01", "2024-03-02"))
+  }
+
+  test("day-partitioned sink roundtrip with partition pruning") {
+    val out = Files.createTempDirectory("graft-warehouse").resolve("stocks").toString
+    val ticks = Tables.events(spark, sf).select("user_id", "ts", "value")
+    Sources.writeDayPartitioned(ticks, "ts", "user_id", out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == ticks.count())
+    // a day predicate must prune partitions at planning time
+    val oneDay = back.filter($"day" === "2024-01-05")
+    val scanned = oneDay.queryExecution.executedPlan.toString
+    assert(oneDay.count() ==
+      ticks.filter(to_date($"ts") === "2024-01-05").count())
+    assert(!scanned.contains("PartitionFilters: []"),
+      "day predicate should appear as a partition filter")
+  }
+}
