@@ -36,6 +36,23 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
+  /** Time-range read of events with the predicate pushed to the parquet
+    * scan. Filtering the DERIVED micros timestamp cannot be pushed below
+    * the nanos→micros projection (the scan would read every row group at
+    * 100 TB); filtering the raw nanos long CAN — `floor(ns/1000) ∈ [s, e)`
+    * ⇔ `ns ∈ [s·1000, e·1000)` for positive epochs.
+    */
+  def eventsInRange(spark: SparkSession, dir: String, startIso: String, endIso: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def ns(iso: String): Long =
+      java.time.LocalDateTime.parse(iso.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .filter(col("ts") >= ns(startIso) && col("ts") < ns(endIso))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Canonical read: like `load`, but with per-table fixups (events' nanos
     * timestamps become micros).
     */

@@ -135,9 +135,9 @@ object AggQueries {
         LIMIT 100
       """.stripMargin.trim),
       (spark, dir) => {
-        Tables.events(spark, dir)
-          .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-            col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        // range filter on the raw nanos column → pushed to the parquet
+        // scan (row-group skipping); see Tables.eventsInRange
+        Tables.eventsInRange(spark, dir, "2024-01-10 00:00:00", "2024-01-20 00:00:00")
           .select("event_id", "ts", "user_id", "value")
           .orderBy(col("value").desc, col("event_id"))
           .limit(100)
