@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** One tick (typed view of the events table). */
+case class Tick(user_id: Long, tsMicros: Long, value: Double)
+
+/** Single-pass OHLC accumulation state. Comparable-by-time open/close
+  * tracking makes the aggregator ORDER-INDEPENDENT: merge() of partial
+  * buffers from any partitioning yields the same candle — the property
+  * that lets Spark run it as partial + final aggregation at any scale.
+  */
+case class OhlcBuf(
+    firstTs: Long, open: Double,
+    lastTs: Long, close: Double,
+    high: Double, low: Double,
+    n: Long, sum: Double)
+
+/** Typed single-pass OHLCV aggregator (SURVEY.md §7.3 optional showcase):
+  * computes open/high/low/close/volume/turnover in ONE traversal instead
+  * of six separate aggregate expressions. Semantically equal to
+  * `Candles.ohlcvDaily` (checked against the same DuckDB oracle).
+  */
+class OhlcAggregator extends Aggregator[Tick, OhlcBuf, OhlcBuf] {
+
+  override def zero: OhlcBuf =
+    OhlcBuf(Long.MaxValue, 0.0, Long.MinValue, 0.0,
+      Double.NegativeInfinity, Double.PositiveInfinity, 0L, 0.0)
+
+  override def reduce(b: OhlcBuf, t: Tick): OhlcBuf =
+    OhlcBuf(
+      if (t.tsMicros < b.firstTs) t.tsMicros else b.firstTs,
+      if (t.tsMicros < b.firstTs) t.value else b.open,
+      if (t.tsMicros > b.lastTs) t.tsMicros else b.lastTs,
+      if (t.tsMicros > b.lastTs) t.value else b.close,
+      math.max(b.high, t.value),
+      math.min(b.low, t.value),
+      b.n + 1,
+      b.sum + t.value)
+
+  override def merge(a: OhlcBuf, b: OhlcBuf): OhlcBuf =
+    OhlcBuf(
+      if (a.firstTs <= b.firstTs) a.firstTs else b.firstTs,
+      if (a.firstTs <= b.firstTs) a.open else b.open,
+      if (a.lastTs >= b.lastTs) a.lastTs else b.lastTs,
+      if (a.lastTs >= b.lastTs) a.close else b.close,
+      math.max(a.high, b.high),
+      math.min(a.low, b.low),
+      a.n + b.n,
+      a.sum + b.sum)
+
+  override def finish(r: OhlcBuf): OhlcBuf = r
+  override def bufferEncoder: Encoder[OhlcBuf] = Encoders.product[OhlcBuf]
+  override def outputEncoder: Encoder[OhlcBuf] = Encoders.product[OhlcBuf]
+}
+
+object OhlcAggregator {
+
+  /** Daily candles through the typed aggregator; output schema matches
+    * `Candles.ohlcvDaily`. The float `turnover` sum is order-dependent in
+    * the last ulp (like any float sum) — callers round it for
+    * engine-comparison, same as the expression path.
+    */
+  def dailyCandles(ticks: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    val typed = ticks.select(
+      col(key).cast("long").as("user_id"),
+      unix_micros(col(ts)).as("tsMicros"),
+      col(value).cast("double").as("value")).as[Tick]
+    typed
+      .groupByKey(t => (t.user_id, Math.floorDiv(t.tsMicros, 86400000000L)))
+      .agg(new OhlcAggregator().toColumn.name("c"))
+      .map { case ((uid, epochDay), c) =>
+        (uid, java.time.LocalDate.ofEpochDay(epochDay).toString,
+          c.open, c.high, c.low, c.close, c.n, c.sum)
+      }
+      .toDF(key, "day_s", "open", "high", "low", "close", "volume", "turnover")
+      .withColumn("day", to_date(col("day_s"))).drop("day_s")
+      .withColumn("mean", (col("open") + col("high") + col("low") + col("close")) / 4)
+  }
+}

@@ -31,6 +31,19 @@ object AggQueries {
           to_date(max(col("ts"))).as("max_day"))
       }),
 
+    // A5 at 100 TB: approx_count_distinct (HLL) — the documented scale
+    // alternative to exact COUNT(DISTINCT) (SURVEY.md §2.4 A5). No oracle
+    // (estimates are engine-specific); EtlSpec bounds the error vs exact.
+    QueryDef(
+      "table_stats_approx",
+      None,
+      (spark, dir) => {
+        Tables.events(spark, dir).agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          approx_count_distinct(col("event_type")).as("approx_types"),
+          count(lit(1)).as("n_events"))
+      }),
+
     // A8: horizontal per-row mean/std over four numeric columns with
     // sample ddof=1 (`dashboard/tabs/tab2.py:123-124`), computed closed-form.
     QueryDef(

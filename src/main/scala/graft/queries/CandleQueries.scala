@@ -34,6 +34,33 @@ object CandleQueries {
           .withColumn("mean", round(col("mean"), 4))
           .orderBy("user_id", "day")
       }),
+    // same oracle as ohlcv_daily, computed through the typed single-pass
+    // Aggregator instead of six aggregate expressions — two independent
+    // execution paths checked against one oracle
+    QueryDef(
+      "ohlcv_typed",
+      Some("""
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min_by(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max_by(value, ts) AS close,
+               COUNT(*) AS volume,
+               ROUND(SUM(value), 4) AS turnover,
+               ROUND((min_by(value, ts) + max(value) + min(value) + max_by(value, ts)) / 4, 4) AS mean
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+        ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        graft.operators.OhlcAggregator.dailyCandles(
+          Tables.events(spark, dir), "user_id", "ts", "value")
+          .withColumn("turnover", round(col("turnover"), 4))
+          .withColumn("mean", round(col("mean"), 4))
+          .select("user_id", "day", "open", "high", "low", "close", "volume", "turnover", "mean")
+          .orderBy("user_id", "day")
+      }),
+
     QueryDef(
       "resample_daily",
       Some("""

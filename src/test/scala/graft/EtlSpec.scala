@@ -63,6 +63,23 @@ class EtlSpec extends SparkSpec {
     assert(c.getAs[Long]("volume") == 4L && c.getAs[Double]("mean") == 10.25)
   }
 
+  test("approx_count_distinct within 5% of exact (documented A5 scale path)") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.agg(countDistinct($"user_id")).as[Long].head()
+    val approx = ev.agg(approx_count_distinct($"user_id")).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05)
+  }
+
+  test("typed OHLC aggregator equals the expression-path candles") {
+    val expr = Candles.ohlcvDaily(ticks, "user_id", "ts", "value")
+      .select($"user_id", $"day", $"open", $"high", $"low", $"close", $"volume")
+    val typed = graft.operators.OhlcAggregator.dailyCandles(ticks, "user_id", "ts", "value")
+      .select($"user_id", $"day", $"open", $"high", $"low", $"close", $"volume")
+    assert(expr.count() == typed.count())
+    assert(expr.join(typed,
+      Seq("user_id", "day", "open", "high", "low", "close", "volume"), "left_anti").count() == 0)
+  }
+
   test("company pipeline: dedup, new keys, dense ids, last-writer-wins") {
     val incoming = Seq(
       ("AAA", 3L, "Alpha"), ("AAA", 1L, "AlphaOld"), ("BBB", 2L, "Beta"),
