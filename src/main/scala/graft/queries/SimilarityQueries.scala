@@ -53,6 +53,38 @@ object SimilarityQueries {
           .orderBy("label")
       }),
 
+    // embedding-cosine near-duplicate pairs: exact pairwise ≥ threshold
+    // (the sign-LSH bucket path above is the documented 100 TB variant —
+    // this one defines the ground truth it approximates)
+    QueryDef(
+      "dedup_embedding",
+      Some(s"""
+        WITH $quantDuck,
+        pairs AS (
+          SELECT qa.vec_id AS vec_a, cb.vec_id AS vec_b,
+                 $dotDuck AS dot,
+                 qa.norm2 AS na, cb.norm2 AS nb
+          FROM n qa JOIN n cb ON qa.vec_id < cb.vec_id
+        )
+        SELECT vec_a, vec_b,
+               CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) AS cos
+        FROM pairs
+        WHERE CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) >= 0.9
+        ORDER BY vec_a, vec_b
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val e = Similarity.quantized(Tables.embeddings(spark, dir))
+        val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm2").as("na"))
+        val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm2").as("nb"))
+        a.crossJoin(b)
+          .filter(col("vec_a") < col("vec_b"))
+          .withColumn("dot", Similarity.dotExpr("qa", "qb"))
+          .withColumn("cos", Similarity.cosine(col("dot"), col("na"), col("nb")))
+          .filter(col("cos") >= 0.9)
+          .select("vec_a", "vec_b", "cos")
+          .orderBy("vec_a", "vec_b")
+      }),
+
     QueryDef(
       "ann_cosine_topk",
       Some(s"""

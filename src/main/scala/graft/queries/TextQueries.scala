@@ -112,6 +112,30 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // token counting two ways: whitespace tokens + BPE-ish regex pieces
+    // (letter runs / digit runs / single punctuation, the common
+    // pre-tokenizer split)
+    QueryDef(
+      "token_counts",
+      Some(s"""
+        SELECT doc_id,
+               CAST(len($toksDuck) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_pieces,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.documents(spark, dir)
+          .select(
+            col("doc_id"),
+            size(expr(TextAnalysis.tokensExpr)).cast("long").as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+              .cast("long").as("bpe_pieces"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef(
       "doc_fingerprint",
       Some(s"""
