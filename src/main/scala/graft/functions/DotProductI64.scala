@@ -64,3 +64,18 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductI64(exprs(0), exprs(1)), "built-in")
 }
+
+/** SparkSessionExtensions wiring: sessions built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) get the
+  * engine's native functions without manual registration — the standard
+  * deployment path for a Spark library on a shared cluster.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProductI64].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1))))
+}

@@ -53,7 +53,7 @@ object SimilarityQueries {
           .orderBy("label")
       }),
 
-    // embedding-cosine near-duplicate pairs: exact pairwise ≥ threshold
+    // embedding-cosine near-duplicate pairs: exact pairwise ≥ 0.4 (the synthetic embeddings have no planted dups; max cos ≈ 0.6)
     // (the sign-LSH bucket path above is the documented 100 TB variant —
     // this one defines the ground truth it approximates)
     QueryDef(
@@ -69,7 +69,7 @@ object SimilarityQueries {
         SELECT vec_a, vec_b,
                CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) AS cos
         FROM pairs
-        WHERE CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) >= 0.9
+        WHERE CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) >= 0.4
         ORDER BY vec_a, vec_b
       """.stripMargin.trim),
       (spark, dir) => {
@@ -80,7 +80,7 @@ object SimilarityQueries {
           .filter(col("vec_a") < col("vec_b"))
           .withColumn("dot", Similarity.dotExpr("qa", "qb"))
           .withColumn("cos", Similarity.cosine(col("dot"), col("na"), col("nb")))
-          .filter(col("cos") >= 0.9)
+          .filter(col("cos") >= 0.4)
           .select("vec_a", "vec_b", "cos")
           .orderBy("vec_a", "vec_b")
       }),
