@@ -61,6 +61,35 @@ object WindowQueries {
           .orderBy("user_id", "ts")
       }),
 
+    // identical semantics through the (key, day)-partitioned scale-out
+    // implementation — same oracle as tick_compression
+    QueryDef(
+      "tick_compression_scaled",
+      Some("""
+        WITH t AS (
+          SELECT user_id, ts, value,
+                 CAST(ts AS DATE) AS day,
+                 lag(value) OVER w AS prev,
+                 lag(CAST(ts AS DATE)) OVER w AS prev_day,
+                 lead(CAST(ts AS DATE)) OVER w AS next_day
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        )
+        SELECT user_id, ts, value FROM t
+        WHERE coalesce(abs(value - prev) / nullif(abs(prev), 0) > 0.001, false)
+           OR prev IS NULL
+           OR next_day IS NULL
+           OR prev_day <> day
+           OR next_day <> day
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Compress.tickCompressionScalable(
+          Tables.events(spark, dir).select("user_id", "ts", "value"),
+          key = "user_id", ts = "ts", value = "value")
+          .orderBy("user_id", "ts")
+      }),
+
     QueryDef(
       "first_last_day",
       Some("""

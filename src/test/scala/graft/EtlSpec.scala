@@ -63,6 +63,15 @@ class EtlSpec extends SparkSpec {
     assert(c.getAs[Long]("volume") == 4L && c.getAs[Double]("mean") == 10.25)
   }
 
+  test("scalable (key,day)-partitioned compression equals the key-partitioned one") {
+    val a = Compress.tickCompression(ticks, "user_id", "ts", "value")
+      .select("user_id", "ts", "value")
+    val b = Compress.tickCompressionScalable(ticks, "user_id", "ts", "value")
+      .select("user_id", "ts", "value")
+    assert(a.count() == b.count())
+    assert(a.join(b, Seq("user_id", "ts", "value"), "left_anti").count() == 0)
+  }
+
   test("approx_count_distinct within 5% of exact (documented A5 scale path)") {
     val ev = Tables.events(spark, sf)
     val exact = ev.agg(countDistinct($"user_id")).as[Long].head()
