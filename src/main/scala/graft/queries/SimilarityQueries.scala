@@ -27,6 +27,12 @@ object SimilarityQueries {
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
          list_transform(list_zip(qa.q, cb.q), p -> p[1] * p[2])), (a, v) -> a + v)"""
 
+  private def dotOf(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, v) -> x + v)"
+
+  private def cosOf(dot: String, na: String, nb: String) =
+    s"CAST($dot AS DOUBLE) / nullif(sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)), 0)"
+
   private val bucketDuck = (0 until 6)
     .map(d => s"(CASE WHEN embedding[${d + 1}] > 0 THEN ${1L << d} ELSE 0 END)")
     .mkString(" + ")
@@ -109,6 +115,49 @@ object SimilarityQueries {
       """.stripMargin.trim),
       (spark, dir) => {
         Similarity.bruteForceTopK(Tables.embeddings(spark, dir), k = 10, maxQueryId = 32)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
+      }),
+
+    // IVF with deterministic coarse quantizer (centroids = 8 lowest-id
+    // vectors), probe-2 cells, exact scoring within cells
+    QueryDef(
+      "ann_ivf_topk",
+      Some(s"""
+        WITH $quantDuck,
+        cents AS (
+          SELECT vec_id AS cent_id, q AS qc, norm2 AS nc FROM n WHERE vec_id < 8
+        ), scoredc AS (
+          SELECT n.vec_id, cents.cent_id,
+                 ${cosOf(dotOf("n.q", "cents.qc"), "n.norm2", "cents.nc")} AS cosc
+          FROM n, cents
+        ), ranked_assign AS (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cent_id) AS rn
+          FROM scoredc
+        ), cells AS (
+          SELECT vec_id AS cand_id, cent_id AS cell FROM ranked_assign WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, cent_id AS cell FROM ranked_assign
+          WHERE vec_id < 32 AND rn <= 2
+        ), scored AS (
+          SELECT p.query_id, c.cand_id,
+                 ${cosOf(dotOf("qa.q", "cb.q"), "qa.norm2", "cb.norm2")} AS cos
+          FROM probes p
+          JOIN cells c ON c.cell = p.cell AND c.cand_id <> p.query_id
+          JOIN n qa ON qa.vec_id = p.query_id
+          JOIN n cb ON cb.vec_id = c.cand_id
+        ), ranked AS (
+          SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Similarity.ivfTopK(Tables.embeddings(spark, dir), k = 5, maxQueryId = 32)
           .withColumn("rank", col("rank").cast("long"))
           .orderBy("query_id", "rank")
       }),

@@ -63,6 +63,50 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k with a DETERMINISTIC coarse
+    * quantizer: centroids are the `nCentroids` lowest-id vectors (no
+    * k-means iterations — training loops are not reproducible across
+    * engines; swap in offline-trained centroids in production). Every
+    * vector is assigned to its max-cosine centroid; a query probes its
+    * `nProbe` nearest cells and scores exactly within them.
+    *
+    * Scale shape: assignment is a broadcast join against the tiny
+    * centroid set + one shuffle on the cell id; query scoring touches
+    * only probed cells — O(n·nProbe/nCentroids) instead of O(n) per
+    * query.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      k: Int,
+      maxQueryId: Long,
+      nCentroids: Int = 8,
+      nProbe: Int = 2): DataFrame = {
+    val e = quantized(embeddings).select(col("vec_id"), col("q"), col("norm2"))
+    val cents = e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("norm2").as("nc"))
+    val scoredC = e.crossJoin(broadcast(cents))
+      .withColumn("cosc", cosine(expr("graft_dot(q, qc)"), col("norm2"), col("nc")))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cosc").desc, col("cent_id"))
+    val rankedAssign = scoredC.withColumn("rn", row_number().over(wAssign))
+    val cells = rankedAssign.filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cent_id").as("cell"))
+    val probes = rankedAssign.filter(col("vec_id") < maxQueryId && col("rn") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val qa = e.select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm2").as("na"))
+    val cb = e.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("norm2").as("nb"))
+    val scored = probes.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(qa), Seq("query_id"))
+      .join(cb, Seq("cand_id"))
+      .withColumn("dot", dotExpr("qa", "qb"))
+      .withColumn("cos", cosine(col("dot"), col("na"), col("nb")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
   /** sign-LSH bucket key from the first `bits` dimensions' signs */
   def bucketExpr(bits: Int): Column =
     (0 until bits)
