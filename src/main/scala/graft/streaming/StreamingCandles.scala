@@ -62,6 +62,48 @@ object StreamingCandles {
       }
   }
 
+  /** Streaming tick compression: per-key state = (last emitted-or-seen
+    * value, current day, last tick), batch rows sorted by event time
+    * inside each group (micro-batches deliver rows unordered). Keeps the
+    * batch operator's semantics for in-order day arrival: first/last of
+    * day and >0.1% moves are emitted, interior small moves are dropped.
+    * State per key is O(1) — three numbers — so millions of keys fit
+    * trivially; contrast with the batch variant which needs no state but
+    * a per-(key, day) sort.
+    */
+  case class TickEvent(key: Long, tsMicros: Long, value: Double)
+  case class CompressState(lastValue: Double, lastDay: Long, lastTs: Long, lastEmittedTs: Long)
+
+  def compressStream(ticks: Dataset[TickEvent], minChangePct: Double = 0.001): Dataset[TickEvent] = {
+    val spark = ticks.sparkSession
+    import spark.implicits._
+    ticks
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CompressState, TickEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[CompressState]) =>
+          val sorted = rows.toSeq.sortBy(_.tsMicros)
+          val out = Seq.newBuilder[TickEvent]
+          var st = state.getOption.getOrElse(CompressState(Double.NaN, Long.MinValue, Long.MinValue, Long.MinValue))
+          sorted.foreach { t =>
+            val day = Math.floorDiv(t.tsMicros, 86400000000L)
+            val firstOfKey = st.lastTs == Long.MinValue
+            val firstOfDay = day != st.lastDay
+            val pct =
+              if (firstOfKey || st.lastValue == 0.0) Double.NaN
+              else math.abs(t.value - st.lastValue) / math.abs(st.lastValue)
+            val keep = firstOfKey || firstOfDay || (!pct.isNaN && pct > minChangePct)
+            if (firstOfDay && !firstOfKey && st.lastEmittedTs != st.lastTs)
+              out += TickEvent(key, st.lastTs, st.lastValue) // close prior day late
+            if (keep) out += t
+            st = CompressState(t.value, day, t.tsMicros,
+              if (keep) t.tsMicros else st.lastEmittedTs)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** T1/T3 file replay: event-time-ordered file source with bounded files
     * per micro-batch (the reference's 100k-row commit batches,
     * `etl/etl.py:617`).
