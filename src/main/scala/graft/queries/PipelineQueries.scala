@@ -48,6 +48,59 @@ object PipelineQueries {
         ORDER BY ca.user_id, ca.day
       """.stripMargin.trim),
       (spark, dir) =>
-        Pipeline.dailyCandlesEnriched(spark, dir).orderBy("user_id", "day"))
+        Pipeline.dailyCandlesEnriched(spark, dir).orderBy("user_id", "day")),
+
+    // §3.2 dashboard chart flow: dimension point-lookup → candle range →
+    // rolling Bollinger overlay (window 5, k=2) in one plan
+    // (`dashboard/timescaledb_model.py:506-583` + `tabs/tab1.py:15-21`)
+    QueryDef(
+      "company_chart_data",
+      Some("""
+        WITH cid AS (
+          SELECT c_custkey FROM customer WHERE c_name = 'Customer#000000007'
+        ), candles AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 min_by(value, ts) AS open,
+                 max(value) AS high,
+                 min(value) AS low,
+                 max_by(value, ts) AS close,
+                 COUNT(*) AS volume
+          FROM events
+          WHERE user_id IN (SELECT c_custkey FROM cid)
+          GROUP BY user_id, CAST(ts AS DATE)
+        ), bb AS (
+          SELECT *,
+                 CASE WHEN COUNT(*) OVER w = 5 THEN AVG(close) OVER w END AS mid,
+                 CASE WHEN COUNT(*) OVER w = 5 THEN STDDEV_SAMP(close) OVER w END AS sd
+          FROM candles
+          WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, day, open, high, low, close, volume,
+               ROUND(mid, 4) AS bb_mid,
+               ROUND(mid + 2 * sd, 4) AS bb_upper,
+               ROUND(mid - 2 * sd, 4) AS bb_lower
+        FROM bb
+        ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        val cid = graft.Tables.customer(spark, dir)
+          .filter(col("c_name") === "Customer#000000007")
+          .select(col("c_custkey"))
+        val ticks = graft.Tables.events(spark, dir)
+          .join(broadcast(cid), col("user_id") === col("c_custkey"), "left_semi")
+        val candles = graft.etl.Candles
+          .ohlcvDaily(ticks, "user_id", "ts", "value")
+          .select("user_id", "day", "open", "high", "low", "close", "volume")
+        graft.analytics.Indicators
+          .bollinger(candles, key = "user_id", ts = "day", close = "close", n = 5, numStd = 2.0)
+          .select(
+            col("user_id"), col("day"), col("open"), col("high"), col("low"),
+            col("close"), col("volume"),
+            round(col("bb_mid"), 4).as("bb_mid"),
+            round(col("bb_upper"), 4).as("bb_upper"),
+            round(col("bb_lower"), 4).as("bb_lower"))
+          .orderBy("user_id", "day")
+      })
   )
 }

@@ -51,7 +51,12 @@ object Similarity {
     val e = quantized(embeddings)
     val queries = e.filter(col("vec_id") < maxQueryId)
       .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm2").as("na"))
+    // repartition = projection barrier: without it CollapseProject inlines
+    // the interpreted transform() quantization into the per-PAIR dot
+    // computation (re-quantizing each corpus row once per query —
+    // measured ~4s instead of <1s at sf0.1)
     val corpus = e.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("norm2").as("nb"))
+      .repartition(col("cand_id"))
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("dot", dotExpr("qa", "qb"))
