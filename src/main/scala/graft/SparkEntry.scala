@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.TextQueries.entries ++
       graft.queries.SimilarityQueries.entries ++
       graft.queries.MultimodalQueries.entries ++
-      graft.queries.PipelineQueries.entries
+      graft.queries.PipelineQueries.entries ++
+      graft.queries.ProfileQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference ETL as one DAG: filter → compress → candle →
