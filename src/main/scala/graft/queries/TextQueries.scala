@@ -191,6 +191,43 @@ object TextQueries {
         Dedup.jaccardPairs(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
           .orderBy("doc_a", "doc_b")),
 
+    // connected components of the near-dup graph: every doc → minimum
+    // doc_id in its cluster. Spark: distributed min-label propagation;
+    // oracle: recursive-CTE transitive closure (graph is tiny cliques).
+    QueryDef(
+      "dedup_clusters",
+      Some(s"""
+        WITH RECURSIVE $shinglesDuck,
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairsj AS (
+          SELECT doc_a, doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairsj
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairsj
+        ),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+        )
+        SELECT node AS doc_id, min(r) AS canonical_id
+        FROM reach
+        GROUP BY node
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) =>
+        Dedup.nearDupClusters(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
+          .orderBy("doc_id")),
+
     QueryDef(
       "dedup_minhash_lsh",
       Some(s"""

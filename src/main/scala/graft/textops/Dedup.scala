@@ -133,6 +133,47 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over the near-duplicate pair graph: every doc
+    * is labeled with the MINIMUM doc_id reachable through near-dup edges
+    * (its canonical representative). Keep-one-per-cluster dedup follows by
+    * `doc_id == canonical_id`.
+    *
+    * Implementation: distributed min-label propagation — labels start as
+    * doc_id, each round every node takes the min of its own and its
+    * neighbors' labels, until a fixpoint. Rounds ≤ graph diameter (near-
+    * dup clusters are tiny cliques, so 2–3 rounds in practice); each round
+    * is one join + one aggregate, all distributed. The driver only checks
+    * the converged-row count per round — the label state never leaves the
+    * cluster (same shape as GraphX/Pregel connected components).
+    */
+  def nearDupClusters(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
+    val pairs = jaccardPairs(documents, n, minJaccard).select("doc_a", "doc_b")
+    // undirected edges, both directions; isolated docs keep their own label
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = documents.select(col("doc_id"), col("doc_id").as("canonical_id")).cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("canonical_id")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), Seq("doc_id"))
+        .filter(col("canonical_id") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 32-bit SimHash over token frequencies: bit b set iff
     * Σ_tokens cnt·(2·bit_b(h(token))−1) > 0, h = 60-bit md5 prefix.
     * One explode + one groupBy = one shuffle; the 32 bit-sums are

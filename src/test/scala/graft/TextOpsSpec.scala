@@ -28,6 +28,16 @@ class TextOpsSpec extends SparkSpec {
     assert(missed.count() == 0)
   }
 
+  test("near-dup clusters: canonical is cluster-minimum, pairs share a cluster") {
+    val labels = Dedup.nearDupClusters(docs, n = 5, minJaccard = 0.8)
+    assert(labels.filter($"canonical_id" > $"doc_id").count() == 0)
+    val pairs = Dedup.jaccardPairs(docs, n = 5, minJaccard = 0.8)
+    val la = labels.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("canonical_id", "ca")
+    val lb = labels.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("canonical_id", "cb")
+    assert(pairs.join(la, Seq("doc_a")).join(lb, Seq("doc_b"))
+      .filter($"ca" =!= $"cb").count() == 0)
+  }
+
   test("simhash: near-duplicate pairs are close in hamming distance") {
     val sims = Dedup.simhash(docs)
     val pairs = Dedup.jaccardPairs(docs, n = 5, minJaccard = 0.95)
