@@ -153,9 +153,14 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
     var labels = documents.select(col("doc_id"), col("doc_id").as("canonical_id")).cache()
-    var changed = 1L
+    // labels only decrease → fixpoint ⇔ Σlabels unchanged; one aggregate
+    // per round instead of a join-based diff count
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("canonical_id"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    var converged = false
+    while (!converged && rounds < 20) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
@@ -164,8 +169,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
         .cache()
-      changed = next.join(labels.withColumnRenamed("canonical_id", "prev"), Seq("doc_id"))
-        .filter(col("canonical_id") =!= col("prev")).count()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels.unpersist()
       labels = next
       rounds += 1
