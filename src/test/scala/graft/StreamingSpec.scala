@@ -38,6 +38,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append-mode replay: candles emit exactly when the watermark closes their day") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "value").cache()
+    // three chronological chunks → three micro-batches (maxFilesPerTrigger=1)
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay")
+    val chunks = Seq(
+      ev.filter(to_date($"ts") < "2024-01-11"),
+      ev.filter(to_date($"ts") >= "2024-01-11" && to_date($"ts") < "2024-01-21"),
+      ev.filter(to_date($"ts") >= "2024-01-21"))
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val f = dir.resolve(s"chunk$i")
+      c.coalesce(1).write.parquet(f.toString)
+      // file-source batch order follows modification time
+      f.toFile.listFiles().foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+    val q = StreamingCandles.dailyCandles(stream, "user_id", "ts", "value")
+      .writeStream.format("memory").queryName("replay_candles")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("replay_candles")
+      // append emits a window once the watermark (max event time − 1 day)
+      // passes its end; after the last data batch the engine runs a final
+      // state-flush batch, so the effective watermark is maxTs(ALL data)
+      // − 1 day — only the still-open trailing day(s) stay unemitted
+      val cutoff = ev.agg(max($"ts")).collect()(0).getTimestamp(0).toInstant
+        .minusSeconds(86400)
+      val expected = Candles.ohlcvDaily(ev, "user_id", "ts", "value")
+        .filter(col("day").cast("timestamp") + expr("INTERVAL 1 DAY") <=
+          lit(java.sql.Timestamp.from(cutoff)))
+      assert(emitted.count() == expected.count())
+      assert(emitted.join(expected,
+        Seq("day", "user_id", "open", "high", "low", "close", "volume"), "left_anti").count() == 0)
+    } finally q.stop()
+  }
+
   test("stateful registration emits each key exactly once with first-seen time") {
     val input = Seq(
       ("AAA", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
