@@ -50,6 +50,38 @@ object PipelineQueries {
       (spark, dir) =>
         Pipeline.dailyCandlesEnriched(spark, dir).orderBy("user_id", "day")),
 
+    // as-of join: every tick enriched with the close of the last COMPLETED
+    // day for its key — composed single-window implementation vs DuckDB's
+    // native ASOF JOIN as the oracle
+    QueryDef(
+      "asof_join_enrich",
+      Some("""
+        WITH cand AS (
+          SELECT user_id, CAST(ts AS DATE) AS prev_day,
+                 max_by(value, ts) AS prev_close,
+                 CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS day_end
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT e.event_id, e.user_id, e.ts, e.value, c.prev_close, c.prev_day
+        FROM events e ASOF LEFT JOIN cand c
+          ON e.user_id = c.user_id AND e.ts >= c.day_end
+        ORDER BY e.event_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = graft.Tables.events(spark, dir).select("event_id", "user_id", "ts", "value")
+        val candles = ev.groupBy(col("user_id"), to_date(col("ts")).as("prev_day"))
+          .agg(max_by(col("value"), col("ts")).as("prev_close"))
+          .withColumn("day_end",
+            col("prev_day").cast("timestamp") + expr("INTERVAL 1 DAY"))
+        graft.operators.AsOfJoin.asofLeftJoin(
+          ev, candles,
+          key = "user_id", leftTs = "ts", rightTs = "day_end",
+          payloadCols = Seq("prev_close", "prev_day"))
+          .select("event_id", "user_id", "ts", "value", "prev_close", "prev_day")
+          .orderBy("event_id")
+      }),
+
     // §3.2 dashboard chart flow: dimension point-lookup → candle range →
     // rolling Bollinger overlay (window 5, k=2) in one plan
     // (`dashboard/timescaledb_model.py:506-583` + `tabs/tab1.py:15-21`)

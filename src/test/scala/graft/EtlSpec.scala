@@ -72,6 +72,22 @@ class EtlSpec extends SparkSpec {
     assert(a.join(b, Seq("user_id", "ts", "value"), "left_anti").count() == 0)
   }
 
+  test("as-of join: latest right row at-or-before each left ts, per key") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 5L))
+      .toDF("k", "lts").withColumn("lts", timestamp_seconds($"lts"))
+    val right = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 9L, "z"))
+      .toDF("k", "rts", "payload").withColumn("rts", timestamp_seconds($"rts"))
+    val out = AsOfJoin.asofLeftJoin(left, right, "k", "lts", "rts", Seq("payload"))
+      .select($"k", unix_timestamp($"lts").as("t"), $"payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 10L, Some("a")), // tie: right row at exactly lts IS visible
+      (1L, 20L, Some("a")),
+      (1L, 30L, Some("b")),
+      (2L, 5L, None)))      // nothing at-or-before → null
+  }
+
   test("approx_count_distinct within 5% of exact (documented A5 scale path)") {
     val ev = Tables.events(spark, sf)
     val exact = ev.agg(countDistinct($"user_id")).as[Long].head()
