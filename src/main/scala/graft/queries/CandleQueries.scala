@@ -61,6 +61,46 @@ object CandleQueries {
           .orderBy("user_id", "day")
       }),
 
+    // event sessionization: native session_window (30-min inactivity gap)
+    // vs the classic gap-and-island SQL formulation as oracle. Both define
+    // a session break as inter-event gap ≥ the timeout (session_window's
+    // window end is exclusive).
+    QueryDef(
+      "sessionization",
+      Some("""
+        WITH t AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+          FROM t
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS last_ts,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("last_ts"),
+            count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("value_cents"))
+          .drop("sw")
+          .orderBy("user_id", "session_start")
+      }),
+
     QueryDef(
       "resample_daily",
       Some("""
