@@ -206,6 +206,56 @@ object FunctionQueries {
           .orderBy("o_orderkey")
       }),
 
+    // semi-structured props column: JSON field extraction + typed cast +
+    // aggregation over the extracted value
+    QueryDef(
+      "json_extract_props",
+      Some("""
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+               min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
+               max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables.events(spark, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(k).as("k_sum"),
+            min(k).as("k_min"),
+            max(k).as("k_max"))
+          .orderBy("event_type")
+      }),
+
+    // pivot: event_type categories → columns, one count per (user, type)
+    QueryDef(
+      "pivot_event_types",
+      Some("""
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(coalesce(count(lit(1)), lit(0L)))
+          .na.fill(0L, types)
+          .orderBy("user_id")
+      }),
+
     // M1–M3: abs, null-safe division, round (`etl/etl.py:388-390`,
     // `dashboard/tabs/tab2.py:117-124`).
     QueryDef(
