@@ -60,4 +60,28 @@ class CompressPropertySpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("typed OHLC aggregator is partitioning-invariant (merge order-independence)") {
+    // for arbitrary streams and arbitrary partition counts, the typed
+    // Aggregator (partial + merge) must equal the expression path
+    val gen = for {
+      rows <- genStream
+      parts <- Gen.choose(1, 7)
+    } yield (rows, parts)
+    val prop = Prop.forAll(gen) { case (rows, parts) =>
+      val df = rows.map { case (k, i, v) =>
+        (k, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i.toLong * 30000)), v)
+      }.toDF("key", "ts", "value").repartition(parts)
+      val a = graft.etl.Candles.ohlcvDaily(df, "key", "ts", "value")
+        .select($"key", $"day", $"open", $"high", $"low", $"close", $"volume")
+      val b = graft.operators.OhlcAggregator.dailyCandles(df, "key", "ts", "value")
+        .select($"key", $"day", $"open", $"high", $"low", $"close", $"volume")
+      a.count() == b.count() &&
+        a.join(b, Seq("key", "day", "open", "high", "low", "close", "volume"), "left_anti").count() == 0
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8).withWorkers(1), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
