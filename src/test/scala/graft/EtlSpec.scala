@@ -72,6 +72,19 @@ class EtlSpec extends SparkSpec {
     assert(a.join(b, Seq("user_id", "ts", "value"), "left_anti").count() == 0)
   }
 
+  test("chart read path: candle table preferred, missing days filled from ticks") {
+    import graft.analytics.ChartData
+    val full = Candles.ohlcvDaily(ticks, "user_id", "ts", "value")
+      .select($"user_id", $"day", $"open", $"high", $"low", $"close", $"volume")
+    // candle table missing the second half of the range
+    val partial = full.filter($"day" < "2024-01-15")
+    val served = ChartData.candlesWithFallback(
+      partial, ticks, "user_id", "2024-01-01", "2024-01-31")
+    assert(served.count() == full.count())
+    assert(served.join(full,
+      Seq("user_id", "day", "open", "high", "low", "close", "volume"), "left_anti").count() == 0)
+  }
+
   test("as-of join: latest right row at-or-before each left ts, per key") {
     import graft.operators.AsOfJoin
     val left = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 5L))
