@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * Reference equivalent: `process_boursorama_file` → `process_dataframe`
   * → `clean_stocks` → `process_daystocks` → `commit_*`
   * (`etl/etl.py:135-497`), which materializes pandas batches at every
-  * step. Here Catalyst sees the whole pipeline at once: the value filter
-  * is pushed into the parquet scan, compression and candling share the
-  * (key, ts) shuffle, and the dimension join is a broadcast hash join —
-  * two shuffles total at any scale.
+  * step. Here Catalyst sees the whole pipeline at once (audited with
+  * Explain): the value filter is pushed into the parquet scan, the three
+  * compression windows share one Exchange+Sort on key, the candle
+  * aggregation REUSES that partitioning (partial+final hash agg with no
+  * further exchange), and the dimension join is a broadcast hash join —
+  * ONE data shuffle end-to-end at any scale.
   */
 object Pipeline {
 
