@@ -104,6 +104,26 @@ object StreamingCandles {
       }
   }
 
+  /** T3 micro-batch warehouse sink: each appended micro-batch of closed
+    * candles lands in the day-partitioned Parquet warehouse — the
+    * `foreachBatch` analog of the reference's threshold-triggered bulk
+    * COPY commits (`etl/etl.py:690-693`, `etl/timescaledb_model.py:29-57`).
+    * Append mode + watermark means every candle arrives exactly once, so
+    * plain append writes are idempotent per batch retry boundary when the
+    * checkpoint is kept with the output.
+    */
+  def warehouseSink(
+      candles: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    candles.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("day").parquet(path)
+      }
+      .start()
+
   /** T1/T3 file replay: event-time-ordered file source with bounded files
     * per micro-batch (the reference's 100k-row commit batches,
     * `etl/etl.py:617`).

@@ -78,6 +78,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch warehouse sink: emitted candles land day-partitioned in parquet") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "value")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sink-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = StreamingCandles.fileStream(
+      spark, streamDir.toString, Tables.load(spark, sf, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "ts", "value")
+    val out = java.nio.file.Files.createTempDirectory("graft-sink-out")
+    val q = StreamingCandles.warehouseSink(
+      StreamingCandles.dailyCandles(stream, "user_id", "ts", "value"),
+      out.resolve("daystocks").toString,
+      out.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val warehouse = spark.read.parquet(out.resolve("daystocks").toString)
+    val cutoff = ev.agg(max($"ts")).collect()(0).getTimestamp(0).toInstant.minusSeconds(86400)
+    val expected = Candles.ohlcvDaily(ev, "user_id", "ts", "value")
+      .filter(col("day").cast("timestamp") + expr("INTERVAL 1 DAY") <=
+        lit(java.sql.Timestamp.from(cutoff)))
+    assert(warehouse.count() == expected.count())
+    assert(warehouse.select("day").distinct().count() > 20) // partitioned by day
+  }
+
   test("stateful registration emits each key exactly once with first-seen time") {
     val input = Seq(
       ("AAA", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
