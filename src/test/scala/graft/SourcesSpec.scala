@@ -50,6 +50,22 @@ class SourcesSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq == Seq("2024-03-01", "2024-03-02"))
   }
 
+  test("binary snapshot source: encode files, decode via binaryFile + flatMap") {
+    import graft.sources.BinarySnapshots
+    val dir = Files.createTempDirectory("graft-snap")
+    Files.write(dir.resolve("paris 2024-03-01 09_00_00"),
+      BinarySnapshots.encode(Seq((1L, 10.5, 100.0), (2L, 20.0, 50.0))))
+    Files.write(dir.resolve("paris 2024-03-01 09_01_00"),
+      BinarySnapshots.encode(Seq((1L, 10.7, 30.0))))
+    val df = BinarySnapshots.read(spark, dir.toString).orderBy("ts", "key")
+    val got = df.collect().map(r =>
+      (r.getAs[Long]("key"), r.getAs[Double]("value"),
+        r.getAs[java.sql.Timestamp]("ts").toString))
+    assert(got.length == 3)
+    assert(got(0) == ((1L, 10.5, "2024-03-01 09:00:00.0")))
+    assert(got(2) == ((1L, 10.7, "2024-03-01 09:01:00.0")))
+  }
+
   test("day-partitioned sink roundtrip with partition pruning") {
     val out = Files.createTempDirectory("graft-warehouse").resolve("stocks").toString
     val ticks = Tables.events(spark, sf).select("user_id", "ts", "value")
