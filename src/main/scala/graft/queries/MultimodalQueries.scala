@@ -14,6 +14,26 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // the deterministic metadata subset of the feature extraction IS
+    // SQL-expressible — oracle-checked byte-for-byte (payload = UTF-8
+    // bytes of text; header = first 4 bytes hex; frames = bytes/64)
+    QueryDef(
+      "multimodal_meta",
+      Some("""
+        SELECT doc_id,
+               'image/fake-' || source AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
+               CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames,
+               octet_length(encode(text)) > 0 AS decoded_ok
+        FROM documents
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Multimodal.features(spark, Tables.documents(spark, dir))
+          .select("doc_id", "media_type", "n_bytes", "header_hex", "n_frames", "decoded_ok")
+          .orderBy("doc_id")
+      }),
     QueryDef(
       "multimodal_features",
       None,
