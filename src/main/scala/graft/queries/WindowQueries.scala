@@ -121,6 +121,31 @@ object WindowQueries {
           .orderBy("user_id", "day")
       }),
 
+    // ranking family over a deterministic total order (ties impossible:
+    // ts unique per key)
+    QueryDef(
+      "rank_functions",
+      Some("""
+        SELECT user_id, ts, value,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               cume_dist() OVER w AS cdist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, ts)
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("value"), col("ts"))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("value"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("cdist", cume_dist().over(w))
+          .orderBy("user_id", "ts")
+      }),
+
     QueryDef(
       "bollinger",
       Some("""
