@@ -158,6 +158,37 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // deterministic train/validation/test split by content hash — the
+    // standard leakage-safe split for training data: assignment depends
+    // only on the document id hash (reproducible across engines, runs,
+    // partitionings; NOT rand(), which re-rolls on retry). 80/10/10.
+    QueryDef(
+      "train_test_split",
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM s
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val bucket = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "validation")
+              .otherwise("test"))
+          .drop("bucket")
+          .orderBy("doc_id")
+      }),
+
     QueryDef(
       "dedup_exact",
       Some("""
