@@ -72,6 +72,20 @@ class EtlSpec extends SparkSpec {
     assert(a.join(b, Seq("user_id", "ts", "value"), "left_anti").count() == 0)
   }
 
+  test("operators degrade gracefully on empty input (schema kept, zero rows, no crash)") {
+    val empty = ticks.filter(lit(false))
+    assert(Candles.ohlcvDaily(empty, "user_id", "ts", "value").count() == 0)
+    assert(Compress.tickCompression(empty, "user_id", "ts", "value").count() == 0)
+    assert(Compress.tickCompressionScalable(empty, "user_id", "ts", "value").count() == 0)
+    assert(graft.analytics.Indicators.bollinger(empty, "user_id", "ts", "value").count() == 0)
+    assert(graft.operators.OhlcAggregator.dailyCandles(empty, "user_id", "ts", "value").count() == 0)
+    assert(graft.textops.Dedup.jaccardPairs(
+      Tables.documents(spark, sf).filter(lit(false))).count() == 0)
+    val c = Candles.ohlcvDaily(empty, "user_id", "ts", "value")
+    assert(c.columns.toSet == Set("user_id", "day", "open", "high", "low", "close",
+      "volume", "turnover", "mean"))
+  }
+
   test("chart read path: candle table preferred, missing days filled from ticks") {
     import graft.analytics.ChartData
     val full = Candles.ohlcvDaily(ticks, "user_id", "ts", "value")

@@ -105,6 +105,25 @@ class StreamingSpec extends SparkSpec {
     assert(warehouse.select("day").distinct().count() > 20) // partitioned by day
   }
 
+  test("streaming dedup within watermark drops replayed events") {
+    import org.apache.spark.sql.functions._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-dup-src")
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "user_id", "value").limit(200)
+    // the same events twice = an at-least-once source replay
+    ev.unionByName(ev).coalesce(1).write.parquet(srcDir.resolve("dup").toString)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .parquet(srcDir.toString + "/*")
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("dedup_stream").count() == 200)
+    } finally q.stop()
+  }
+
   test("stateful registration emits each key exactly once with first-seen time") {
     val input = Seq(
       ("AAA", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
