@@ -119,6 +119,35 @@ object SimilarityQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // same semantics + oracle as ann_cosine_topk, selected through the
+    // bounded top-k Aggregator (O(k) state per query, no per-group sort)
+    QueryDef(
+      "ann_topk_bounded",
+      Some(s"""
+        WITH $quantDuck,
+        pairs AS (
+          SELECT qa.vec_id AS query_id, cb.vec_id AS cand_id,
+                 $dotDuck AS dot,
+                 qa.norm2 AS na, cb.norm2 AS nb
+          FROM n qa JOIN n cb ON qa.vec_id < 32 AND qa.vec_id <> cb.vec_id
+        ), scored AS (
+          SELECT query_id, cand_id,
+                 CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) AS cos
+          FROM pairs
+        ), ranked AS (
+          SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked
+        WHERE rank <= 10
+        ORDER BY query_id, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Similarity.bruteForceTopKBounded(Tables.embeddings(spark, dir), k = 10, maxQueryId = 32)
+          .orderBy("query_id", "rank")
+      }),
+
     // IVF with deterministic coarse quantizer (centroids = 8 lowest-id
     // vectors), probe-2 cells, exact scoring within cells
     QueryDef(

@@ -68,6 +68,26 @@ object Similarity {
       .select("query_id", "cand_id", "cos", "rank")
   }
 
+  /** Same scoring as `bruteForceTopK`, but selection through the bounded
+    * top-k Aggregator instead of a row_number window: per-group state is
+    * O(k), no full sort of each query's candidate list — the selection
+    * path that survives a corpus 1000× larger.
+    */
+  def bruteForceTopKBounded(embeddings: DataFrame, k: Int, maxQueryId: Long): DataFrame = {
+    val e = quantized(embeddings)
+    val queries = e.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("q").as("qa"), col("norm2").as("na"))
+    val corpus = e.select(col("vec_id").as("cand_id"), col("q").as("qb"), col("norm2").as("nb"))
+      .repartition(col("cand_id"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos", cosine(dotExpr("qa", "qb"), col("na"), col("nb")))
+      .select("query_id", "cos", "cand_id")
+    graft.operators.TopKAggregator
+      .topKPerKey(scored, "query_id", "cos", "cand_id", k)
+      .select("query_id", "cand_id", "cos", "rank")
+  }
+
   /** IVF (inverted-file) approximate top-k with a DETERMINISTIC coarse
     * quantizer: centroids are the `nCentroids` lowest-id vectors (no
     * k-means iterations — training loops are not reproducible across
