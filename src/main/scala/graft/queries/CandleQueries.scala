@@ -61,6 +61,42 @@ object CandleQueries {
           .orderBy("user_id", "day")
       }),
 
+    // A4 re-aggregation to a coarser calendar: daily candles → weekly
+    // candles (`dashboard/tabs/tab2.py:103-109` resample pattern);
+    // open/close carried by min_by/max_by over the day within the week
+    QueryDef(
+      "weekly_candles",
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 min_by(value, ts) AS open, max(value) AS high,
+                 min(value) AS low, max_by(value, ts) AS close,
+                 COUNT(*) AS volume
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT user_id, CAST(date_trunc('week', day) AS DATE) AS week,
+               min_by(open, day) AS open,
+               max(high) AS high,
+               min(low) AS low,
+               max_by(close, day) AS close,
+               SUM(volume) AS volume
+        FROM daily
+        GROUP BY user_id, CAST(date_trunc('week', day) AS DATE)
+        ORDER BY user_id, week
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val daily = Candles.ohlcvDaily(Tables.events(spark, dir), "user_id", "ts", "value")
+        daily
+          .groupBy(col("user_id"), to_date(date_trunc("week", col("day"))).as("week"))
+          .agg(
+            min_by(col("open"), col("day")).as("open"),
+            max(col("high")).as("high"),
+            min(col("low")).as("low"),
+            max_by(col("close"), col("day")).as("close"),
+            sum(col("volume")).as("volume"))
+          .orderBy("user_id", "week")
+      }),
+
     // event sessionization: native session_window (30-min inactivity gap)
     // vs the classic gap-and-island SQL formulation as oracle. Both define
     // a session break as inter-event gap ≥ the timeout (session_window's

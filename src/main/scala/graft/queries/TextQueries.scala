@@ -158,6 +158,49 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // top-quality docs per language via the bounded top-k Aggregator
+    // (second domain for TopKAggregator; oracle = row_number window)
+    QueryDef(
+      "top_quality_docs",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, $toksDuck AS toks, text FROM documents
+        ), scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(list_filter(toks, t -> t IN (${inList(stopwords("en"))}))) AS DOUBLE) / len(toks) AS quality
+          FROM d
+        ), ranked AS (
+          SELECT lang, doc_id, quality,
+                 row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rank
+          FROM scored
+        )
+        SELECT lang, doc_id, quality, rank FROM ranked
+        WHERE rank <= 5
+        ORDER BY lang, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val scored = Tables.documents(spark, dir)
+          .withColumn("toks", expr(TextAnalysis.tokensExpr))
+          .select(col("doc_id"), col("lang"),
+            (TextAnalysis.hitCount(stopwords("en")).cast("double") /
+              size(col("toks"))).as("quality"))
+          // lang is the group key for top-k; map it to a dense code and back
+          .withColumn("_langCode",
+            when(col("lang") === "en", 0L).when(col("lang") === "de", 1L)
+              .when(col("lang") === "es", 2L).when(col("lang") === "fr", 3L)
+              .otherwise(4L))
+        val top = graft.operators.TopKAggregator
+          .topKPerKey(scored.select(col("_langCode"), col("quality"), col("doc_id")),
+            "_langCode", "quality", "doc_id", 5)
+        top
+          .withColumn("lang",
+            when(col("_langCode") === 0, "en").when(col("_langCode") === 1, "de")
+              .when(col("_langCode") === 2, "es").when(col("_langCode") === 3, "fr")
+              .otherwise("zh"))
+          .select("lang", "doc_id", "quality", "rank")
+          .orderBy("lang", "rank")
+      }),
+
     // deterministic train/validation/test split by content hash — the
     // standard leakage-safe split for training data: assignment depends
     // only on the document id hash (reproducible across engines, runs,
