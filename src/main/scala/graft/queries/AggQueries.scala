@@ -81,7 +81,7 @@ object AggQueries {
         SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
                CAST(month(o_orderdate) AS BIGINT) AS m,
                COUNT(*) AS n,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY y, m
         ORDER BY y, m

@@ -79,7 +79,7 @@ object CandleQueries {
                max(high) AS high,
                min(low) AS low,
                max_by(close, day) AS close,
-               SUM(volume) AS volume
+               CAST(SUM(volume) AS BIGINT) AS volume
         FROM daily
         GROUP BY user_id, CAST(date_trunc('week', day) AS DATE)
         ORDER BY user_id, week
@@ -120,7 +120,7 @@ object CandleQueries {
                min(ts) AS session_start,
                max(ts) AS last_ts,
                COUNT(*) AS n_events,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM s
         GROUP BY user_id, sid
         ORDER BY user_id, session_start

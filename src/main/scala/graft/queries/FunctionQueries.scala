@@ -213,7 +213,7 @@ object FunctionQueries {
       Some("""
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                min(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_min,
                max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max
         FROM events
@@ -237,11 +237,11 @@ object FunctionQueries {
       "pivot_event_types",
       Some("""
         SELECT user_id,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events
         GROUP BY user_id
         ORDER BY user_id

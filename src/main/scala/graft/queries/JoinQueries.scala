@@ -41,7 +41,7 @@ object JoinQueries {
       Some("""
         SELECT c.c_mktsegment, o.o_orderstatus,
                COUNT(*) AS n_items,
-               SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey

@@ -18,7 +18,7 @@ object ProfileQueries {
         SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
                CAST(month(o_orderdate) AS BIGINT) AS m,
                COUNT(*) AS n,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders
         GROUP BY ROLLUP(CAST(year(o_orderdate) AS BIGINT), CAST(month(o_orderdate) AS BIGINT))
         ORDER BY y NULLS FIRST, m NULLS FIRST
@@ -43,7 +43,7 @@ object ProfileQueries {
                COUNT(DISTINCT l_orderkey) AS orderkey_distinct,
                min(l_quantity) AS qty_min,
                max(l_quantity) AS qty_max,
-               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_cents_sum,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents_sum,
                min(l_shipdate) AS shipdate_min,
                max(l_shipdate) AS shipdate_max,
                COUNT(DISTINCT l_returnflag) AS returnflag_card

@@ -12,7 +12,7 @@ object SqlQueries {
   private val adhocAgg =
     """SELECT o_orderpriority,
       |       COUNT(*) AS n_orders,
-      |       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
       |GROUP BY o_orderpriority
@@ -21,7 +21,7 @@ object SqlQueries {
   private val adhocJoin =
     """SELECT n.n_name,
       |       COUNT(*) AS n_customers,
-      |       SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+      |       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
       |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin

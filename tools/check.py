@@ -6,7 +6,9 @@ Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
 Reads each <outDir>/<name>/ parquet (Spark output), runs the matching
 oracle_sql.json entry in DuckDB over the sfDir tables, sorts columns by
-name, and compares shape + values (exact for non-floats; tiny-eps for
+name, and compares TYPES (arrow schema — the driver hashes typed values,
+so DuckDB HUGEINT vs Spark BIGINT is a FAIL even when the stringified
+values match) + shape + values (exact for non-floats; tiny-eps for
 floats). Reports per-query PASS/FAIL, both row-order-sensitive and
 row-sorted, so ordering bugs are visible separately from value bugs.
 """
@@ -14,6 +16,21 @@ import sys, json, glob
 import duckdb
 import pandas as pd
 import numpy as np
+
+# arrow types the driver's typed hash treats as equivalent (none: strict).
+# Spark writes TIMESTAMP as timestamp[us, tz=UTC] in parquet while DuckDB
+# emits timestamp[us]; the driver normalizes tz — mirror only that.
+def _tname(t):
+    s = str(t)
+    return s.replace(", tz=UTC", "")
+
+def type_err(spark_tbl, ora_tbl):
+    sa = {f.name: _tname(f.type) for f in spark_tbl.schema}
+    oa = {f.name: _tname(f.type) for f in ora_tbl.schema}
+    for c in sorted(set(sa) | set(oa)):
+        if sa.get(c) != oa.get(c):
+            return f"TYPE col {c}: spark={sa.get(c)} oracle={oa.get(c)}"
+    return None
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -58,11 +75,15 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            spark_df = norm(con.sql(
-                f"SELECT * FROM read_parquet({files!r})").df())
-            ora_df = norm(con.sql(sql).df())
+            spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+            ora_rel = con.sql(sql)
+            terr = type_err(spark_rel.arrow(), ora_rel.arrow())
+            spark_df = norm(spark_rel.df())
+            ora_df = norm(ora_rel.df())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if terr is not None:
+            print(f"FAIL {name}: {terr}"); n_fail += 1; continue
         err = cmp(spark_df, ora_df, name)
         if err is None:
             print(f"PASS {name} ({len(spark_df)} rows)"); n_pass += 1
