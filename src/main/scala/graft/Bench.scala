@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line (driver contract). Session is warmed with a
   * trivial job first so JVM/codegen startup isn't attributed to whichever
   * query happens to run first.
+  *
+  * The driver keeps only the LAST 2000 bytes of stdout (round-1 finding:
+  * the full-precision 63-query line was 3 KB and got truncated →
+  * `"parsed": null`). So: seconds rounded to 2 decimals, the JSON line is
+  * the final stdout line, and if the line would still exceed 1900 bytes
+  * the queries map is trimmed to the slowest entries. Full precision for
+  * every query goes to /tmp/graft_bench_detail.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,10 +33,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+
+    def line(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    }
+    // trim the per-query map (slowest first) until the line fits the
+    // driver's 2000-byte stdout tail with margin
+    var kept = results.sortBy(-_._2)
+    while (line(kept.sortBy(_._1)).length > 1900 && kept.nonEmpty) kept = kept.dropRight(8)
+    val out = line(kept.sortBy(_._1))
+
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val detailPath = "/tmp/graft_bench_detail.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      s"""{"total":$total,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
+    System.err.println(s"[bench] full per-query detail: $detailPath")
     spark.stop()
+    println(out) // final stdout line — nothing may follow it
   }
 }

@@ -61,7 +61,20 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` works against the
     * same names the DuckDB oracle uses (SURVEY.md §3.3 ad-hoc SQL surface).
+    *
+    * Memoized per (session, dir): re-registering 10 views per ad-hoc call
+    * re-listed and re-inferred every table's schema — measured as the bulk
+    * of `sql_adhoc_*` latency in round 1. Temp views are session-scoped
+    * state, so the memo key includes the session; a dir switch (different
+    * SF) re-registers.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => canonical(spark, dir, n).createOrReplaceTempView(n))
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (registered.add((spark, dir))) {
+      // a previous dir's memo entry is stale once this dir's views replace
+      // the names — drop it so switching back re-registers
+      registered.removeIf(k => k._1 == spark && k._2 != dir)
+      all.foreach(n => canonical(spark, dir, n).createOrReplaceTempView(n))
+    }
+  }
 }

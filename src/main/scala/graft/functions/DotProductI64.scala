@@ -24,14 +24,28 @@ case class DotProductI64(left: Expression, right: Expression)
   // contract mechanism — is private[sql], so no ExpectsInputTypes here)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot"
+  // null result for ragged/null-element inputs, not only null inputs
+  override def nullable: Boolean = true
 
+  /** Null semantics match the DuckDB oracle formulation
+    * (`list_zip` pads the shorter list with NULL → NULL product → NULL
+    * sum): a length mismatch or a NULL element yields NULL, never a
+    * silently truncated or garbage sum. The well-formed fast path (equal
+    * lengths, no nulls — every engine call site) is one extra compare plus
+    * a per-element null-bit test.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var i = 0
     var s = 0L
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -41,12 +55,17 @@ case class DotProductI64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 /** One tick (typed view of the events table). */
 case class Tick(user_id: Long, tsMicros: Long, value: Double)
 
-/** Single-pass OHLC accumulation state. Comparable-by-time open/close
-  * tracking makes the aggregator ORDER-INDEPENDENT: merge() of partial
-  * buffers from any partitioning yields the same candle — the property
-  * that lets Spark run it as partial + final aggregation at any scale.
+/** Single-pass OHLC accumulation state. Open/close track the extreme of
+  * the TOTAL order (ts, value) — min for open, max for close — so merge()
+  * of partial buffers from any partitioning yields the same candle even
+  * when several ticks share a timestamp: the property that lets Spark run
+  * it as partial + final aggregation at any scale. (With strict
+  * ts-only comparisons, equal-ts ticks in different partial buffers made
+  * open/close depend on merge order.)
   */
 case class OhlcBuf(
     firstTs: Long, open: Double,
@@ -29,27 +32,37 @@ class OhlcAggregator extends Aggregator[Tick, OhlcBuf, OhlcBuf] {
     OhlcBuf(Long.MaxValue, 0.0, Long.MinValue, 0.0,
       Double.NegativeInfinity, Double.PositiveInfinity, 0L, 0.0)
 
-  override def reduce(b: OhlcBuf, t: Tick): OhlcBuf =
+  override def reduce(b: OhlcBuf, t: Tick): OhlcBuf = {
+    val tFirst = b.n == 0 ||
+      t.tsMicros < b.firstTs || (t.tsMicros == b.firstTs && t.value < b.open)
+    val tLast = b.n == 0 ||
+      t.tsMicros > b.lastTs || (t.tsMicros == b.lastTs && t.value > b.close)
     OhlcBuf(
-      if (t.tsMicros < b.firstTs) t.tsMicros else b.firstTs,
-      if (t.tsMicros < b.firstTs) t.value else b.open,
-      if (t.tsMicros > b.lastTs) t.tsMicros else b.lastTs,
-      if (t.tsMicros > b.lastTs) t.value else b.close,
+      if (tFirst) t.tsMicros else b.firstTs,
+      if (tFirst) t.value else b.open,
+      if (tLast) t.tsMicros else b.lastTs,
+      if (tLast) t.value else b.close,
       math.max(b.high, t.value),
       math.min(b.low, t.value),
       b.n + 1,
       b.sum + t.value)
+  }
 
-  override def merge(a: OhlcBuf, b: OhlcBuf): OhlcBuf =
+  override def merge(a: OhlcBuf, b: OhlcBuf): OhlcBuf = {
+    if (a.n == 0) return b
+    if (b.n == 0) return a
+    val aFirst = a.firstTs < b.firstTs || (a.firstTs == b.firstTs && a.open <= b.open)
+    val aLast = a.lastTs > b.lastTs || (a.lastTs == b.lastTs && a.close >= b.close)
     OhlcBuf(
-      if (a.firstTs <= b.firstTs) a.firstTs else b.firstTs,
-      if (a.firstTs <= b.firstTs) a.open else b.open,
-      if (a.lastTs >= b.lastTs) a.lastTs else b.lastTs,
-      if (a.lastTs >= b.lastTs) a.close else b.close,
+      if (aFirst) a.firstTs else b.firstTs,
+      if (aFirst) a.open else b.open,
+      if (aLast) a.lastTs else b.lastTs,
+      if (aLast) a.close else b.close,
       math.max(a.high, b.high),
       math.min(a.low, b.low),
       a.n + b.n,
       a.sum + b.sum)
+  }
 
   override def finish(r: OhlcBuf): OhlcBuf = r
   override def bufferEncoder: Encoder[OhlcBuf] = Encoders.product[OhlcBuf]

@@ -63,4 +63,26 @@ object TopKAggregator {
       }
       .toDF(key, candId, score, "rank")
   }
+
+  /** Same as `topKPerKey` for a STRING group key (e.g. a language code) —
+    * grouping on the value itself instead of a hand-maintained value→code
+    * mapping, which silently merged unknown keys into one group.
+    */
+  def topKPerStringKey(scored: DataFrame, key: String, score: String, candId: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col(key).cast("string").as("_k"),
+        col(score).cast("double").as("score"),
+        col(candId).cast("long").as("candId"))
+      .as[(String, Double, Long)]
+      .map { case (kk, s, c) => (kk, ScoredCand(s, c)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new TopKAggregator(k).toColumn.name("top"))
+      .flatMap { case (kk, top) =>
+        top.zipWithIndex.map { case (c, i) => (kk, c.candId, c.score, (i + 1).toLong) }
+      }
+      .toDF(key, candId, score, "rank")
+  }
 }

@@ -59,9 +59,11 @@ object SimilarityQueries {
           .orderBy("label")
       }),
 
-    // embedding-cosine near-duplicate pairs: exact pairwise ≥ 0.4 (the synthetic embeddings have no planted dups; max cos ≈ 0.6)
-    // (the sign-LSH bucket path above is the documented 100 TB variant —
-    // this one defines the ground truth it approximates)
+    // embedding-cosine near-duplicate pairs ≥ 0.4 (the synthetic
+    // embeddings have no planted dups; max cos ≈ 0.6). The oracle is the
+    // exact pairwise definition; the ENGINE generates candidates from
+    // 64 sign-LSH hash tables and verifies exactly — no cartesian in the
+    // plan (SimilaritySpec audits recall == 1 vs the cartesian baseline).
     QueryDef(
       "dedup_embedding",
       Some(s"""
@@ -79,15 +81,7 @@ object SimilarityQueries {
         ORDER BY vec_a, vec_b
       """.stripMargin.trim),
       (spark, dir) => {
-        val e = Similarity.quantized(Tables.embeddings(spark, dir))
-        val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm2").as("na"))
-        val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm2").as("nb"))
-        a.crossJoin(b)
-          .filter(col("vec_a") < col("vec_b"))
-          .withColumn("dot", Similarity.dotExpr("qa", "qb"))
-          .withColumn("cos", Similarity.cosine(col("dot"), col("na"), col("nb")))
-          .filter(col("cos") >= 0.4)
-          .select("vec_a", "vec_b", "cos")
+        Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
           .orderBy("vec_a", "vec_b")
       }),
 

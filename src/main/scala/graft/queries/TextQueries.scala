@@ -184,19 +184,11 @@ object TextQueries {
           .select(col("doc_id"), col("lang"),
             (TextAnalysis.hitCount(stopwords("en")).cast("double") /
               size(col("toks"))).as("quality"))
-          // lang is the group key for top-k; map it to a dense code and back
-          .withColumn("_langCode",
-            when(col("lang") === "en", 0L).when(col("lang") === "de", 1L)
-              .when(col("lang") === "es", 2L).when(col("lang") === "fr", 3L)
-              .otherwise(4L))
-        val top = graft.operators.TopKAggregator
-          .topKPerKey(scored.select(col("_langCode"), col("quality"), col("doc_id")),
-            "_langCode", "quality", "doc_id", 5)
-        top
-          .withColumn("lang",
-            when(col("_langCode") === 0, "en").when(col("_langCode") === 1, "de")
-              .when(col("_langCode") === 2, "es").when(col("_langCode") === 3, "fr")
-              .otherwise("zh"))
+        // lang itself is the group key — no value→code mapping that could
+        // silently merge unseen languages into one top-5 group
+        graft.operators.TopKAggregator
+          .topKPerStringKey(scored.select(col("lang"), col("quality"), col("doc_id")),
+            "lang", "quality", "doc_id", 5)
           .select("lang", "doc_id", "quality", "rank")
           .orderBy("lang", "rank")
       }),

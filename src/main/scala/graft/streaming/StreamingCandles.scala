@@ -108,9 +108,14 @@ object StreamingCandles {
     * candles lands in the day-partitioned Parquet warehouse — the
     * `foreachBatch` analog of the reference's threshold-triggered bulk
     * COPY commits (`etl/etl.py:690-693`, `etl/timescaledb_model.py:29-57`).
-    * Append mode + watermark means every candle arrives exactly once, so
-    * plain append writes are idempotent per batch retry boundary when the
-    * checkpoint is kept with the output.
+    *
+    * Idempotence: foreachBatch is at-least-once — a micro-batch that dies
+    * after a partial write is REPLAYED under the same batchId, so a plain
+    * `mode(append)` would duplicate rows. Each batch therefore overwrites
+    * its own `batch=<id>` partition: the replay rewrites exactly the rows
+    * the failed attempt wrote, never touching other batches' output —
+    * effectively-once without a transactional table format. Readers see
+    * one extra `batch` partition column (provenance) on top of `day`.
     */
   def warehouseSink(
       candles: DataFrame,
@@ -119,8 +124,9 @@ object StreamingCandles {
     candles.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").partitionBy("day").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").partitionBy("day")
+          .parquet(s"$path/batch=$batchId")
       }
       .start()
 

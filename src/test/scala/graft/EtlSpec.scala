@@ -115,6 +115,19 @@ class EtlSpec extends SparkSpec {
       (2L, 5L, None)))      // nothing at-or-before → null
   }
 
+  test("as-of join: matched row's NULL payload is returned, not backfilled from older rows") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 30L)).toDF("k", "lts")
+      .withColumn("lts", timestamp_seconds($"lts"))
+    // latest right row (t=25) has p1 null / p2 "new"; the older row (t=10)
+    // has both non-null — DuckDB ASOF returns (null, "new"), never a blend
+    val right = Seq((1L, 10L, Some("old1"), Some("old2")), (1L, 25L, None, Some("new")))
+      .toDF("k", "rts", "p1", "p2").withColumn("rts", timestamp_seconds($"rts"))
+    val out = AsOfJoin.asofLeftJoin(left, right, "k", "lts", "rts", Seq("p1", "p2"))
+      .select($"p1", $"p2").collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(out.toSeq == Seq((None, Some("new"))))
+  }
+
   test("approx_count_distinct within 5% of exact (documented A5 scale path)") {
     val ev = Tables.events(spark, sf)
     val exact = ev.agg(countDistinct($"user_id")).as[Long].head()

@@ -41,6 +41,40 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft_daystocks")
   }
 
+  test("UPDATE/DELETE passthrough replays the reference's clean_database statements") {
+    import graft.sql.Dml
+    val loc = java.nio.file.Files.createTempDirectory("graft-dml-spec")
+    spark.sql(s"""
+      CREATE TABLE stocks (cid BIGINT, value DOUBLE, volume BIGINT)
+      USING PARQUET LOCATION '${loc.resolve("stocks")}'
+    """)
+    spark.sql(s"""
+      CREATE TABLE companies (id BIGINT, name STRING)
+      USING PARQUET LOCATION '${loc.resolve("companies")}'
+    """)
+    try {
+      spark.sql("""INSERT INTO stocks VALUES
+        (1, 10.0, 100), (1, -5.0, 50), (1, NULL, 10), (1, 200000.0, 7),
+        (2, 20.0, -3), (9, 30.0, 5)""")
+      spark.sql("INSERT INTO companies VALUES (1, 'a'), (2, 'b')")
+      // the reference's three statements, verbatim (etl/etl.py:817-823)
+      val d1 = Dml.execute(spark,
+        "DELETE FROM stocks WHERE value <= 0 OR value IS NULL OR value > 100000")
+      val d2 = Dml.execute(spark, "UPDATE stocks SET volume = 0 WHERE volume < 0")
+      val d3 = Dml.execute(spark,
+        "DELETE FROM stocks WHERE cid NOT IN (SELECT id FROM companies)")
+      assert(d1 == 3) // -5.0, NULL, 200000.0 rows removed
+      assert(d2 == 1) // volume -3 zeroed
+      assert(d3 == 1) // cid 9 orphan removed
+      val left = spark.sql("SELECT cid, value, volume FROM stocks ORDER BY cid")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(left == Seq((1L, 10.0, 100L), (2L, 20.0, 0L)))
+    } finally {
+      spark.sql("DROP TABLE stocks")
+      spark.sql("DROP TABLE companies")
+    }
+  }
+
   test("ad-hoc surface rejects nothing the engine supports: aggregate over view") {
     val out = Views.adhoc(spark, sf,
       "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 0")
