@@ -30,8 +30,27 @@ object EuronextIngest {
     * (symbol, name, isin, last, volume, mid, date) with junk rows
     * (`last <= 0 or volume <= 0`) dropped — `etl/etl.py:534-535`.
     */
-  def ingest(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Sources.dirtyCsv(spark, dir, rawSchema)
+  def ingest(spark: SparkSession, dir: String): DataFrame =
+    canonicalize(
+      Sources.dirtyCsv(spark, dir, rawSchema),
+      org.apache.spark.sql.functions.input_file_name())
+
+  /** Same canonicalization over `.xlsx` exports (S3 — `etl/etl.py:
+    * 510-511` `pd.read_excel` branch of the same loader; identical
+    * logical schema, so the CSV path's entire normalize chain is reused
+    * verbatim).
+    */
+  def ingestXlsx(spark: SparkSession, dir: String): DataFrame =
+    canonicalize(
+      graft.sources.Xlsx.read(spark, dir, rawSchema.fieldNames.toSeq),
+      col("path"))
+
+  /** rename map + SRD strip + dirty price/volume cleanup + market id +
+    * filename date + junk-row filter — shared by the CSV and XLSX routes
+    */
+  private def canonicalize(
+      raw: DataFrame,
+      pathCol: org.apache.spark.sql.Column): DataFrame = {
     val renamed = headerMap.foldLeft(raw) { case (df, (from, to)) =>
       if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
     }
@@ -40,7 +59,7 @@ object EuronextIngest {
       .withColumn("last", Normalize.cleanPriceEuronext(col("last")))
       .withColumn("volume", Normalize.cleanVolumeEuronext(col("volume")))
       .withColumn("mid", Normalize.marketIdFromText(coalesce(col("market"), lit(""))))
-      .withColumn("date", Normalize.fileDate(input_file_name()))
+      .withColumn("date", Normalize.fileDate(pathCol))
       .filter(col("last") > 0 && col("volume") > 0)
       .select("symbol", "name", "isin", "last", "volume", "mid", "date")
   }
