@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through UNWRAPPED: sbt's default
+// logger prefixes every line with [info]/[error], which both corrupts
+// the driver-parsed one-line bench JSON and mislabels Spark INFO logs
+// as errors.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

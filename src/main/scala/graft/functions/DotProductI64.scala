@@ -79,9 +79,18 @@ case class DotProductI64(left: Expression, right: Expression)
   * ad-hoc SQL surface.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  private[functions] def lshKeysBuilder(exprs: Seq[Expression]): Expression = {
+    def intArg(i: Int): Int = exprs(i).eval().asInstanceOf[Number].intValue()
+    def longArg(i: Int): Long = exprs(i).eval().asInstanceOf[Number].longValue()
+    LshTableKeys(exprs(0), intArg(1), intArg(2), intArg(3), intArg(4), longArg(5))
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductI64(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_keys", lshKeysBuilder, "built-in")
+  }
 }
 
 /** SparkSessionExtensions wiring: sessions built with
@@ -91,10 +100,16 @@ object GraftFunctions {
   * deployment path for a Spark library on a shared cluster.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProductI64].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_keys"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshTableKeys].getName, "graft_lsh_keys"),
+      GraftFunctions.lshKeysBuilder _))
+  }
 }

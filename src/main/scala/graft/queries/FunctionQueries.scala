@@ -256,6 +256,62 @@ object FunctionQueries {
           .orderBy("user_id")
       }),
 
+    // string-function battery over documents: regex extraction, edit
+    // distance, padding, substring search, character translation — the
+    // text-wrangling toolkit a cleaning pipeline leans on, all
+    // codegen'd built-ins (no UDFs)
+    QueryDef(
+      "string_functions_doc",
+      Some("""
+        SELECT doc_id,
+               regexp_extract(text, '^\S+') AS first_word,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(levenshtein(substr(lower(text), 1, 10), 'the quick ') AS BIGINT) AS lev10,
+               lpad(lang, 4, '_') AS lang4,
+               CAST(position('the' IN lower(text)) AS BIGINT) AS the_pos,
+               translate(lang, 'aeiou', 'AEIOU') AS lang_tr
+        FROM documents
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.documents(spark, dir)
+          .select(
+            col("doc_id"),
+            regexp_extract(col("text"), "^\\S+", 0).as("first_word"),
+            length(col("text")).cast("long").as("n_chars"),
+            levenshtein(substring(lower(col("text")), 1, 10), lit("the quick "))
+              .cast("long").as("lev10"),
+            lpad(col("lang"), 4, "_").as("lang4"),
+            instr(lower(col("text")), "the").cast("long").as("the_pos"),
+            translate(col("lang"), "aeiou", "AEIOU").as("lang_tr"))
+          .orderBy("doc_id")
+      }),
+
+    // ordered string aggregation: sorted distinct concat per group.
+    // Spark's collect_set is partition-order-nondeterministic, so the
+    // deterministic formulation is sort-then-join — semantically equal
+    // to DuckDB's string_agg(DISTINCT ... ORDER BY ...)
+    QueryDef(
+      "string_agg_segments",
+      Some("""
+        SELECT n.n_name,
+               string_agg(DISTINCT c.c_mktsegment, ',' ORDER BY c.c_mktsegment) AS segments,
+               COUNT(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val c = Tables.customer(spark, dir)
+        val n = Tables.nation(spark, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+            count(lit(1)).as("n_customers"))
+          .orderBy("n_name")
+      }),
+
     // M1–M3: abs, null-safe division, round (`etl/etl.py:388-390`,
     // `dashboard/tabs/tab2.py:117-124`).
     QueryDef(

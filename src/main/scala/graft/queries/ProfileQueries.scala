@@ -62,6 +62,63 @@ object ProfileQueries {
           countDistinct(col("l_returnflag")).as("returnflag_card"))
       }),
 
+    // statistical aggregates per group (corr/covar/stddev/variance) —
+    // multi-row float aggregates, so rounded to 4 decimals in BOTH
+    // engines per the determinism contract (summation order differs)
+    QueryDef(
+      "corr_stats",
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+               ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
+               ROUND(stddev_samp(value), 4) AS sd_value,
+               ROUND(var_samp(value), 4) AS var_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
+            round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_vu"),
+            round(stddev_samp(col("value")), 4).as("sd_value"),
+            round(var_samp(col("value")), 4).as("var_value"))
+          .orderBy("event_type")
+      }),
+
+    // CUBE hierarchy with GROUPING() markers: all 4 grouping sets of
+    // (year, status) in one pass — same partial-agg expansion as ROLLUP
+    QueryDef(
+      "cube_orders",
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y, o_orderstatus AS status,
+               CAST(GROUPING(CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS g_y,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_s,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE(CAST(year(o_orderdate) AS BIGINT), o_orderstatus)
+        ORDER BY g_y, g_s, y NULLS FIRST, status NULLS FIRST
+      """.stripMargin.trim),
+      (spark, dir) => {
+        // grouping() resolves structurally against the cube columns, so
+        // the grouped expressions must be plain attributes (pre-computed
+        // via withColumn), not aliased expressions
+        Tables.orders(spark, dir)
+          .withColumn("y", year(col("o_orderdate")).cast("long"))
+          .withColumn("status", col("o_orderstatus"))
+          .cube(col("y"), col("status"))
+          .agg(
+            grouping(col("y")).cast("long").as("g_y"),
+            grouping(col("status")).cast("long").as("g_s"),
+            count(lit(1)).as("n"))
+          .select("y", "status", "g_y", "g_s", "n")
+          .orderBy(col("g_y"), col("g_s"), col("y").asc_nulls_first,
+            col("status").asc_nulls_first)
+      }),
+
     // exact interpolated quantiles per group: both engines sort the group
     // and apply the same linear interpolation — identical doubles
     QueryDef(

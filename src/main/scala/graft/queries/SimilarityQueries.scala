@@ -85,6 +85,37 @@ object SimilarityQueries {
           .orderBy("vec_a", "vec_b")
       }),
 
+    // array-column surface over embeddings: length, positional access
+    // (incl. negative = from-end), element predicates. Heads/tails emitted
+    // as SCALAR columns — array-typed outputs hash differently across
+    // engines (arrow list field names differ), and scalars are what a
+    // feature-extraction select produces anyway
+    QueryDef(
+      "array_functions_emb",
+      Some("""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS h1,
+               CAST(embedding[2] AS DOUBLE) AS h2,
+               CAST(embedding[-1] AS DOUBLE) AS t1,
+               CAST(embedding[-2] AS DOUBLE) AS t2,
+               CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+        FROM embeddings
+        ORDER BY vec_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.embeddings(spark, dir)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).cast("long").as("dim"),
+            element_at(col("embedding"), 1).cast("double").as("h1"),
+            element_at(col("embedding"), 2).cast("double").as("h2"),
+            element_at(col("embedding"), -1).cast("double").as("t1"),
+            element_at(col("embedding"), -2).cast("double").as("t2"),
+            size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"))
+          .orderBy("vec_id")
+      }),
+
     QueryDef(
       "ann_cosine_topk",
       Some(s"""

@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
 object WindowQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // time-RANGE window frame: trailing 1-hour sum/count per user — the
+    // frame is defined by the ORDER-BY value (event time), not row
+    // offsets, so it is partitioning-invariant and gap-robust. Exact
+    // integer cents per the determinism contract.
+    QueryDef(
+      "trailing_window_1h",
+      Some("""
+        SELECT user_id, ts,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_cents,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_1h_n
+        FROM events
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir)
+          .select(
+            col("user_id"), col("ts"),
+            expr("""CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)""")
+              .as("trail_1h_cents"),
+            expr("""CAST(COUNT(*) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)""")
+              .as("trail_1h_n"))
+          .orderBy("user_id", "ts")
+      }),
+
     QueryDef(
       "lag_pct_change",
       Some("""
