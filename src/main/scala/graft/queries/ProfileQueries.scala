@@ -119,6 +119,27 @@ object ProfileQueries {
             col("status").asc_nulls_first)
       }),
 
+    // skew-salted two-phase aggregation: SAME oracle as a plain GROUP BY
+    // — the salt spreads a hot key across reducers in phase 1 and the
+    // associative merge in phase 2 erases it from the RESULT. The oracle
+    // equality IS the correctness claim for the skew-mitigation rewrite.
+    QueryDef(
+      "salted_agg_events",
+      Some("""
+        SELECT user_id, COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
+        graft.operators.Skew
+          .saltedCountSum(ev, "user_id", "cents", "event_id", nSalts = 16)
+          .orderBy("user_id")
+      }),
+
     // exact interpolated quantiles per group: both engines sort the group
     // and apply the same linear interpolation — identical doubles
     QueryDef(
