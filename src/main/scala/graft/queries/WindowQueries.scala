@@ -45,6 +45,39 @@ object WindowQueries {
           .orderBy("user_id", "ts")
       }),
 
+    // navigation-function battery: lead, first/last/nth over an explicit
+    // full-partition frame (the default frame stops at CURRENT ROW, which
+    // makes last_value a no-op — classic trap, pinned identically in both
+    // engines), percent_rank over a total order (exact rational → no
+    // rounding needed)
+    QueryDef(
+      "nav_functions",
+      Some("""
+        SELECT user_id, ts,
+               lead(value, 2) OVER w AS lead2,
+               first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_v,
+               last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+               nth_value(value, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth3,
+               percent_rank() OVER (PARTITION BY user_id ORDER BY value, ts) AS pr
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wRank = Window.partitionBy(col("user_id")).orderBy(col("value"), col("ts"))
+        Tables.events(spark, dir)
+          .select(
+            col("user_id"), col("ts"),
+            lead(col("value"), 2).over(w).as("lead2"),
+            first(col("value")).over(wFull).as("first_v"),
+            last(col("value")).over(wFull).as("last_v"),
+            nth_value(col("value"), 3).over(wFull).as("nth3"),
+            percent_rank().over(wRank).as("pr"))
+          .orderBy("user_id", "ts")
+      }),
+
     QueryDef(
       "lag_pct_change",
       Some("""

@@ -78,6 +78,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows equal batch sessionization for watermark-closed sessions") {
+    val ev = Tables.events(spark, sf).select("user_id", "ts", "value")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = StreamingCandles.fileStream(
+      spark, streamDir.toString, Tables.load(spark, sf, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("user_id", "ts", "value")
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(min($"ts").as("session_start"), max($"ts").as("last_ts"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "last_ts", "n_events")
+    val q = sessions(stream.withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_stream")
+      // append emits a session once the watermark (max event time − 1 min,
+      // after the final state-flush batch) passes its close (last_ts +
+      // 30-min gap); only trailing still-open sessions stay unemitted
+      val cutoff = ev.agg(max($"ts")).collect()(0).getTimestamp(0).toInstant
+        .minusSeconds(60)
+      val expected = sessions(ev)
+        .filter($"last_ts" + expr("INTERVAL 30 MINUTES") <=
+          lit(java.sql.Timestamp.from(cutoff)))
+      assert(emitted.count() == expected.count())
+      assert(emitted.join(expected,
+        Seq("user_id", "session_start", "last_ts", "n_events"), "left_anti").count() == 0)
+      assert(emitted.count() > 0)
+    } finally q.stop()
+  }
+
   test("foreachBatch warehouse sink: emitted candles land day-partitioned in parquet") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, sf).select("user_id", "ts", "value")
