@@ -60,6 +60,48 @@ object TextQueries {
     .map(b => s"(CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
 
   val entries: Seq[QueryDef] = Seq(
+    // n-gram language-model statistics: top-5 bigrams per language by
+    // frequency — explode bigrams (zip of the token list with its own
+    // tail), count per (lang, bigram), bounded top-k by a total order.
+    // The shuffle key is the content-derived (lang, bigram) — work
+    // scales with corpus token volume, the partial agg collapses
+    // duplicates map-side
+    QueryDef(
+      "ngram_top",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang, $toksDuck AS t FROM documents
+        ), bg AS (
+          SELECT lang, u.bigram
+          FROM toks, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS u(bigram)
+        ), counted AS (
+          SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram
+        ), ranked AS (
+          SELECT lang, bigram, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+          FROM counted
+        )
+        SELECT lang, bigram, n, CAST(rank AS BIGINT) AS rank FROM ranked
+        WHERE rank <= 5
+        ORDER BY lang, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val bigrams = Tables.documents(spark, dir)
+          .withColumn("t", expr(TextAnalysis.tokensExpr))
+          .select(col("lang"), explode(expr(
+            """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+                        slice(t, 2, greatest(size(t) - 1, 0)),
+                        (a, b) -> concat(a, ' ', b))""")).as("bigram"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+        bigrams
+          .groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .orderBy("lang", "rank")
+      }),
+
     QueryDef(
       "text_quality",
       Some(s"""

@@ -1,0 +1,45 @@
+package graft
+
+/** Plan-shape audits: the properties SCALE.md claims must be visible in
+  * the optimized plan, not just asserted in prose — column pruning
+  * reaching the parquet scan, and no cartesian anywhere in the catalog.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def scanSchemas(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1)).toSeq
+  }
+
+  test("string_functions_doc prunes documents scan to doc_id, lang, text") {
+    val schemas = scanSchemas("string_functions_doc")
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(!s.contains("source"), s) // unused column must not be read
+      assert(s.contains("doc_id") && s.contains("text"), s)
+    }
+  }
+
+  test("trailing_window_1h prunes events scan to user_id, ts, value") {
+    val schemas = scanSchemas("trailing_window_1h")
+    assert(schemas.nonEmpty)
+    schemas.foreach { s =>
+      assert(!s.contains("props") && !s.contains("event_type"), s)
+    }
+  }
+
+  test("ngram_top prunes documents scan to lang, text") {
+    val schemas = scanSchemas("ngram_top")
+    assert(schemas.nonEmpty)
+    schemas.foreach(s => assert(!s.contains("source"), s))
+  }
+
+  test("no query in the catalog plans a cartesian product") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+    }
+  }
+}
