@@ -97,6 +97,33 @@ object AggQueries {
           .orderBy("y", "m")
       }),
 
+    // U4 widening: explicit INTERSECT / EXCEPT (set semantics with
+    // dedup), tagged into one result — Spark plans both as hash
+    // left-semi/anti joins after a distinct, identical shape to the
+    // anti-join formulation but through the set-operator surface
+    QueryDef(
+      "set_operations",
+      Some("""
+        WITH b AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+             f AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+             i AS (SELECT k FROM b INTERSECT SELECT k FROM f),
+             e AS (SELECT k FROM b EXCEPT SELECT k FROM f)
+        SELECT 'intersect' AS op, k FROM i
+        UNION ALL
+        SELECT 'except' AS op, k FROM e
+        ORDER BY op, k
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val b = Tables.customer(spark, dir)
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+        val f = Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+        b.intersect(f).withColumn("op", lit("intersect"))
+          .unionByName(b.except(f).withColumn("op", lit("except")))
+          .select("op", "k")
+          .orderBy("op", "k")
+      }),
+
     // U1/U3: union-all of per-source batches then DISTINCT
     // (`etl/etl.py:306, 423` pd.concat; `dashboard/timescaledb_model.py:461`).
     QueryDef(
