@@ -102,6 +102,70 @@ object TextQueries {
           .orderBy("lang", "rank")
       }),
 
+    // Gopher-style repetition filters: duplicate-token fraction and top
+    // token share per document — the quality signals that catch boiler-
+    // plate and degenerate repetition. The ratios are exact rationals
+    // (int/int in double), so no rounding is needed for parity
+    QueryDef(
+      "repetition_stats",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $toksDuck AS t FROM documents
+        ), per_tok AS (
+          SELECT doc_id, u.tok, COUNT(*) AS c
+          FROM toks, unnest(t) AS u(tok) GROUP BY doc_id, u.tok
+        ), agg AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(MAX(c) AS BIGINT) AS top_count
+          FROM per_tok GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_distinct,
+               1.0 - CAST(n_distinct AS DOUBLE)/n_tokens AS dup_frac,
+               CAST(top_count AS DOUBLE)/n_tokens AS top_share
+        FROM agg
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_count"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_distinct"),
+            (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_frac"),
+            (col("top_count").cast("double") / col("n_tokens")).as("top_share"))
+          .orderBy("doc_id")
+      }),
+
+    // PII-pattern scrub pass: digit masking + whitespace normalization,
+    // fingerprinted (the scrubbed text itself stays narrow in the
+    // result); n_digits counts what was masked. Same regex text on both
+    // engines; Spark regexp_replace is global by default ≡ DuckDB 'g'
+    QueryDef(
+      "pii_scrub",
+      Some("""
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(text, '[0-9]', '#', 'g'), '\s+', ' ', 'g')) AS scrub_fp,
+               CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+        FROM documents
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.documents(spark, dir)
+          .select(
+            col("doc_id"),
+            md5(regexp_replace(regexp_replace(col("text"), "[0-9]", "#"), "\\s+", " "))
+              .as("scrub_fp"),
+            length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digits"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef(
       "text_quality",
       Some(s"""

@@ -141,6 +141,35 @@ class StreamingSpec extends SparkSpec {
     assert(warehouse.select("day").distinct().count() > 20) // partitioned by day
   }
 
+  test("stream-static join: each micro-batch enriched against a batch dimension") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
+    val dim = ev.select($"user_id").distinct()
+      .withColumn("cohort", pmod($"user_id", lit(3)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ssj-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = StreamingCandles.fileStream(
+      spark, streamDir.toString, Tables.load(spark, sf, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "user_id", "ts", "value")
+    // stateless stream-static equi-join: the static side is re-planned
+    // per micro-batch (picking up dimension updates), the stream side
+    // needs no state — the standard enrichment shape
+    val q = stream.join(broadcast(dim), "user_id")
+      .writeStream.format("memory").queryName("ssj_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("ssj_stream")
+      val batch = ev.join(dim, "user_id")
+      assert(emitted.count() == batch.count())
+      assert(emitted.select("event_id", "cohort")
+        .join(batch.select("event_id", "cohort"),
+          Seq("event_id", "cohort"), "left_anti").count() == 0)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-dup-src")
