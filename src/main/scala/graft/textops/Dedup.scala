@@ -148,11 +148,17 @@ object Dedup {
     */
   def nearDupClusters(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
     val pairs = jaccardPairs(documents, n, minJaccard).select("doc_a", "doc_b")
-    // undirected edges, both directions; isolated docs keep their own label
+    // undirected edges, both directions
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
-    var labels = documents.select(col("doc_id"), col("doc_id").as("canonical_id")).cache()
+    // the iteration runs ONLY over nodes with at least one near-dup edge —
+    // isolated docs (the overwhelming majority of a real corpus) can never
+    // change label and are re-attached once at the end. At 100 TB this is
+    // the difference between shuffling the corpus per round and shuffling
+    // the (sparse) duplicate graph per round.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("canonical_id", col("doc_id")).cache()
     // labels only decrease → fixpoint ⇔ Σlabels unchanged; one aggregate
     // per round instead of a join-based diff count
     def labelSum(df: DataFrame): Long =
@@ -177,7 +183,11 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    labels
+    // isolated docs keep their own label
+    documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
   }
 
   /** 32-bit SimHash over token frequencies: bit b set iff
