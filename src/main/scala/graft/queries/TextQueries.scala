@@ -102,6 +102,72 @@ object TextQueries {
           .orderBy("lang", "rank")
       }),
 
+    // document chunking: fixed 64-token non-overlapping chunks — the
+    // split step before tokenize-and-pack. One explode per doc over a
+    // computed chunk-index range; only chunk metadata is emitted
+    QueryDef(
+      "chunk_documents",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, $toksDuck AS t FROM documents
+        ), chunks AS (
+          SELECT doc_id, u.chunk_id,
+                 CAST(least(64, len(t) - u.chunk_id*64) AS BIGINT) AS chunk_len,
+                 t[u.chunk_id*64 + 1] AS first_tok
+          FROM toks, unnest(range(0, CAST(ceil(len(t)/64.0) AS BIGINT))) AS u(chunk_id)
+        )
+        SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, chunk_len, first_tok
+        FROM chunks
+        ORDER BY doc_id, chunk_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.documents(spark, dir)
+          .withColumn("t", expr(TextAnalysis.tokensExpr))
+          .select(col("doc_id"), col("t"),
+            explode(expr("sequence(0L, cast(ceil(size(t)/64.0) as long) - 1)")).as("chunk_id"))
+          .select(
+            col("doc_id"), col("chunk_id"),
+            least(lit(64L), size(col("t")) - col("chunk_id") * 64).cast("long").as("chunk_len"),
+            expr("element_at(t, cast(chunk_id*64 + 1 as int))").as("first_tok"))
+          .orderBy("doc_id", "chunk_id")
+      }),
+
+    // concat-then-split sequence packing (LLM-pretraining packing): all
+    // docs concatenated in doc_id order, split at 512-token boundaries.
+    // Each doc's global start offset comes from the DISTRIBUTED two-phase
+    // prefix sum (operators/PrefixSum) — the oracle's global window
+    // formulation (SUM OVER (ORDER BY ...) with no partition) is the
+    // single-reducer plan this operator exists to avoid
+    QueryDef(
+      "pack_sequences",
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n FROM documents
+        ), cum AS (
+          SELECT doc_id, n,
+                 CAST(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end
+          FROM toks
+        )
+        SELECT doc_id, n, cum_end - n AS start_off,
+               CAST((cum_end - n) // 512 AS BIGINT) AS seq_id,
+               CAST((cum_end - n) % 512 AS BIGINT) AS seq_off,
+               (cum_end - 1) // 512 > (cum_end - n) // 512 AS straddles
+        FROM cum
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), size(expr(TextAnalysis.tokensExpr)).cast("long").as("n"))
+        graft.operators.PrefixSum.exclusivePrefixSum(toks, "doc_id", "n")
+          .select(
+            col("doc_id"), col("n"), col("start_off"),
+            // `div` = integer division (Column `/` is double division)
+            expr("start_off div 512").as("seq_id"),
+            (col("start_off") % 512).as("seq_off"),
+            expr("(start_off + n - 1) div 512 > start_off div 512").as("straddles"))
+          .orderBy("doc_id")
+      }),
+
     // Gopher-style repetition filters: duplicate-token fraction and top
     // token share per document — the quality signals that catch boiler-
     // plate and degenerate repetition. The ratios are exact rationals

@@ -22,6 +22,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(direct.join(salted, Seq("user_id", "n", "total"), "left_anti").count() == 0)
   }
 
+  test("distributed prefix sum is partitioning-invariant and equals the global window") {
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", size(split(lower(trim($"text")), "\\s+")).cast("long").as("n"))
+    val viaWindow = toks
+      .withColumn("start_off",
+        coalesce(sum($"n").over(
+          Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    for (parts <- Seq(1, 7, 32)) {
+      val dist = PrefixSum.exclusivePrefixSum(toks, "doc_id", "n", nParts = parts)
+      assert(dist.count() == viaWindow.count())
+      assert(dist.join(viaWindow, Seq("doc_id", "n", "start_off"), "left_anti").count() == 0,
+        s"mismatch at nParts=$parts")
+    }
+  }
+
   test("streaming compression matches batch except each key's open final day") {
     val ticks = Tables.events(spark, sf).select("user_id", "ts", "value")
     val ds = ticks.select(
