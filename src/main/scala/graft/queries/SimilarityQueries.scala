@@ -116,6 +116,39 @@ object SimilarityQueries {
           .orderBy("vec_id")
       }),
 
+    // PQ compression codes: 64-dim vector → 4 block codes against a
+    // deterministic codebook, exact int64 distances
+    QueryDef(
+      "ann_pq_codes",
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+          FROM embeddings
+        ), blocks AS (
+          SELECT vec_id, u.b, e.q[u.b*16 + 1 : u.b*16 + 16] AS sub
+          FROM e, unnest([0,1,2,3]) AS u(b)
+        ), cw AS (
+          SELECT vec_id AS cw_id, b, sub AS csub FROM blocks WHERE vec_id < 8
+        ), dists AS (
+          SELECT blocks.vec_id, blocks.b, cw.cw_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_zip(blocks.sub, cw.csub), p -> (p[1]-p[2])*(p[1]-p[2]))), (a,v)->a+v) AS d2
+          FROM blocks JOIN cw ON blocks.b = cw.b
+        ), ranked AS (
+          SELECT vec_id, b, cw_id, d2,
+                 row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cw_id) AS rn
+          FROM dists
+        )
+        SELECT vec_id, CAST(b AS BIGINT) AS block, CAST(cw_id AS BIGINT) AS code, CAST(d2 AS BIGINT) AS err2
+        FROM ranked WHERE rn = 1
+        ORDER BY vec_id, block
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Similarity.pqAssign(Tables.embeddings(spark, dir))
+          .orderBy("vec_id", "block")
+      }),
+
     QueryDef(
       "ann_cosine_topk",
       Some(s"""

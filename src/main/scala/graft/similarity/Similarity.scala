@@ -220,6 +220,44 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Product-quantization code assignment — the memory-compression pillar
+    * of large-scale vector search (a 64-dim float32 vector becomes 4
+    * byte-codes + a shared codebook). Codebooks are DETERMINISTIC like
+    * the IVF quantizer: per 16-dim block, the codewords are the
+    * `nCodewords` lowest-id vectors' subvectors (swap in offline-trained
+    * codebooks in production — k-means loops are not engine-reproducible).
+    *
+    * Distances stay in exact int64 on the quantization grid via the
+    * polarization identity d² = ⟨a,a⟩ + ⟨c,c⟩ − 2⟨a,c⟩ — three calls to
+    * the codegen'd graft_dot, no float summation. Scale shape: the
+    * codebook (nBlocks·nCodewords tiny rows) broadcasts; assignment is
+    * one narrow shuffle-free pass over the corpus + a per-(vector, block)
+    * bounded argmin.
+    */
+  def pqAssign(
+      embeddings: DataFrame,
+      nBlocks: Int = 4,
+      blockDim: Int = 16,
+      nCodewords: Int = 8): DataFrame = {
+    val e = quantized(embeddings).select(col("vec_id"), col("q"))
+    val blocks = e
+      .select(col("vec_id"), col("q"),
+        explode(array((0 until nBlocks).map(lit(_)): _*)).as("b"))
+      .withColumn("sub", expr(s"slice(q, b*$blockDim + 1, $blockDim)"))
+      .drop("q")
+    val cw = blocks.filter(col("vec_id") < nCodewords)
+      .select(col("vec_id").as("cw_id"), col("b"), col("sub").as("csub"))
+    val w = Window.partitionBy(col("vec_id"), col("b"))
+      .orderBy(col("d2"), col("cw_id"))
+    blocks.join(broadcast(cw), Seq("b"))
+      .withColumn("d2",
+        expr("graft_dot(sub, sub) + graft_dot(csub, csub) - 2 * graft_dot(sub, csub)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("b").cast("long").as("block"),
+        col("cw_id").as("code"), col("d2").as("err2"))
+  }
+
   /** sign-LSH bucket key from the first `bits` dimensions' signs */
   def bucketExpr(bits: Int): Column =
     (0 until bits)
