@@ -149,6 +149,47 @@ object SimilarityQueries {
           .orderBy("vec_id", "block")
       }),
 
+    // PQ-ADC search: corpus scored through its compressed codes only
+    QueryDef(
+      "ann_pq_adc_topk",
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS q
+          FROM embeddings
+        ), blocks AS (
+          SELECT vec_id, u.b, e.q[u.b*16 + 1 : u.b*16 + 16] AS sub
+          FROM e, unnest([0,1,2,3]) AS u(b)
+        ), cw AS (
+          SELECT vec_id AS cw_id, b, sub AS csub FROM blocks WHERE vec_id < 8
+        ), dists AS (
+          SELECT blocks.vec_id, blocks.b, cw.cw_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_zip(blocks.sub, cw.csub), p -> (p[1]-p[2])*(p[1]-p[2]))), (a,v)->a+v) AS d2
+          FROM blocks JOIN cw ON blocks.b = cw.b
+        ), codes AS (
+          SELECT vec_id, b, cw_id AS code FROM (
+            SELECT vec_id, b, cw_id, row_number() OVER (PARTITION BY vec_id, b ORDER BY d2, cw_id) AS rn
+            FROM dists) t WHERE rn = 1
+        ), scored AS (
+          SELECT qt.vec_id AS query_id, c.vec_id AS cand_id, CAST(SUM(qt.d2) AS BIGINT) AS ad2
+          FROM codes c JOIN dists qt ON qt.b = c.b AND qt.cw_id = c.code
+          WHERE qt.vec_id < 16 AND qt.vec_id <> c.vec_id
+          GROUP BY qt.vec_id, c.vec_id
+        ), ranked AS (
+          SELECT query_id, cand_id, ad2,
+                 row_number() OVER (PARTITION BY query_id ORDER BY ad2, cand_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, ad2, CAST(rank AS BIGINT) AS rank FROM ranked
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Similarity.pqAdcTopK(Tables.embeddings(spark, dir), k = 5, maxQueryId = 16)
+          .orderBy("query_id", "rank")
+      }),
+
     QueryDef(
       "ann_cosine_topk",
       Some(s"""

@@ -234,11 +234,12 @@ object Similarity {
     * one narrow shuffle-free pass over the corpus + a per-(vector, block)
     * bounded argmin.
     */
-  def pqAssign(
-      embeddings: DataFrame,
-      nBlocks: Int = 4,
-      blockDim: Int = 16,
-      nCodewords: Int = 8): DataFrame = {
+  /** (vec_id, b, cw_id, d2): exact int64 squared distance of every
+    * vector's block-b subvector to every codeword — the shared table
+    * behind code assignment AND the per-query ADC lookup tables.
+    */
+  private def pqBlockDists(
+      embeddings: DataFrame, nBlocks: Int, blockDim: Int, nCodewords: Int): DataFrame = {
     val e = quantized(embeddings).select(col("vec_id"), col("q"))
     val blocks = e
       .select(col("vec_id"), col("q"),
@@ -247,15 +248,54 @@ object Similarity {
       .drop("q")
     val cw = blocks.filter(col("vec_id") < nCodewords)
       .select(col("vec_id").as("cw_id"), col("b"), col("sub").as("csub"))
-    val w = Window.partitionBy(col("vec_id"), col("b"))
-      .orderBy(col("d2"), col("cw_id"))
     blocks.join(broadcast(cw), Seq("b"))
       .withColumn("d2",
         expr("graft_dot(sub, sub) + graft_dot(csub, csub) - 2 * graft_dot(sub, csub)"))
+      .select("vec_id", "b", "cw_id", "d2")
+  }
+
+  def pqAssign(
+      embeddings: DataFrame,
+      nBlocks: Int = 4,
+      blockDim: Int = 16,
+      nCodewords: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("b"))
+      .orderBy(col("d2"), col("cw_id"))
+    pqBlockDists(embeddings, nBlocks, blockDim, nCodewords)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("b").cast("long").as("block"),
         col("cw_id").as("code"), col("d2").as("err2"))
+  }
+
+  /** PQ-ADC approximate top-k: each query builds a (nBlocks × nCodewords)
+    * distance lookup table; every corpus vector is scored by summing the
+    * table entries its CODES select — the corpus is touched only through
+    * its compressed codes, never its full vectors. The (block, code) join
+    * against the broadcast query tables plus one (query, cand) partial-agg
+    * shuffle is the entire cost; exact int64 throughout, so ranks are
+    * engine-reproducible.
+    */
+  def pqAdcTopK(
+      embeddings: DataFrame,
+      k: Int,
+      maxQueryId: Long,
+      nBlocks: Int = 4,
+      blockDim: Int = 16,
+      nCodewords: Int = 8): DataFrame = {
+    val dists = pqBlockDists(embeddings, nBlocks, blockDim, nCodewords)
+    val codes = pqAssign(embeddings, nBlocks, blockDim, nCodewords)
+      .select(col("vec_id").as("cand_id"), col("block").as("b"), col("code"))
+    val qtab = dists.filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id").as("query_id"), col("b"), col("cw_id").as("code"), col("d2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ad2"), col("cand_id"))
+    codes.join(broadcast(qtab), Seq("b", "code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d2")).as("ad2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "cand_id", "ad2", "rank")
   }
 
   /** sign-LSH bucket key from the first `bits` dimensions' signs */

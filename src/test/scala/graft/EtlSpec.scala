@@ -135,6 +135,26 @@ class EtlSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact <= 0.05)
   }
 
+  test("OHLC aggregator: equal-timestamp ticks merge order-independently") {
+    // round-1 advice: with strict ts-only comparisons, equal-ts ticks in
+    // different partial buffers made open/close depend on merge order.
+    // The (ts, value) total-order tie-break pins: open = min value at the
+    // earliest ts, close = max value at the latest ts — for EVERY
+    // partitioning
+    val t0 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-05 11:00:00")
+    val df = Seq((1L, t0, 5.0), (1L, t0, 2.0), (1L, t0, 9.0),
+      (1L, t1, 7.0), (1L, t1, 3.0))
+      .toDF("key", "ts", "value")
+    for (parts <- 1 to 5) {
+      val c = graft.operators.OhlcAggregator
+        .dailyCandles(df.repartition(parts), "key", "ts", "value")
+        .select($"open", $"close", $"high", $"low").collect()(0)
+      assert((c.getDouble(0), c.getDouble(1), c.getDouble(2), c.getDouble(3))
+        == ((2.0, 7.0, 9.0, 2.0)), s"parts=$parts")
+    }
+  }
+
   test("typed OHLC aggregator equals the expression-path candles") {
     val expr = Candles.ohlcvDaily(ticks, "user_id", "ts", "value")
       .select($"user_id", $"day", $"open", $"high", $"low", $"close", $"volume")
