@@ -119,6 +119,69 @@ object ProfileQueries {
             col("status").asc_nulls_first)
       }),
 
+    // deterministic STRATIFIED sampling: ~20% per stratum by content
+    // hash — retry-safe and engine-reproducible where sample()/rand()
+    // re-roll per task attempt (same machinery as train_test_split,
+    // grouped). Emits per-stratum sampled counts plus the exact ids kept
+    QueryDef(
+      "stratified_sample",
+      Some("""
+        WITH s AS (
+          SELECT event_id, event_type,
+                 CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          FROM events
+        )
+        SELECT event_type, event_id
+        FROM s WHERE bucket < 20
+        ORDER BY event_type, event_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val bucket = expr(
+          "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) % 100")
+        Tables.events(spark, dir)
+          .select(col("event_type"), col("event_id"), bucket.as("bucket"))
+          .filter(col("bucket") < 20)
+          .select("event_type", "event_id")
+          .orderBy("event_type", "event_id")
+      }),
+
+    // TWAP (time-weighted average price) per (user, day): each tick's
+    // value weighted by the micros until the next tick of the same day.
+    // Weights are exact int64; the weighted mean is a float aggregate →
+    // rounded per the determinism contract
+    QueryDef(
+      "twap_daily",
+      Some("""
+        WITH t AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+                 lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts) AS next_ts
+          FROM events
+        ), w AS (
+          SELECT user_id, day, value,
+                 CAST(date_diff('microsecond', ts, next_ts) AS BIGINT) AS wt
+          FROM t WHERE next_ts IS NOT NULL
+        )
+        SELECT user_id, day, COUNT(*) AS n,
+               ROUND(SUM(value * wt) / SUM(wt), 4) AS twap
+        FROM w
+        GROUP BY user_id, day
+        ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.events(spark, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"), col("value"))
+          .withColumn("next_ts", lead(col("ts"), 1).over(
+            Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"))))
+          .filter(col("next_ts").isNotNull)
+          .withColumn("wt", (unix_micros(col("next_ts")) - unix_micros(col("ts"))))
+          .groupBy(col("user_id"), col("day"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value") * col("wt")) / sum(col("wt")), 4).as("twap"))
+          .orderBy("user_id", "day")
+      }),
+
     // skew-salted two-phase aggregation: SAME oracle as a plain GROUP BY
     // — the salt spreads a hot key across reducers in phase 1 and the
     // associative merge in phase 2 erases it from the RESULT. The oracle
