@@ -66,6 +66,27 @@ object ScaleSmoke {
     timed("sessionization (count)") {
       println(s"[scale]   sessions: ${ticks.groupBy($"user_id", session_window($"ts", "30 minutes")).count().count()}")
     }
+
+    // near-dup detection at a 25× corpus (50k vectors vs sf0.1's 2k),
+    // PRODUCTION parameters: threshold 0.9 → wide 12-bit bands, 16
+    // tables (the oracle's 0.4-threshold config needs many narrow
+    // tables; at real near-dup thresholds the cost collapses — SCALE.md).
+    // ids 25000-25999 are plants: copies of ids 0-999 with one dimension
+    // shifted (cos ≈ 0.999) — the found-fraction is a recall proxy.
+    timed("embedding near-dup, 50k vectors, threshold 0.9 (sign-LSH 16x12bit)") {
+      val emb = spark.range(50000).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(1, 64), d ->
+                  cast((hash((CASE WHEN id BETWEEN 25000 AND 25999 THEN id - 25000 ELSE id END) * 100 + d) % 2001) / 1000.0
+                       + (CASE WHEN id BETWEEN 25000 AND 25999 AND d = 1 THEN 0.05 ELSE 0.0 END) as float))""")
+          .as("embedding"))
+      val pairs = graft.similarity.Similarity
+        .nearDupPairs(emb, threshold = 0.9, sigBits = 64, tables = 16, bandBits = 12)
+        .cache()
+      val planted = pairs.filter($"vec_b" - $"vec_a" === 25000L).count()
+      println(s"[scale]   pairs: ${pairs.count()}, planted found: $planted / 1000")
+      pairs.unpersist()
+    }
     spark.stop()
   }
 }

@@ -206,11 +206,17 @@ object Similarity {
     * FAT verify (full documents, long embeddings) flip the order: dedup
     * via `nearDupCandidates` first, then verify — same building blocks.
     */
-  def nearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(
+      embeddings: DataFrame,
+      threshold: Double,
+      sigBits: Int = 64,
+      tables: Int = 128,
+      bandBits: Int = 4,
+      seed: Long = 12345L): DataFrame = {
     val e = quantized(embeddings)
     val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm2").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm2").as("nb"))
-    rawCandidates(embeddings, sigBits = 64, tables = 128, bandBits = 4, seed = 12345L)
+    rawCandidates(embeddings, sigBits, tables, bandBits, seed)
       .join(a, Seq("vec_a"))
       .join(b, Seq("vec_b"))
       .withColumn("dot", dotExpr("qa", "qb"))
