@@ -54,6 +54,16 @@ class EuronextIngestSpec extends SparkSpec {
     assert(out(1).getAs[Double]("last") == 77.5)
   }
 
+  test("xlsx decoder degrades gracefully on invalid input") {
+    import graft.sources.Xlsx
+    assert(Xlsx.decode("not a zip at all".getBytes("UTF-8")) == Seq.empty)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("unrelated.txt"))
+    zos.write("x".getBytes); zos.closeEntry(); zos.close()
+    assert(Xlsx.decode(bos.toByteArray) == Seq.empty) // zip without a worksheet
+  }
+
   test("xlsx decoder: shared strings, skipped cells, numeric cells, missing header column") {
     import graft.sources.Xlsx
     // hand-built sheet exercising the cell types encodeMinimal doesn't emit:
