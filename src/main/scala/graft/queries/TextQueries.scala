@@ -429,6 +429,28 @@ object TextQueries {
         Dedup.jaccardPairs(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
           .orderBy("doc_a", "doc_b")),
 
+    // asymmetric containment |A∩B|/|A|: catches subset-duplication
+    // (quote-and-extend) that symmetric Jaccard misses
+    QueryDef(
+      "dedup_containment",
+      Some(s"""
+        WITH $shinglesDuck,
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_common, sa.n AS n_a,
+               CAST(n_common AS DOUBLE) / sa.n AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE CAST(n_common AS DOUBLE) / sa.n >= 0.8
+        ORDER BY doc_a, doc_b
+      """.stripMargin.trim),
+      (spark, dir) =>
+        Dedup.containmentPairs(Tables.documents(spark, dir), n = 5, minContainment = 0.8)
+          .orderBy("doc_a", "doc_b")),
+
     // connected components of the near-dup graph: every doc → minimum
     // doc_id in its cluster. Spark: distributed min-label propagation;
     // oracle: recursive-CTE transitive closure (graph is tiny cliques).

@@ -57,6 +57,29 @@ object Dedup {
       .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs: |A∩B| / |A| ≥ threshold — catches a
+    * document that is a SUBSET of another (quote-and-extend, boilerplate
+    * wrapping), which symmetric Jaccard misses when the containing doc is
+    * much larger. Directed: (doc_a contained-in doc_b) and the reverse
+    * are separate rows. Same shingle-key join shape as `jaccardPairs` —
+    * work ∝ shared-shingle pairs, never n².
+    */
+  def containmentPairs(documents: DataFrame, n: Int = 5, minContainment: Double = 0.8): DataFrame = {
+    val sh = shingles(documents, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "n_a"), Seq("doc_a"))
+      .withColumn("containment", col("n_common").cast("double") / col("n_a"))
+      .filter(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "n_common", "n_a", "containment")
+  }
+
   /** MinHash parameters: k=16 universal-hash functions (a*s + b) mod P over
     * 60-bit shingle keys reduced mod P. Fixed odd constants — shared with
     * the oracle SQL by interpolation.
