@@ -29,6 +29,10 @@ object PrefixSum {
   /** (orderCol, valueCol, start_off) where start_off = Σ value over all
     * rows strictly before this one in orderCol order. orderCol must be
     * unique; both columns must be castable to long.
+    *
+    * The slim (order, value) projection stays persisted after the call
+    * (both passes must observe one partitioning); Spark's ContextCleaner
+    * reclaims it when the returned plan is garbage-collected.
     */
   def exclusivePrefixSum(
       df: DataFrame,
@@ -37,11 +41,16 @@ object PrefixSum {
       nParts: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: BOTH passes must see the identical partitioning. Range
+    // boundaries come from deterministic sampling, but pinning the
+    // materialized partitions removes any recompute hazard — a boundary
+    // drift between pass 1 and pass 2 would silently corrupt offsets.
     val parted = df
       .select(col(orderCol).cast("long"), col(valueCol).cast("long"))
       .as[(Long, Long)]
       .repartitionByRange(nParts, col(orderCol))
       .sortWithinPartitions(orderCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = parted.mapPartitions { it =>
       var s = 0L
       it.foreach(s += _._2)
