@@ -36,10 +36,24 @@ class PlanAuditSpec extends SparkSpec {
     schemas.foreach(s => assert(!s.contains("source"), s))
   }
 
-  test("no query in the catalog plans a cartesian product") {
+  // a BroadcastNestedLoopJoin is fine exactly when its BROADCAST side is
+  // constant-size — then the join is LINEAR in the corpus, not an
+  // accidental quadratic. Two sanctioned shapes in the catalog:
+  //  - ANN scoring: every corpus row × the (dimension-sized) query batch
+  //    or centroid set;
+  //  - scalar-aggregate attach: crossJoin(broadcast(1-row max)) instead
+  //    of a driver-side collect.
+  // Every other query must plan hash/sort-merge joins only.
+  private val constantSideBnlj = Set(
+    "ann_cosine_topk", "ann_topk_bounded", "ann_ivf_topk", // ANN scoring
+    "company_registration", "group_max_next_id")           // 1-row scalar attach
+
+  test("no query in the catalog plans a cartesian or unexpected nested-loop join") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
+      if (!constantSideBnlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
     }
   }
 }
