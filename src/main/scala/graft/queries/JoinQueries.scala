@@ -32,6 +32,25 @@ object JoinQueries {
           .orderBy("event_id")
       }),
 
+    // prefix search (the dashboard's company-dropdown typeahead,
+    // `dashboard/tabs/tab1.py:146-157` filters client-side; at warehouse
+    // scale the predicate must reach the scan): LIKE 'prefix%' compiles
+    // to a StringStartsWith pushed filter — PlanAuditSpec asserts it
+    QueryDef(
+      "prefix_search",
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_name LIKE 'Customer#00000001%'
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.customer(spark, dir)
+          .filter(col("c_name").startsWith("Customer#00000001"))
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      }),
+
     // J1+A1 at fact scale: lineitem ⋈ orders ⋈ customer revenue rollup.
     // Exact integer-cents sum: per-row cents are bit-identical in both
     // engines, and integer addition is order-independent — no float

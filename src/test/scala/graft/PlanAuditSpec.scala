@@ -48,6 +48,12 @@ class PlanAuditSpec extends SparkSpec {
     "ann_cosine_topk", "ann_topk_bounded", "ann_ivf_topk", // ANN scoring
     "company_registration", "group_max_next_id")           // 1-row scalar attach
 
+  test("prefix_search pushes StringStartsWith to the parquet scan") {
+    val plan = SparkEntry.queries("prefix_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("no query in the catalog plans a cartesian or unexpected nested-loop join") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
