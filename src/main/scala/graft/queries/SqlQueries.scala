@@ -26,10 +26,23 @@ object SqlQueries {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
+  // correlated subqueries: EXISTS / NOT EXISTS / scalar COUNT — Catalyst
+  // decorrelates all three into semi/anti/aggregate joins (no per-row
+  // re-execution, unlike the reference's Postgres which may nested-loop)
+  private val adhocExists =
+    """SELECT c.c_custkey, c.c_mktsegment,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c.c_custkey""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sql_adhoc_agg", Some(adhocAgg),
       (spark, dir) => Views.adhoc(spark, dir, adhocAgg)),
     QueryDef("sql_adhoc_join", Some(adhocJoin),
-      (spark, dir) => Views.adhoc(spark, dir, adhocJoin))
+      (spark, dir) => Views.adhoc(spark, dir, adhocJoin)),
+    QueryDef("sql_adhoc_exists", Some(adhocExists),
+      (spark, dir) => Views.adhoc(spark, dir, adhocExists))
   )
 }
