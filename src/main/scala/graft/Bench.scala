@@ -7,6 +7,14 @@ import org.apache.spark.sql.SparkSession
   * trivial job first so JVM/codegen startup isn't attributed to whichever
   * query happens to run first.
   *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * the MEDIAN — n=1 could not distinguish JIT/suite-order noise from a
+  * real regression (round-2 finding: four queries drifted 0.5–1.2 s and
+  * the signal was unreadable). Runs interleave whole passes over the
+  * catalog (pass 1 all queries, pass 2 all queries, …) rather than
+  * back-to-back repeats, so a query's repeats don't ride their own
+  * just-warmed caches and the median stays an honest steady-state number.
+  *
   * The driver keeps only the LAST 2000 bytes of stdout (round-1 finding:
   * the full-precision 63-query line was 3 KB and got truncated →
   * `"parsed": null`). So: seconds rounded to 2 decimals, the JSON line is
@@ -28,11 +36,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm JVM + codegen
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to nRuns).map { _ =>
+      catalog.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = catalog.map { case (name, _) => name -> median(samples.map(_(name))) }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
 
@@ -46,10 +63,13 @@ object Bench {
     while (line(kept.sortBy(_._1)).length > 1900 && kept.nonEmpty) kept = kept.dropRight(8)
     val out = line(kept.sortBy(_._1))
 
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val detail = results.map { case (k, v) =>
+      val runs = samples.map(_(k)).mkString("[", ",", "]")
+      "\"" + k + s"""":{"median":$v,"runs":$runs}"""
+    }.mkString("{", ",", "}")
     val detailPath = "/tmp/graft_bench_detail.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      s"""{"total":$total,"sf":"$sfDir","queries":$detail}""".getBytes("UTF-8"))
+      s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail}""".getBytes("UTF-8"))
     System.err.println(s"[bench] full per-query detail: $detailPath")
     spark.stop()
     println(out) // final stdout line — nothing may follow it

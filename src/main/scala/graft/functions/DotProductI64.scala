@@ -85,11 +85,25 @@ object GraftFunctions {
     LshTableKeys(exprs(0), intArg(1), intArg(2), intArg(3), intArg(4), longArg(5))
   }
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProductI64(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_keys", lshKeysBuilder, "built-in")
+  // one registration per session, and none at all when the session was
+  // built withExtensions(GraftExtensions) (the functions already exist):
+  // createOrReplaceTempFunction logs a "replaced a previously registered
+  // function" WARN on re-registration, and register() is called per
+  // query-build (Similarity.quantized) — memoize like Tables.registerAll
+  // so driver-parsed stdout stays clean
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit = synchronized {
+    if (registered.add(spark) &&
+        !spark.sessionState.functionRegistry.functionExists(
+          new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"))) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProductI64(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_lsh_keys", lshKeysBuilder, "built-in")
+    }
   }
 }
 

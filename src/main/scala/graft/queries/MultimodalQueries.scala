@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal plumbing coverage. The decode step is a documented stub
   * (no codecs in this container) but the binary-column schema, the
   * partition-batched extraction, and the aggregation over extracted
-  * features are real. No oracle — mapPartitions-typed pipelines are not
-  * SQL-expressible; the driver records a rows-only check, and
-  * MultimodalSpec asserts the feature semantics.
+  * features are real. Because `decodeStub` is a deterministic function of
+  * the payload bytes, even the mapPartitions-typed full feature extraction
+  * IS oracle-expressible: header/frames via hex/octet_length (as in
+  * multimodal_meta), and mean_byte by decoding hex digit pairs of the
+  * first-256-byte window — the byte values are integers, so the engine's
+  * sequential double sum is exact and equals the oracle's integer-sum-
+  * then-divide bit for bit.
   */
 object MultimodalQueries {
 
@@ -36,7 +40,31 @@ object MultimodalQueries {
       }),
     QueryDef(
       "multimodal_features",
-      None,
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 'image/fake-' || source AS media_type,
+                 encode(text) AS payload
+          FROM documents
+        ), f AS (
+          SELECT doc_id, media_type,
+                 CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                 lower(substr(hex(payload), 1, 8)) AS header_hex,
+                 CAST(octet_length(payload) // 64 AS BIGINT) AS n_frames,
+                 substr(hex(payload), 1, 512) AS h,
+                 least(octet_length(payload), 256) AS win
+          FROM m
+        )
+        SELECT doc_id, media_type, n_bytes, header_hex, n_frames,
+               CASE WHEN win = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(list_sum(list_transform(range(win), i ->
+                           (strpos('0123456789ABCDEF', substr(h, CAST(i*2+1 AS INT), 1)) - 1) * 16
+                         + (strpos('0123456789ABCDEF', substr(h, CAST(i*2+2 AS INT), 1)) - 1))) AS DOUBLE) / win
+               END AS mean_byte,
+               n_bytes > 0 AS decoded_ok
+        FROM f
+        ORDER BY doc_id
+      """.stripMargin.trim),
       (spark, dir) => {
         Multimodal.features(spark, Tables.documents(spark, dir))
           .orderBy("doc_id")

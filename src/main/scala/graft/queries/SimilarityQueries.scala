@@ -85,6 +85,58 @@ object SimilarityQueries {
           .orderBy("vec_a", "vec_b")
       }),
 
+    // the PRODUCTION configuration of the same operator: at a realistic
+    // near-dup threshold (0.9 — crawl-dedup territory) the recall math in
+    // Similarity.nearDupCandidates lets 16 tables × 12-bit bands replace
+    // the oracle-threshold config's 128 × 4-bit (8× fewer candidate
+    // instances, wider bands → far fewer spurious bucket collisions).
+    // The synthetic embeddings top out at cos ≈ 0.6, so the corpus gets
+    // 200 PLANTED near-dups (vec_id < 200 copied to vec_id+100000 with
+    // dim 1 shifted +0.05 → cos ≈ 0.999) constructed identically in both
+    // engines; the oracle stays the exact all-pairs definition.
+    QueryDef(
+      "dedup_embedding_strict",
+      Some(s"""
+        WITH corpus AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
+                             list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS emb
+          FROM embeddings WHERE vec_id < 200
+        ), e AS (
+          SELECT vec_id, list_transform(emb, x -> CAST(round(x * 10000) AS BIGINT)) AS q
+          FROM corpus
+        ), n AS (
+          SELECT vec_id, q,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)), (a, v) -> a + v) AS norm2
+          FROM e
+        ), pairs AS (
+          SELECT qa.vec_id AS vec_a, cb.vec_id AS vec_b,
+                 ${dotOf("qa.q", "cb.q")} AS dot,
+                 qa.norm2 AS na, cb.norm2 AS nb
+          FROM n qa JOIN n cb ON qa.vec_id < cb.vec_id
+        )
+        SELECT vec_a, vec_b,
+               CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) AS cos
+        FROM pairs
+        WHERE CAST(dot AS DOUBLE) / nullif(sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)), 0) >= 0.9
+        ORDER BY vec_a, vec_b
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        val base = e.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+        val planted = e.filter(col("vec_id") < 200)
+          .select((col("vec_id") + lit(100000L)).as("vec_id"),
+            expr("transform(embedding, (x, i) -> cast(x as double) + IF(i = 0, 0.05D, 0D))")
+              .as("embedding"))
+        Similarity.nearDupPairs(base.unionByName(planted),
+            threshold = 0.9, sigBits = 64, tables = 16, bandBits = 12)
+          .orderBy("vec_a", "vec_b")
+      }),
+
     // array-column surface over embeddings: length, positional access
     // (incl. negative = from-end), element predicates. Heads/tails emitted
     // as SCALAR columns — array-typed outputs hash differently across

@@ -117,6 +117,14 @@ object StreamingCandles {
     * effectively-once without a transactional table format. Readers see
     * one extra `batch` partition column (provenance) on top of `day`.
     */
+  /** One micro-batch's write: overwrite of the batch's OWN `batch=<id>`
+    * partition. Public so specs can replay a batchId through the exact
+    * write path the sink uses and assert no duplicate rows survive.
+    */
+  def writeBatch(batch: DataFrame, path: String, batchId: Long): Unit =
+    batch.write.mode("overwrite").partitionBy("day")
+      .parquet(s"$path/batch=$batchId")
+
   def warehouseSink(
       candles: DataFrame,
       path: String,
@@ -125,8 +133,7 @@ object StreamingCandles {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").partitionBy("day")
-          .parquet(s"$path/batch=$batchId")
+        writeBatch(batch, path, batchId)
       }
       .start()
 

@@ -54,6 +54,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("StringStartsWith"), plan.linesIterator.take(20).mkString("\n"))
   }
 
+  // positive asserts: a silent planner change that DROPS a broadcast or a
+  // pushdown should fail here, not show up as a regression in a future
+  // bench run
+  test("dimension joins plan as BroadcastHashJoin (join_agg_revenue, etl_pipeline)") {
+    Seq("join_agg_revenue", "etl_pipeline").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast dimension join:\n${plan.linesIterator.take(30).mkString("\n")}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name plans a fact-side sort-merge join where a broadcast was expected")
+    }
+  }
+
+  test("time-range and prefix predicates reach the parquet scan (PushedFilters non-empty)") {
+    val PushedRe = """PushedFilters: \[([^\]]*)\]""".r
+    Seq("time_range_topk" -> "ts", "prefix_search" -> "c_name").foreach { case (name, col) =>
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+      val pushed = PushedRe.findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(pushed.exists(_.trim.nonEmpty), s"$name pushed no filters to the scan")
+      assert(pushed.exists(_.contains(col)),
+        s"$name pushed filters [${pushed.mkString("; ")}] do not touch $col")
+    }
+  }
+
   test("no query in the catalog plans a cartesian or unexpected nested-loop join") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString

@@ -75,6 +75,39 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("Dml rejects unsupported statement shapes loudly, accepts comma-in-expr updates") {
+    import graft.sql.Dml
+    val loc = java.nio.file.Files.createTempDirectory("graft-dml-neg")
+    spark.sql(s"""
+      CREATE TABLE dml_neg (cid BIGINT, value DOUBLE, volume BIGINT)
+      USING PARQUET LOCATION '${loc.resolve("dml_neg")}'
+    """)
+    try {
+      spark.sql("INSERT INTO dml_neg VALUES (1, 10.0, NULL), (2, 20.0, 5)")
+      def rejects(stmt: String, fragment: String): Unit = {
+        val e = intercept[IllegalArgumentException](Dml.execute(spark, stmt))
+        assert(e.getMessage.contains(fragment), s"$stmt -> ${e.getMessage}")
+      }
+      rejects("UPDATE dml_neg SET value = 1, volume = 2 WHERE cid = 1", "multi-assignment")
+      rejects("UPDATE dml_neg SET value = o.v FROM other o WHERE o.id = cid", "joined DML")
+      rejects("DELETE FROM dml_neg USING other o WHERE o.id = cid", "joined DML")
+      rejects("DELETE FROM dml_neg", "WHERE required")
+      rejects("UPDATE dml_neg SET value = 0", "WHERE required")
+      rejects("DELETE FROM dml_neg WHERE cid = 1; DELETE FROM dml_neg WHERE cid = 2",
+        "one statement")
+      // a function-call comma inside the SET expression is NOT a second
+      // assignment — the reject must not over-trigger
+      val n = Dml.execute(spark,
+        "UPDATE dml_neg SET volume = coalesce(volume, 0) WHERE volume IS NULL")
+      assert(n == 1)
+      val vols = spark.sql("SELECT volume FROM dml_neg ORDER BY cid")
+        .collect().map(_.getLong(0)).toSeq
+      assert(vols == Seq(0L, 5L))
+      // trailing semicolon on a single statement is fine
+      assert(Dml.execute(spark, "DELETE FROM dml_neg WHERE cid = 2;") == 1)
+    } finally spark.sql("DROP TABLE dml_neg")
+  }
+
   test("ad-hoc surface rejects nothing the engine supports: aggregate over view") {
     val out = Views.adhoc(spark, sf,
       "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 0")

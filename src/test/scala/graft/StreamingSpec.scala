@@ -141,6 +141,73 @@ class StreamingSpec extends SparkSpec {
     assert(warehouse.select("day").distinct().count() > 20) // partitioned by day
   }
 
+  test("warehouse sink is replay-idempotent: a re-written batchId yields no duplicate rows") {
+    import org.apache.spark.sql.functions._
+    // multi-day multi-key corpus well beyond the fixture tables: 50 keys ×
+    // ~46 days, 200k deterministic ticks (same generator family as
+    // graft.ScaleSmoke), split into 3 chronological chunks = 3 micro-batches
+    val n = 200000L
+    val ticks = spark.range(n).select(
+      pmod(hash(col("id") * 7), lit(50)).cast("long").as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 20000000L).as("ts"),
+      (abs(hash(col("id"))) % 20000 / 100.0 + 1.0).as("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-replay-big")
+    val third = n / 3
+    Seq(
+      ticks.filter(col("ts") < timestamp_micros(lit(1704067200000000L + third * 20000000L))),
+      ticks.filter(col("ts") >= timestamp_micros(lit(1704067200000000L + third * 20000000L)) &&
+        col("ts") < timestamp_micros(lit(1704067200000000L + 2 * third * 20000000L))),
+      ticks.filter(col("ts") >= timestamp_micros(lit(1704067200000000L + 2 * third * 20000000L)))
+    ).zipWithIndex.foreach { case (c, i) =>
+      val f = srcDir.resolve(s"chunk$i")
+      c.coalesce(1).write.parquet(f.toString)
+      f.toFile.listFiles().foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream
+      .schema(ticks.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString + "/*")
+    val out = java.nio.file.Files.createTempDirectory("graft-replay-big-out")
+    val warehousePath = out.resolve("daystocks").toString
+    val q = StreamingCandles.warehouseSink(
+      StreamingCandles.dailyCandles(stream, "user_id", "ts", "value"),
+      warehousePath,
+      out.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val cutoff = ticks.agg(max($"ts")).collect()(0).getTimestamp(0).toInstant.minusSeconds(86400)
+    val expected = Candles.ohlcvDaily(ticks, "user_id", "ts", "value")
+      .filter(col("day").cast("timestamp") + expr("INTERVAL 1 DAY") <=
+        lit(java.sql.Timestamp.from(cutoff)))
+    def warehouse() = spark.read.parquet(warehousePath).drop("batch")
+    val total = warehouse().count()
+    assert(total == expected.count())
+    assert(warehouse().select("day").distinct().count() > 20)
+    assert(warehouse().select("user_id").distinct().count() == 50)
+
+    // pick the largest real batch and replay it through the sink's exact
+    // write path: first a PARTIAL write (the failed attempt), then the
+    // full batch again (the engine's retry under the same batchId)
+    val batches = spark.read.parquet(warehousePath)
+      .groupBy("batch").count().orderBy(desc("count")).collect()
+    val replayId = batches.head.getAs[Any]("batch").toString.toLong
+    // stage the batch's rows outside the warehouse — Spark (correctly)
+    // refuses to overwrite a path a plan is still reading from
+    val stage = out.resolve("replay-stage").toString
+    spark.read.parquet(s"$warehousePath/batch=$replayId").write.parquet(stage)
+    val batchRows = spark.read.parquet(stage)
+    val full = batchRows.count()
+    assert(full > 0)
+    StreamingCandles.writeBatch(batchRows.limit((full / 2).toInt), warehousePath, replayId)
+    assert(warehouse().count() == total - full + full / 2) // half-written state
+    StreamingCandles.writeBatch(batchRows, warehousePath, replayId)
+    // the replay healed the partial write and introduced zero duplicates
+    assert(warehouse().count() == total)
+    assert(warehouse().join(expected,
+      Seq("day", "user_id", "open", "high", "low", "close", "volume"), "left_anti").count() == 0)
+    assert(warehouse().groupBy("day", "user_id").count().filter($"count" > 1).count() == 0)
+  }
+
   test("stream-static join: each micro-batch enriched against a batch dimension") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
     val dim = ev.select($"user_id").distinct()
