@@ -87,6 +87,88 @@ object ScaleSmoke {
       println(s"[scale]   pairs: ${pairs.count()}, planted found: $planted / 1000")
       pairs.unpersist()
     }
+
+    // PQ-ADC at the same 25× corpus: corpus touched only through 4 byte
+    // codes per vector; the per-query lookup tables broadcast
+    timed("PQ-ADC top-10, 50k vectors, 32 queries") {
+      val emb = spark.range(50000).select(
+        col("id").as("vec_id"),
+        expr("transform(sequence(1, 64), d -> cast((hash(id * 100 + d) % 2001) / 1000.0 as float))")
+          .as("embedding"))
+      val topk = graft.similarity.Similarity.pqAdcTopK(emb, k = 10, maxQueryId = 32)
+      println(s"[scale]   adc rows: ${topk.count()}")
+    }
+
+    // distributed prefix sum at 10M rows / 64 partitions: the driver sees
+    // one scalar per partition, never rows
+    timed("pack_sequences prefix sum, 10M docs") {
+      val toks = spark.range(10000000L).select(
+        col("id").as("doc_id"),
+        (abs(hash(col("id"))) % 300 + 20).cast("long").as("n"))
+        .repartition(64)
+      val packed = graft.operators.PrefixSum.exclusivePrefixSum(toks, "doc_id", "n", nParts = 64)
+        .select(col("doc_id"), col("n"), col("start_off"),
+          expr("start_off div 512").as("seq_id"))
+      val last = packed.agg(max(col("start_off") + col("n")).as("total"),
+        count_distinct(col("seq_id")).as("seqs")).collect()(0)
+      println(s"[scale]   total tokens: ${last.getLong(0)}, sequences: ${last.getLong(1)}")
+    }
+
+    // asymmetric containment dedup at a 25× doc corpus (12.5k docs vs
+    // sf0.1's 500): candidates from the shingle-key join only — work
+    // scales with SHARED shingles, not n². ids 12000-12499 are plants:
+    // the first 60% of ids 0-499's tokens → containment 1.0
+    timed("containment dedup, 12.5k docs (500 planted 60%-prefix copies)") {
+      val base = spark.range(12000).select(
+        col("id").as("doc_id"),
+        // multiplier > max token index keeps (id, i) token streams
+        // decorrelated across docs — with a small multiplier, doc id+k
+        // would contain a shifted copy of doc id's tokens and the corpus
+        // would be full of accidental near-dups
+        expr("""array_join(transform(sequence(1, cast(abs(hash(id)) % 200 + 50 as int)),
+                  i -> concat('w', pmod(hash(id * 100003 + i), 5000))), ' ')""").as("text"))
+      val planted = base.filter($"doc_id" < 500).select(
+        ($"doc_id" + 12000L).as("doc_id"),
+        expr("""array_join(slice(split(text, ' '), 1,
+                  cast(size(split(text, ' ')) * 6 div 10 as int)), ' ')""").as("text"))
+      val pairs = graft.textops.Dedup
+        .containmentPairs(base.unionByName(planted), n = 5, minContainment = 0.8)
+        .cache()
+      val found = pairs.filter($"doc_a" - 12000L === $"doc_b").count()
+      println(s"[scale]   pairs: ${pairs.count()}, planted found: $found / 500")
+      pairs.unpersist()
+    }
+
+    // 100×-scale streaming warehouse replay: the 10M ticks stream through
+    // day-close candles into the batch-partitioned sink, then the largest
+    // batch is re-written under its own batchId (the engine's at-least-once
+    // retry) — row count must not change
+    timed("streaming warehouse sink, 10M ticks + forced batch replay") {
+      val streamDir = s"$dir/ticks"
+      val stream = spark.readStream
+        .schema(ticks.schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(streamDir)
+      val out = java.nio.file.Files.createTempDirectory("graft-scale-sink")
+      val warehousePath = out.resolve("daystocks").toString
+      val q = graft.streaming.StreamingCandles.warehouseSink(
+        graft.streaming.StreamingCandles.dailyCandles(stream, "user_id", "ts", "value"),
+        warehousePath,
+        out.resolve("ckpt").toString)
+      try q.processAllAvailable() finally q.stop()
+      val before = spark.read.parquet(warehousePath).count()
+      val replayId = spark.read.parquet(warehousePath)
+        .groupBy("batch").count().orderBy(desc("count"))
+        .collect().head.getAs[Any]("batch").toString.toLong
+      val stage = out.resolve("stage").toString
+      spark.read.parquet(s"$warehousePath/batch=$replayId").write.parquet(stage)
+      graft.streaming.StreamingCandles.writeBatch(
+        spark.read.parquet(stage), warehousePath, replayId)
+      val after = spark.read.parquet(warehousePath).count()
+      println(s"[scale]   candles: $before, after replaying batch $replayId: $after" +
+        (if (before == after) " (idempotent)" else " MISMATCH"))
+      assert(before == after, s"replay duplicated rows: $before -> $after")
+    }
     spark.stop()
   }
 }
