@@ -21,7 +21,9 @@ object SparkEntry {
       graft.queries.SimilarityQueries.entries ++
       graft.queries.MultimodalQueries.entries ++
       graft.queries.PipelineQueries.entries ++
-      graft.queries.ProfileQueries.entries
+      graft.queries.ProfileQueries.entries ++
+      graft.queries.TimeSeriesQueries.entries ++
+      graft.queries.CorpusQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference ETL as one DAG: filter → compress → candle →

@@ -1,0 +1,83 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series extensions beyond the reference's indicator set: calendar
+  * gap-filling with forward-fill, bounded-window EWMA, and running-peak
+  * drawdown. All are single-shuffle window/agg compositions — no driver
+  * loops, no UDFs.
+  */
+object TimeSeries {
+
+  /** Daily close per key on a COMPLETE calendar spine: missing days are
+    * materialized (one row per key × day between that key's first and
+    * last observation) and filled with the last prior close
+    * (forward-fill / LOCF), flagged `is_gap`.
+    *
+    * Shape: one groupBy to the daily grain, a per-key min/max, a
+    * `sequence()` explode to build the spine (rows ∝ key-count × span
+    * days — never a global calendar cross join), a left join back on
+    * (key, day), and one ordered window for the fill. All four stages
+    * share the key as shuffle key; AQE coalesces the small spine side.
+    */
+  def gapFillDaily(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val daily = df
+      .groupBy(col(key), to_date(col(ts)).as("day"))
+      .agg(max_by(col(value), col(ts)).as("close"))
+    val spine = daily
+      .groupBy(col(key))
+      .agg(min(col("day")).as("_mn"), max(col("day")).as("_mx"))
+      .select(col(key), explode(sequence(col("_mn"), col("_mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(daily, Seq(key, "day"), "left")
+      .withColumn("is_gap", col("close").isNull)
+      .withColumn("filled", last(col("close"), ignoreNulls = true).over(w))
+      .drop("close")
+  }
+
+  /** Exponentially weighted moving average over a BOUNDED trailing window
+    * (adjust=true form: weights (1−α)^j for the j-th most recent row,
+    * normalized by their sum — pandas `ewm(alpha, adjust=True)` truncated
+    * to `window` rows).
+    *
+    * The unbounded recurrence `e_n = α·x_n + (1−α)·e_{n−1}` is not
+    * window-expressible without numerically explosive rescaling; the
+    * bounded form is exact, partition-parallel, and at (1−α)^10 ≈ 0.03
+    * the truncation tail is below a 4-decimal rounding anyway.
+    * Implementation collects the frame into an array and folds a weighted
+    * sum with higher-order functions — interpreted, not codegen'd, but
+    * per-row cost is O(window) with zero shuffles beyond the window sort.
+    */
+  def ewma(df: DataFrame, key: String, ts: String, value: String,
+           alpha: Double, window: Int): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val decay = 1.0 - alpha
+    // frame order = orderBy order → lw is oldest..newest; element i
+    // (0-based) of n gets weight decay^(n-1-i)
+    df.withColumn("_lw", collect_list(col(value)).over(w))
+      .withColumn("ewma", round(
+        expr(s"""aggregate(transform(_lw, (x, i) -> x * pow($decay, size(_lw) - 1 - i)),
+                           cast(0 as double), (a, x) -> a + x)""") /
+          expr(s"""aggregate(transform(_lw, (x, i) -> pow($decay, size(_lw) - 1 - i)),
+                             cast(0 as double), (a, x) -> a + x)"""), 4))
+      .drop("_lw")
+  }
+
+  /** Running peak and drawdown-from-peak per key: peak = cumulative max
+    * of `value` in time order; drawdown = (peak − value) / peak (null on
+    * a zero peak). One window, one shuffle.
+    */
+  def drawdown(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("peak", max(col(value)).over(w))
+      .withColumn("dd", round(
+        (col("peak") - col(value)) /
+          when(col("peak") === 0, lit(null)).otherwise(col("peak")), 4))
+  }
+}

@@ -103,6 +103,8 @@ object GraftFunctions {
         "graft_dot", exprs => DotProductI64(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_lsh_keys", lshKeysBuilder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
     }
   }
 }
@@ -125,5 +127,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LshTableKeys].getName, "graft_lsh_keys"),
       GraftFunctions.lshKeysBuilder _))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_nfc"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
   }
 }

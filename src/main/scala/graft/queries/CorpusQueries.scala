@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+import graft.textops.Decontaminate
+import org.apache.spark.sql.functions._
+
+/** Web-corpus curation operators beyond the reference: benchmark
+  * decontamination, duplicated-span statistics, URL parsing + domain
+  * blocklist, Unicode NFC normalization (native `graft_nfc` expression),
+  * character-entropy quality scoring.
+  */
+object CorpusQueries {
+
+  private def shinglesDuck(n: Int): String = {
+    val terms = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) - ${n - 2}), i -> $terms)) AS shingle
+            FROM tok) x
+          WHERE shingle IS NOT NULL
+        )"""
+  }
+
+  private def posShinglesDuck(n: Int): String = {
+    val terms = (0 until n).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")
+    s"""tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+        ), pos AS (
+          SELECT doc_id, i AS pos, $terms AS shingle
+          FROM tok, unnest(range(1, len(t) - ${n - 2})) AS u(i)
+          WHERE len(t) >= $n
+        )"""
+  }
+
+  private val blockedHosts = Seq("src3.example.com", "src7.example.com", "src11.example.com")
+
+  val entries: Seq[QueryDef] = Seq(
+    // benchmark decontamination: every 10th doc is the held-out eval
+    // shard; a training doc sharing any 8-gram with it is contaminated.
+    // Candidates come from the shingle-key equi-join (work ∝ tokens +
+    // matches, never |train|×|bench|)
+    QueryDef(
+      "decontaminate",
+      Some(s"""
+        WITH ${shinglesDuck(8)},
+        bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0),
+        train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+        SELECT doc_id,
+               CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared,
+               CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+        FROM train JOIN bench USING (shingle)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Decontaminate.contaminated(
+            Tables.documents(spark, dir), isBench = col("doc_id") % 10 === 0, n = 8)
+          .orderBy("doc_id")
+      }),
+
+    // duplicated-span statistics (substring-dedup at the token-8-gram
+    // grain): fraction of each doc's n-gram POSITIONS whose n-gram occurs
+    // in ≥1 other doc. Document frequency is one groupBy on the n-gram;
+    // the position join reuses the same shuffle key
+    QueryDef(
+      "dup_span_stats",
+      Some(s"""
+        WITH ${posShinglesDuck(8)},
+        freq AS (SELECT shingle, count(DISTINCT doc_id) AS nd FROM pos GROUP BY shingle)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+               round(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+        FROM pos JOIN freq USING (shingle)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Decontaminate.dupSpanStats(Tables.documents(spark, dir), n = 8)
+          .orderBy("doc_id")
+      }),
+
+    // URL parse + domain blocklist: synthesize a deterministic URL per
+    // doc, extract host/path/query-param natively (parse_url — codegen'd
+    // builtin), drop blocklisted domains via broadcast anti join. The
+    // oracle states the same extraction as regexes
+    QueryDef(
+      "url_extract",
+      Some(s"""
+        WITH u AS (
+          SELECT doc_id,
+                 'https://' || source || '.example.com/' || lang || '/doc-' ||
+                   doc_id || '?ref=r' || (doc_id % 7) AS url
+          FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 regexp_extract(url, '^https://([^/?#]+)', 1) AS host,
+                 regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1) AS path,
+                 regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+          FROM u)
+        SELECT doc_id, host, path, ref
+        FROM p
+        WHERE host NOT IN (${blockedHosts.map(h => s"'$h'").mkString(", ")})
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import spark.implicits._
+        val url = concat(
+          lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+          lit("/doc-"), col("doc_id").cast("string"),
+          lit("?ref=r"), (col("doc_id") % 7).cast("string"))
+        val parsed = Tables.documents(spark, dir)
+          .select(
+            col("doc_id"),
+            parse_url(url, lit("HOST")).as("host"),
+            parse_url(url, lit("PATH")).as("path"),
+            parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
+        val blocklist = blockedHosts.toDF("host")
+        parsed.join(broadcast(blocklist), Seq("host"), "left_anti")
+          .select("doc_id", "host", "path", "ref")
+          .orderBy("doc_id")
+      }),
+
+    // Unicode NFC normalization via the native graft_nfc expression: a
+    // decomposed 'e'+U+0301 suffix is composed to é (U+00E9) — the
+    // char count shrinks by one, the octet count by one; the oracle is
+    // DuckDB's nfc_normalize
+    QueryDef(
+      "unicode_normalize",
+      Some("""
+        WITH r AS (
+          SELECT doc_id, substr(text, 1, 8) || 'e' || chr(769) AS raw FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS raw_chars,
+               CAST(strlen(raw) AS BIGINT) AS raw_octets,
+               nfc_normalize(raw) AS nfc,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+               CAST(strlen(nfc_normalize(raw)) AS BIGINT) AS nfc_octets
+        FROM r
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        GraftFunctions.register(spark)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            // DECOMPOSED e + U+0301, matching the oracle's 'e' || chr(769);
+            // a precomposed é would make NFC a no-op
+            concat(substring(col("text"), 1, 8), lit("e\u0301")).as("raw"))
+          .select(
+            col("doc_id"),
+            length(col("raw")).cast("long").as("raw_chars"),
+            octet_length(col("raw")).cast("long").as("raw_octets"),
+            expr("graft_nfc(raw)").as("nfc"),
+            length(expr("graft_nfc(raw)")).cast("long").as("nfc_chars"),
+            octet_length(expr("graft_nfc(raw)")).cast("long").as("nfc_octets"))
+          .orderBy("doc_id")
+      }),
+
+    // character-entropy quality score: H = log2(n) − Σ c·log2(c) / n over
+    // per-doc character frequencies — exact integer counts, one double
+    // log-sum rounded to 4. Spark's split('') keeps a trailing zero-width
+    // match that DuckDB's does not — both sides filter empties
+    QueryDef(
+      "char_entropy",
+      Some("""
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents
+        ), f AS (
+          SELECT doc_id, c, count(*) AS cnt FROM ch WHERE c <> '' GROUP BY doc_id, c
+        ), tot AS (
+          SELECT doc_id, SUM(cnt) AS n, SUM(cnt * log2(cnt)) AS s FROM f GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_chars_total,
+               round(log2(n) - s / n, 4) AS entropy
+        FROM tot
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= "")
+          .groupBy(col("doc_id"), col("c"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).as("n"), sum(col("cnt") * log2(col("cnt"))).as("s"))
+          .select(
+            col("doc_id"),
+            col("n").cast("long").as("n_chars_total"),
+            round(log2(col("n")) - col("s") / col("n"), 4).as("entropy"))
+          .orderBy("doc_id")
+      })
+  )
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.analytics.TimeSeries
+import graft.operators.RangeJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series extensions beyond the reference (SURVEY.md has no range
+  * join, gap-fill, EWMA or drawdown): bucketed interval-overlap join,
+  * calendar gap-filling with forward-fill, bounded-window EWMA,
+  * weighted daily average, running-peak drawdown — all over the `events`
+  * tick table.
+  */
+object TimeSeriesQueries {
+
+  val entries: Seq[QueryDef] = Seq(
+    // interval-overlap (range) join: every event attributed to every
+    // 3-hour "incident window" containing it. The oracle states the pure
+    // inequality join; the Spark side MUST NOT plan that literally (BNLJ /
+    // cartesian — PlanAuditSpec bans it) and instead runs the bucketed
+    // rewrite in operators/RangeJoin: explode intervals into covered
+    // hour-buckets, hash-join on the bucket, residual [start, end) filter
+    QueryDef(
+      "interval_join_bucketed",
+      Some("""
+        WITH iv AS (
+          SELECT event_id AS incident_id, ts AS start_ts, ts + INTERVAL 3 HOUR AS end_ts
+          FROM events WHERE event_id % 97 = 0
+        )
+        SELECT iv.incident_id, e.event_id, e.user_id, e.ts
+        FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        ORDER BY incident_id, event_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val incidents = ev.filter(col("event_id") % 97 === 0)
+          .select(
+            col("event_id").as("incident_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 3 HOUR")).as("end_ts"))
+        RangeJoin.pointInInterval(
+            ev.select("event_id", "user_id", "ts"), "ts",
+            incidents, "start_ts", "end_ts", bucketSeconds = 3600L)
+          .select("incident_id", "event_id", "user_id", "ts")
+          .orderBy("incident_id", "event_id")
+      }),
+
+    // calendar gap-fill + forward-fill: complete per-user daily spine,
+    // missing days flagged and filled with the last prior close (LOCF).
+    // `filled` is a carried RAW value (max_by of ticks), not a float
+    // aggregate — exact in both engines, no rounding needed
+    QueryDef(
+      "gapfill_daily",
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, max_by(value, ts) AS close
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), bounds AS (
+          SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id
+        ), spine AS (
+          SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds
+        )
+        SELECT s.user_id, s.day,
+               d.close IS NULL AS is_gap,
+               last_value(d.close IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY s.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        ORDER BY s.user_id, s.day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        TimeSeries.gapFillDaily(
+            Tables.events(spark, dir).select("user_id", "ts", "value"),
+            key = "user_id", ts = "ts", value = "value")
+          .select("user_id", "day", "is_gap", "filled")
+          .orderBy("user_id", "day")
+      }),
+
+    // bounded-window EWMA (adjust=true, α=0.3, 10-row window): weights
+    // (1−α)^j oldest→newest folded in identical order in both engines,
+    // rounded to 4 decimals per the determinism contract
+    QueryDef(
+      "ewma_smooth",
+      Some("""
+        SELECT user_id, ts, value,
+               round(
+                 list_sum(list_transform(lw, (x, i) -> x * pow(0.7, len(lw) - i))) /
+                 list_sum(list_transform(lw, (x, i) -> pow(0.7, len(lw) - i))), 4) AS ewma
+        FROM (
+          SELECT user_id, ts, value,
+                 list(value) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS lw
+          FROM events) t
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        TimeSeries.ewma(
+            Tables.events(spark, dir).select("user_id", "ts", "value"),
+            key = "user_id", ts = "ts", value = "value", alpha = 0.3, window = 10)
+          .select("user_id", "ts", "value", "ewma")
+          .orderBy("user_id", "ts")
+      }),
+
+    // weighted daily average: value weighted by the JSON `k` prop —
+    // integer cents × integer weights accumulate exactly, and the
+    // average is emitted as an EXACT scaled integer (price × 10⁻⁴,
+    // floored): vwap = Σcents·k / (100·Σk), so ×10⁴ = Σcents·k·100 // Σk.
+    // A rounded double here is a genuine cross-engine hazard — the
+    // rational lands exactly on a 5th-decimal midpoint for round-number
+    // weight sums, and Spark (HALF_UP on BigDecimal) vs DuckDB
+    // (half-away on scaled doubles) disagree on ties. Integer floor
+    // division has no ties.
+    QueryDef(
+      "vwap_daily",
+      Some("""
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(SUM(k) AS BIGINT) AS total_w,
+               CAST(SUM(cents * k) * 100 // nullif(SUM(k), 0) AS BIGINT) AS vwap_e4
+        FROM (
+          SELECT user_id, ts,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events) t
+        GROUP BY user_id, CAST(ts AS DATE)
+        ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        Tables.events(spark, dir)
+          .select(
+            col("user_id"), col("ts"), k.as("k"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("k")).as("total_w"), sum(col("cents") * col("k")).as("_cw"))
+          .withColumn("vwap_e4", expr("CAST((_cw * 100) DIV nullif(total_w, 0) AS BIGINT)"))
+          .select("user_id", "day", "total_w", "vwap_e4")
+          .orderBy("user_id", "day")
+      }),
+
+    // running peak + drawdown-from-peak: cumulative max carries a RAW
+    // value (exact); the drawdown ratio is one division, rounded to 4
+    QueryDef(
+      "drawdown",
+      Some("""
+        SELECT user_id, ts, value,
+               max(value) OVER w AS peak,
+               round((max(value) OVER w - value) / nullif(max(value) OVER w, 0), 4) AS dd
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        TimeSeries.drawdown(
+            Tables.events(spark, dir).select("user_id", "ts", "value"),
+            key = "user_id", ts = "ts", value = "value")
+          .select("user_id", "ts", "value", "peak", "dd")
+          .orderBy("user_id", "ts")
+      })
+  )
+}

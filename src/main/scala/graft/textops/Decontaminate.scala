@@ -1,0 +1,84 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination and duplicated-span statistics for a
+  * training corpus — the n-gram-overlap family of operators (GPT-3 §C /
+  * Llama-style decontamination; Lee et al. substring-dedup flavor,
+  * approximated at the token-n-gram grain).
+  *
+  * Both operators share the scale shape of the Dedup family: candidates
+  * come from an equi-join on the content-derived n-gram key, so work is
+  * ∝ corpus tokens + shared-n-gram matches, never |train| × |bench|.
+  * Skew note for 100 TB: ultra-frequent boilerplate n-grams make hot
+  * join keys; production runs should drop n-grams above a document-
+  * frequency cap (they carry no contamination signal) — the operators
+  * take the cap as a parameter.
+  */
+object Decontaminate {
+
+  /** (doc_id, pos, shingle): POSITIONAL word n-grams — unlike
+    * `Dedup.shingles` these are not distinct-ed, because span statistics
+    * weight by occurrence position.
+    */
+  def positionalShingles(documents: DataFrame, n: Int): DataFrame =
+    documents
+      .withColumn("toks", expr(TextAnalysis.tokensExpr))
+      // NOT sequence(1, greatest(len-n+1, 0)): Spark's sequence(1, 0) is
+      // the DESCENDING [1, 0], whose pos=0 would index element_at at 0.
+      // Docs shorter than n tokens must produce zero spans.
+      .withColumn("pos", explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN sequence(1, size(toks) - ${n - 1}) ELSE array() END")))
+      .withColumn("shingle", expr(
+        s"concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, pos + $j)").mkString(", ")})"))
+      .select(col("doc_id"), col("pos"), col("shingle"))
+
+  /** Training documents sharing at least one word n-gram with the
+    * benchmark (eval) set. `isBench` partitions `documents` into the two
+    * sides; returns one row per contaminated TRAINING doc with the count
+    * of distinct shared n-grams and of distinct benchmark docs hit.
+    *
+    * `maxDocFreq`: n-grams occurring in more than this many benchmark
+    * docs are dropped as boilerplate (0 = keep all; testdata uses 0 so
+    * the oracle stays a plain join).
+    */
+  def contaminated(documents: DataFrame, isBench: Column,
+                   n: Int = 8, maxDocFreq: Long = 0L): DataFrame = {
+    val bench0 = Dedup.shingles(documents.filter(isBench), n)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val bench =
+      if (maxDocFreq <= 0L) bench0
+      else {
+        val keep = bench0.groupBy("shingle")
+          .agg(count(lit(1)).as("_df")).filter(col("_df") <= maxDocFreq)
+          .select("shingle")
+        bench0.join(keep, Seq("shingle"))
+      }
+    val train = Dedup.shingles(documents.filter(!isBench), n)
+    train.join(bench, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("shingle")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Per-document duplicated-span statistics: the fraction of a doc's
+    * n-gram positions whose n-gram also occurs in at least one OTHER
+    * document. The corpus-wide document frequency is one groupBy on the
+    * n-gram; the join back to positions re-uses the same shuffle key.
+    * Documents shorter than n tokens have no spans and are absent.
+    */
+  def dupSpanStats(documents: DataFrame, n: Int = 8): DataFrame = {
+    val pos = positionalShingles(documents, n).filter(col("shingle").isNotNull)
+    val freq = pos.groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("_nd"))
+    pos.join(freq, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 4))
+  }
+}

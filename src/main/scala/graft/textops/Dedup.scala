@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** word n-gram shingles (default 5) of lowercased whitespace tokens,
-    * distinct per doc */
+    * distinct per doc. Docs shorter than n tokens yield zero shingles —
+    * NOT `sequence(1, greatest(len-n+1, 0))`: Spark's sequence(1, 0) is
+    * the DESCENDING [1, 0], whose pos 0 makes element_at(toks, n-1+0)
+    * throw under ANSI for any doc with < n tokens.
+    */
   def shingles(documents: DataFrame, n: Int = 5): DataFrame =
     documents
       .withColumn("toks", expr(TextAnalysis.tokensExpr))
       .withColumn("shingle", explode(expr(
-        s"""transform(sequence(1, greatest(size(toks) - ${n - 1}, 0)),
+        s"""transform(
+              CASE WHEN size(toks) >= $n THEN sequence(1, size(toks) - ${n - 1}) ELSE array() END,
               i -> concat_ws(' ', ${(0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")}))""")))
       .select(col("doc_id"), col("shingle"))
       .distinct()

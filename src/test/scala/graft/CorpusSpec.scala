@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.textops.Decontaminate
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10-token docs; doc 100 is "benchmark", doc 2 embeds its first 8 tokens
+  private lazy val docs = Seq(
+    (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // bench
+    (1L, "one two three four five six seven eight nine ten"), // clean
+    (2L, "alpha beta gamma delta epsilon zeta eta theta xx yy"), // contaminated
+    (3L, "short doc under eight tokens only") // 6 tokens → no spans
+  ).toDF("doc_id", "text")
+
+  test("decontaminate flags only docs sharing an 8-gram with the bench shard") {
+    val out = Decontaminate.contaminated(docs, isBench = $"doc_id" === 100L, n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((2L, 1L, 1L))) // one shared 8-gram, one bench doc
+  }
+
+  test("decontaminate maxDocFreq drops boilerplate n-grams") {
+    // shingle shared with BOTH bench docs → df=2 > cap=1 → dropped
+    val d2 = Seq(
+      (100L, "a b c d e f g h x1 y1"),
+      (101L, "a b c d e f g h x2 y2"),
+      (1L, "a b c d e f g h z1 z2")
+    ).toDF("doc_id", "text")
+    val capped = Decontaminate.contaminated(d2, $"doc_id" >= 100L, n = 8, maxDocFreq = 1L)
+    assert(capped.count() == 0)
+    val uncapped = Decontaminate.contaminated(d2, $"doc_id" >= 100L, n = 8)
+    assert(uncapped.count() == 1)
+  }
+
+  test("dup-span stats: positional fractions; short docs have no spans") {
+    val out = Decontaminate.dupSpanStats(docs, n = 8)
+      .select("doc_id", "n_spans", "n_dup_spans", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toMap2
+    assert(!out.contains(3L)) // 6 tokens < 8 → absent
+    assert(out(1L) == (3L, 0L, 0.0)) // 10 tokens → 3 spans, none shared
+    assert(out(100L)._1 == 3L && out(100L)._2 == 1L) // pos-1 8-gram shared with doc 2
+    assert(out(2L) == (3L, 1L, 0.3333))
+  }
+
+  test("positional shingles: sequence(1,0) trap — short docs yield zero rows") {
+    val one = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // 7 tokens
+    assert(Decontaminate.positionalShingles(one, 8).count() == 0)
+    val exact = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text") // 8 tokens
+    assert(Decontaminate.positionalShingles(exact, 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+      == Seq((1L, 1, "a b c d e f g h")))
+  }
+
+  test("graft_nfc composes decomposed sequences and passes NFC text through") {
+    GraftFunctions.register(spark)
+    val out = Seq(("é", "café"), ("ascii", "plain"))
+      .toDF("a", "b")
+      .select(expr("graft_nfc(a)").as("na"), length(expr("graft_nfc(a)")).as("la"),
+        expr("graft_nfc(b)").as("nb"))
+      .as[(String, Int, String)].collect().toSet
+    assert(out == Set(("é", 1, "café"), ("ascii", 5, "plain")))
+  }
+
+  test("char entropy formulation: aabb → 1 bit, abcd → 2 bits") {
+    val d = Seq((1L, "aabb"), (2L, "abcd")).toDF("doc_id", "text")
+    val got = d
+      .select($"doc_id", explode(split($"text", "")).as("c"))
+      .filter($"c" =!= "")
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("cnt"))
+      .groupBy($"doc_id")
+      .agg(sum($"cnt").as("n"), sum($"cnt" * log2($"cnt")).as("s"))
+      .select($"doc_id", round(log2($"n") - $"s" / $"n", 4).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0))
+  }
+
+  test("split('') in Spark yields a trailing empty — the filter is required") {
+    val arr = Seq("ab").toDF("t").select(split($"t", "").as("a")).as[Seq[String]].head()
+    // pin the engine behavior the char_entropy query compensates for;
+    // if a Spark upgrade changes this, the query's filter stays correct
+    assert(arr.count(_ == "") <= 1 && arr.filter(_.nonEmpty) == Seq("a", "b"))
+  }
+
+  implicit private class MapOps(rows: Array[(Long, Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Long, Double)] =
+      rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.analytics.TimeSeries
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("range join: bucketed result equals the brute-force inequality join") {
+    // intervals deliberately cross bucket (hour) boundaries, end exactly
+    // on boundaries, and overlap each other
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:30:00"), ts("2024-01-01 02:00:00")), // ends ON boundary
+      (2L, ts("2024-01-01 01:15:00"), ts("2024-01-01 04:45:00")), // crosses 3 boundaries
+      (3L, ts("2024-01-01 05:00:00"), ts("2024-01-01 05:00:01")) // sub-bucket
+    ).toDF("iv_id", "start_ts", "end_ts")
+    val points = Seq(
+      (10L, ts("2024-01-01 00:30:00")), // == start of 1 → included
+      (11L, ts("2024-01-01 02:00:00")), // == end of 1 → EXCLUDED, inside 2
+      (12L, ts("2024-01-01 01:59:59")), // inside 1 and 2
+      (13L, ts("2024-01-01 04:44:59")), // tail of 2
+      (14L, ts("2024-01-01 05:00:00")), // start of 3
+      (15L, ts("2024-01-01 06:00:00")) // matches nothing
+    ).toDF("pt_id", "ts")
+
+    val got = RangeJoin.pointInInterval(points, "ts", intervals, "start_ts", "end_ts")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    val want = points.crossJoin(intervals)
+      .filter($"ts" >= $"start_ts" && $"ts" < $"end_ts")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want == Set((10L, 1L), (12L, 1L), (12L, 2L), (11L, 2L), (13L, 2L), (14L, 3L)))
+    // no duplicate (point, interval) pairs: each pair meets in exactly one bucket
+    val n = RangeJoin.pointInInterval(points, "ts", intervals, "start_ts", "end_ts").count()
+    assert(n == want.size)
+  }
+
+  test("gap-fill: missing days materialized, flagged, forward-filled") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-02 09:00:00"), 20.0),
+      (1L, ts("2024-01-02 18:00:00"), 25.0), // close of day 2
+      (1L, ts("2024-01-04 12:00:00"), 40.0),
+      (1L, ts("2024-01-06 12:00:00"), 60.0),
+      (2L, ts("2024-01-03 12:00:00"), 99.0) // single-day key: no gaps
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.gapFillDaily(events, "user_id", "ts", "value")
+      .select($"user_id", $"day".cast("string"), $"is_gap", $"filled")
+      .as[(Long, String, Boolean, Double)].collect().toSet
+    assert(got == Set(
+      (1L, "2024-01-01", false, 10.0),
+      (1L, "2024-01-02", false, 25.0), // last tick of the day wins
+      (1L, "2024-01-03", true, 25.0), // gap → carried
+      (1L, "2024-01-04", false, 40.0),
+      (1L, "2024-01-05", true, 40.0),
+      (1L, "2024-01-06", false, 60.0),
+      (2L, "2024-01-03", false, 99.0)))
+  }
+
+  test("ewma: adjust=true weights, hand-computed") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1.0),
+      (1L, ts("2024-01-01 00:00:02"), 2.0),
+      (1L, ts("2024-01-01 00:00:03"), 3.0)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.ewma(events, "user_id", "ts", "value", alpha = 0.5, window = 10)
+      .orderBy("ts").select("ewma").as[Double].collect().toSeq
+    // e1=1; e2=(2+0.5·1)/1.5; e3=(3+0.5·2+0.25·1)/1.75
+    assert(got == Seq(1.0, 1.6667, 2.4286))
+  }
+
+  test("drawdown: peak is running max, dd is fraction off peak") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 10.0),
+      (1L, ts("2024-01-01 00:00:02"), 5.0),
+      (1L, ts("2024-01-01 00:00:03"), 20.0),
+      (1L, ts("2024-01-01 00:00:04"), 10.0)
+    ).toDF("user_id", "ts", "value")
+    val got = TimeSeries.drawdown(events, "user_id", "ts", "value")
+      .orderBy("ts").select("peak", "dd").as[(Double, Double)].collect().toSeq
+    assert(got == Seq((10.0, 0.0), (10.0, 0.5), (20.0, 0.0), (20.0, 0.5)))
+  }
+}
