@@ -139,6 +139,61 @@ object ScaleSmoke {
       pairs.unpersist()
     }
 
+    // bucketed interval join at 10M points × 100k intervals: intervals
+    // explode into ≤2 five-minute buckets (span ≤ 3 min), points carry
+    // one bucket — the join is a plain hash join on the bucket key; the
+    // naive inequality-join plan would be a 10M × 100k nested loop
+    timed("interval join, 10M points x 100k intervals (60-180 s spans)") {
+      val intervals = spark.range(100000).select(
+        col("id").as("incident_id"),
+        timestamp_micros(lit(1704067200000000L)
+          + (abs(hash(col("id") * 13)) % 6998000L) * 1000000L).as("start_ts"))
+        .withColumn("end_ts",
+          timestamp_micros(unix_micros(col("start_ts"))
+            + (lit(60L) + abs(hash(col("incident_id") * 31)) % 121L) * 1000000L))
+      val joined = graft.operators.RangeJoin.pointInInterval(
+        ticks.select("event_id", "ts"), "ts", intervals, "start_ts", "end_ts",
+        bucketSeconds = 300L)
+      println(s"[scale]   attributed pairs: ${joined.count()}")
+    }
+
+    // decontamination at a 20× corpus (100k docs vs sf0.1's 5k): every
+    // 10th doc is the eval shard; 500 extra TRAIN docs (ids ≡ 1 mod 10)
+    // embed a bench doc's full token stream plus a unique suffix — all
+    // 500 must surface, and ONLY those (the 100003 multiplier keeps
+    // independent docs' 8-gram sets disjoint)
+    timed("decontamination, 100k docs / 8-grams (500 planted overlaps)") {
+      val base = spark.range(100000).select(
+        col("id").as("doc_id"),
+        expr("""array_join(transform(sequence(1, cast(abs(hash(id)) % 200 + 50 as int)),
+                  i -> concat('w', pmod(hash(id * 100003 + i), 5000))), ' ')""").as("text"))
+      val plants = base.filter($"doc_id" % 10 === 0 && $"doc_id" < 5000)
+        .select(($"doc_id" + 1000001L).as("doc_id"),
+          concat($"text", lit(" xtra"), ($"doc_id" + 1000001L).cast("string")).as("text"))
+      val out = graft.textops.Decontaminate
+        .contaminated(base.unionByName(plants), isBench = $"doc_id" % 10 === 0, n = 8)
+        .cache()
+      val found = out.filter($"doc_id" >= 1000001L).count()
+      println(s"[scale]   contaminated docs: ${out.count()}, planted found: $found / 500")
+      out.unpersist()
+    }
+
+    // calendar gap-fill at 100k keys × sparse year: ~40 observed days per
+    // key forward-filled onto each key's own min..max spine (~36M spine
+    // rows from 4M observations) — spine rows ∝ keys × span, one window
+    timed("gap-fill, 100k keys x sparse year (~4M obs -> per-key spine)") {
+      val obs = spark.range(4000000L).select(
+        (col("id") % 100000L).as("key_id"),
+        timestamp_micros(lit(1704067200000000L)
+          + (abs(hash(col("id"))) % 365L) * 86400000000L
+          + (col("id") % 86400L) * 1000000L).as("ts"),
+        (abs(hash(col("id") * 3)) % 10000 / 100.0).as("value"))
+      val filled = graft.analytics.TimeSeries.gapFillDaily(obs, "key_id", "ts", "value")
+      val r = filled.agg(count(lit(1)).as("rows"),
+        sum(when(col("is_gap"), 1L).otherwise(0L)).as("gaps")).collect()(0)
+      println(s"[scale]   spine rows: ${r.getLong(0)}, gaps filled: ${r.getLong(1)}")
+    }
+
     // 100×-scale streaming warehouse replay: the 10M ticks stream through
     // day-close candles into the batch-partitioned sink, then the largest
     // batch is re-written under its own batchId (the engine's at-least-once

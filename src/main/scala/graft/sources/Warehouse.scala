@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Write-path maintenance for the day-partitioned Parquet warehouse
+  * (the hypertable analog written by `Sources.writeDayPartitioned`):
+  * partition-scoped copy-on-write upsert (the MERGE-INTO analog for a
+  * plain-parquet table) and small-file compaction.
+  *
+  * Both are the operations a 100 TB warehouse actually runs daily:
+  * late/corrected ticks merge into their day partitions without touching
+  * the other ~2000 days, and streaming micro-batches' small files fold
+  * into index-friendly sorted files. Only the AFFECTED partitions are
+  * ever read or rewritten; the driver sees a day list, never rows.
+  */
+object Warehouse {
+
+  /** Merge `updates` into the warehouse at `path` by `keyCols` identity
+    * within each day: an existing row with an update's key is REPLACED
+    * (last-writer-wins), a new key is INSERTED. Day partitions not
+    * present in `updates` are not read, not written, and keep their
+    * files byte-identical.
+    *
+    * Copy-on-write mechanics: merged rows stage first, then dynamic
+    * partition overwrite replaces exactly the staged days — Spark
+    * (correctly) refuses a plan that overwrites the files it is reading,
+    * and the two-pass write is the cost any copy-on-write MERGE pays.
+    * Idempotent: replaying the same `updates` converges to the same
+    * table state.
+    */
+  def upsertDayPartitioned(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String]): Unit = {
+    val up = updates.withColumn("day", to_date(col(tsCol)))
+    // O(affected days) on the driver — the partition-pruning predicate,
+    // never row data
+    val days = up.select(col("day")).distinct().collect().map(_.get(0))
+    require(days.nonEmpty, "upsert with no rows")
+    val current = spark.read.parquet(path).filter(col("day").isin(days: _*))
+    val survivors = current.join(up.select((keyCols :+ "day").map(col): _*),
+      keyCols :+ "day", "left_anti")
+    val merged = survivors.unionByName(up)
+
+    val staging = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    merged.write.mode("overwrite").parquet(staging)
+
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.read.parquet(staging)
+        .repartition(col("day"))
+        .sortWithinPartitions((keyCols :+ tsCol).map(col): _*)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** Compact day partitions that fragmented into more than
+    * `maxFilesPerDay` parquet files (streaming micro-batches, repeated
+    * upserts) back into one sorted file per day, restoring the
+    * (key, ts)-sorted layout `writeDayPartitioned` establishes (the
+    * composite-index analog — min/max row-group skipping needs the sort).
+    *
+    * Candidate selection lists the filesystem — O(partitions + files) on
+    * the driver, no row data — and partitions already at or under the
+    * target are neither read nor written.
+    */
+  def compactDayPartitions(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      tsCol: String,
+      maxFilesPerDay: Int = 1): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val fragmented = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .filter(d => fs.listStatus(d.getPath).count(f =>
+        f.getPath.getName.endsWith(".parquet")) > maxFilesPerDay)
+      .map(_.getPath.getName.stripPrefix("day="))
+    if (fragmented.isEmpty) return Nil
+
+    val current = spark.read.parquet(path).filter(col("day").isin(fragmented: _*))
+    val staging = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    current.write.mode("overwrite").parquet(staging)
+
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.read.parquet(staging)
+        .repartition(col("day"))
+        .sortWithinPartitions(col(keyCol), col(tsCol))
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    fragmented
+  }
+}

@@ -78,6 +78,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("interval_join_bucketed plans a hash/merge equi-join on the bucket key") {
+    val plan = SparkEntry.queries("interval_join_bucketed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the point of the bucketed rewrite: the inequality join must become
+    // a real equi-join; BNLJ/cartesian are separately banned below
+    assert(Seq("BroadcastHashJoin", "ShuffledHashJoin", "SortMergeJoin").exists(plan.contains),
+      s"range join did not plan an equi-join:\n${plan.linesIterator.take(30).mkString("\n")}")
+  }
+
   test("no query in the catalog plans a cartesian or unexpected nested-loop join") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
