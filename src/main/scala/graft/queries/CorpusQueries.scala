@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.GraftFunctions
-import graft.textops.Decontaminate
+import graft.textops.{Curate, Decontaminate, Dedup, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Web-corpus curation operators beyond the reference: benchmark
@@ -36,6 +37,8 @@ object CorpusQueries {
   }
 
   private val blockedHosts = Seq("src3.example.com", "src7.example.com", "src11.example.com")
+
+  private val toksDuck = TextAnalysis.tokensExprDuck
 
   val entries: Seq[QueryDef] = Seq(
     // benchmark decontamination: every 10th doc is the held-out eval
@@ -192,6 +195,129 @@ object CorpusQueries {
             col("doc_id"),
             col("n").cast("long").as("n_chars_total"),
             round(log2(col("n")) - col("s") / col("n"), 4).as("entropy"))
+          .orderBy("doc_id")
+      }),
+
+    // token-budget sampling (data-mixture construction): per language,
+    // take the highest-quality docs until a token budget fills — a
+    // cumulative-sum window over a deterministic total order (quality
+    // desc, doc_id). quality_score doubles are bit-identical across
+    // engines (text_quality hash-passes), so the order and the cut
+    // agree exactly
+    QueryDef(
+      "token_budget_sample",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, lang, text, $toksDuck AS toks FROM documents
+        ), r AS (
+          SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ${TextAnalysis.qualityScoreSqlDuck} AS q
+          FROM d
+        ), c AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+          FROM r
+        )
+        SELECT lang, doc_id, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 3000
+        ORDER BY lang, cum_tokens
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        TextAnalysis.withQuality(Tables.documents(spark, dir))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w).cast("long"))
+          .filter(col("cum_tokens") <= 3000)
+          .select("lang", "doc_id", "n_tokens", "cum_tokens")
+          .orderBy("lang", "cum_tokens")
+      }),
+
+    // incremental MinHash-LSH dedup: a new batch (doc_id ≥ 250) checked
+    // against the already-ingested corpus (doc_id < 250) — candidates
+    // are NEW × STORE band collisions only; new-new and store-store
+    // pairs are never enumerated. In production the store side reads a
+    // persisted signature table written at ingest
+    QueryDef(
+      "dedup_incremental",
+      Some(s"""
+        WITH ${shinglesDuck(5)},
+        k AS (SELECT doc_id, ${Dedup.shingleKeyExprDuck} AS s FROM sh),
+        sig AS (SELECT doc_id, ${Dedup.sigSelectSqlDuck} FROM k GROUP BY doc_id),
+        bands AS (${Dedup.bandsSqlDuck}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_store
+          FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+          WHERE x.doc_id >= 250 AND y.doc_id < 250
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_new, c.doc_store, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_new
+          JOIN sh b ON b.doc_id = c.doc_store AND b.shingle = a.shingle
+          GROUP BY c.doc_new, c.doc_store
+        )
+        SELECT doc_new, doc_store,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_new
+        JOIN sizes sb ON sb.doc_id = doc_store
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.7
+        ORDER BY doc_new, doc_store
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Dedup.incrementalLshPairs(
+            newDocs = docs.filter(col("doc_id") >= 250),
+            store = docs.filter(col("doc_id") < 250),
+            n = 5, minJaccard = 0.7)
+          .orderBy("doc_new", "doc_store")
+      }),
+
+    // the whole curation pipeline as ONE DAG (the LLM analog of
+    // etl_pipeline): quality gate → eval-shard removal → exact dedup
+    // (keep-min doc id) → 8-gram decontamination → content-hash split
+    QueryDef(
+      "curate_pipeline",
+      Some(s"""
+        WITH d0 AS (
+          SELECT doc_id, lang, text, $toksDuck AS toks FROM documents
+        ), scored AS (
+          SELECT doc_id, text, toks,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ${TextAnalysis.qualityScoreSqlDuck} AS quality_score,
+                 ${TextAnalysis.langScoresSqlDuck}
+          FROM d0
+        ), kept AS (
+          SELECT * FROM scored WHERE quality_score >= 0.535 AND doc_id % 10 <> 0
+        ), ded AS (
+          SELECT *, row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+          FROM kept
+        ), ${shinglesDuck(8)},
+        cont AS (
+          SELECT DISTINCT t.doc_id
+          FROM (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0) t
+          JOIN (SELECT shingle FROM sh WHERE doc_id % 10 = 0) b USING (shingle)
+        )
+        SELECT doc_id,
+               ${TextAnalysis.langBestSqlDuck} AS predicted_lang,
+               n_tokens, quality_score,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          FROM ded
+          WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM cont)) z
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Curate.curate(
+            Tables.documents(spark, dir),
+            isBench = col("doc_id") % 10 === 0,
+            qualityMin = 0.535, n = 8)
           .orderBy("doc_id")
       })
   )

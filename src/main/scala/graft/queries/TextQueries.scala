@@ -16,19 +16,9 @@ object TextQueries {
 
   private val toksDuck = TextAnalysis.tokensExprDuck
 
-  // ---- language-ID oracle: nested CASE replicating the strict-> fold ----
-  private def langPredSql: String = {
-    // fold state as SQL strings: (bestLangExpr, bestScoreExpr)
-    langOrder.tail.foldLeft((s"'${langOrder.head}'", s"score_${langOrder.head}")) {
-      case ((bestL, bestS), l) =>
-        (s"(CASE WHEN score_$l > $bestS THEN '$l' ELSE $bestL END)",
-          s"(CASE WHEN score_$l > $bestS THEN score_$l ELSE $bestS END)")
-    }._1
-  }
-
-  private val langScoresDuck = langOrder.map { l =>
-    s"CAST(len(list_filter(toks, t -> t IN (${inList(stopwords(l))}))) AS BIGINT) AS score_$l"
-  }.mkString(",\n                 ")
+  // language-ID oracle generators live with the operator (TextAnalysis)
+  private def langPredSql: String = TextAnalysis.langBestSqlDuck
+  private val langScoresDuck = TextAnalysis.langScoresSqlDuck
 
   // ---- minhash oracle pieces, generated from Dedup.minhashParams ----
   private val shinglesDuck =
@@ -43,16 +33,9 @@ object TextQueries {
           WHERE shingle IS NOT NULL
         )"""
 
-  private val sigSelectDuck = Dedup.minhashParams.zipWithIndex.map { case ((a, b), i) =>
-    s"min(($a * s + $b) % ${Dedup.minhashP}) AS mh$i"
-  }.mkString(", ")
-
-  private val bandsDuck = (0 until Dedup.minhashParams.size / Dedup.bandSize).map { bnd =>
-    val key = (0 until Dedup.bandSize)
-      .map(j => s"CAST(mh${bnd * Dedup.bandSize + j} AS VARCHAR)")
-      .mkString(" || '_' || ")
-    s"SELECT doc_id, $bnd AS band, $key AS band_key FROM sig"
-  }.mkString(" UNION ALL ")
+  // minhash oracle generators live with the operator (Dedup)
+  private val sigSelectDuck = Dedup.sigSelectSqlDuck
+  private val bandsDuck = Dedup.bandsSqlDuck
 
   private val simhashSumsDuck = (0 until Dedup.simhashBits)
     .map(b => s"SUM(cnt * (((h >> $b) & 1) * 2 - 1)) AS w$b").mkString(", ")

@@ -105,6 +105,22 @@ object Dedup {
   val shingleKeyExprDuck =
     s"CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % $minhashP"
 
+  /** DuckDB oracle generators for the MinHash signature + band unpivot —
+    * generated from the SAME constants the Spark side uses, so engine and
+    * oracle cannot drift. `sigSelectSqlDuck` selects over a column `s`
+    * (the reduced shingle key); `bandsSqlDuck` unpivots a `sig` CTE.
+    */
+  def sigSelectSqlDuck: String = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+    s"min(($a * s + $b) % $minhashP) AS mh$i"
+  }.mkString(", ")
+
+  def bandsSqlDuck: String = (0 until minhashParams.size / bandSize).map { bnd =>
+    val key = (0 until bandSize)
+      .map(j => s"CAST(mh${bnd * bandSize + j} AS VARCHAR)")
+      .mkString(" || '_' || ")
+    s"SELECT doc_id, $bnd AS band, $key AS band_key FROM sig"
+  }.mkString(" UNION ALL ")
+
   /** Per-doc MinHash signature: one groupBy pass computing all k minima. */
   def minhashSignatures(documents: DataFrame, n: Int = 5): DataFrame = {
     val keyed = shingles(documents, n).withColumn("s", expr(shingleKeyExpr))
@@ -159,6 +175,49 @@ object Dedup {
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** INCREMENTAL MinHash-LSH dedup: new documents checked against an
+    * already-ingested corpus — the daily-ops shape (a fresh crawl batch
+    * lands; re-deduping the whole 100 TB corpus per batch is absurd).
+    * Candidates are (new × store) band-bucket collisions only: new-new
+    * and store-store pairs are never enumerated, and the store side's
+    * signatures/shingle-sizes are pure per-doc functions, so in
+    * production they come from a PERSISTED signature table written at
+    * ingest (this function recomputes them from `store` for
+    * self-containedness — the join shape is identical).
+    * Output: (doc_new, doc_store, jaccard ≥ minJaccard).
+    */
+  def incrementalLshPairs(newDocs: DataFrame, store: DataFrame,
+                          n: Int = 5, minJaccard: Double = 0.7): DataFrame = {
+    def bandsOf(docs: DataFrame): DataFrame = {
+      val keyed = shingles(docs, n).withColumn("s", expr(shingleKeyExpr))
+      val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("s") + lit(b)) % lit(minhashP)).as(s"mh$i")
+      }
+      lshBands(keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*))
+    }
+    val candidates = bandsOf(newDocs).as("x")
+      .join(bandsOf(store).as("y"), Seq("band", "band_key"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_store"))
+      .distinct()
+    val shNew = shingles(newDocs, n)
+    val shOld = shingles(store, n)
+    val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
+    val sizesOld = shOld.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
+    val inter = candidates
+      .join(shNew.select(col("doc_id").as("doc_new"), col("shingle")), Seq("doc_new"))
+      .join(shOld.select(col("doc_id").as("doc_store"), col("shingle").as("shingle_b")), Seq("doc_store"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_new"), col("doc_store"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizesNew.withColumnRenamed("doc_id", "doc_new"), Seq("doc_new"))
+      .join(sizesOld.withColumnRenamed("doc_id", "doc_store"), Seq("doc_store"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_new") + col("n_old") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_new", "doc_store", "jaccard")
   }
 
   /** Connected components over the near-duplicate pair graph: every doc

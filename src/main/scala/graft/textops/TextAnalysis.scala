@@ -30,6 +30,28 @@ object TextAnalysis {
 
   def inList(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")
 
+  // ---- DuckDB oracle generators (shared by every query that embeds the
+  // lang-ID or quality formulas, so engine and oracle cannot drift) ----
+
+  /** per-language stopword-hit score select-list items over a `toks` list */
+  def langScoresSqlDuck: String = langOrder.map { l =>
+    s"CAST(len(list_filter(toks, t -> t IN (${inList(stopwords(l))}))) AS BIGINT) AS score_$l"
+  }.mkString(",\n                 ")
+
+  /** nested CASE replicating withLangId's strict-> argmax fold over score_<l> */
+  def langBestSqlDuck: String =
+    langOrder.tail.foldLeft((s"'${langOrder.head}'", s"score_${langOrder.head}")) {
+      case ((bestL, bestS), l) =>
+        (s"(CASE WHEN score_$l > $bestS THEN '$l' ELSE $bestL END)",
+          s"(CASE WHEN score_$l > $bestS THEN score_$l ELSE $bestS END)")
+    }._1
+
+  /** quality_score formula over (text, toks) — matches withQuality exactly */
+  def qualityScoreSqlDuck: String =
+    s"""CAST(0.4 AS DOUBLE) * (CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE) / length(text))
+          + CAST(0.4 AS DOUBLE) * (CAST(len(list_filter(toks, t -> t IN (${inList(stopwords("en"))}))) AS DOUBLE) / len(toks))
+          + CAST(0.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text))"""
+
   /** count of tokens belonging to `words` (Spark array HOF) */
   def hitCount(words: Seq[String]): Column =
     expr(s"size(filter(toks, t -> t IN (${inList(words)})))").cast("long")

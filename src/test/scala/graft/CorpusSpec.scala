@@ -83,6 +83,45 @@ class CorpusSpec extends SparkSpec {
     assert(arr.count(_ == "") <= 1 && arr.filter(_.nonEmpty) == Seq("a", "b"))
   }
 
+  test("incremental dedup reports only new-vs-store pairs, never new-new") {
+    val store = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of store 1
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of 10 AND store 1
+      (12L, "totally different words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    val pairs = graft.textops.Dedup.incrementalLshPairs(fresh, store, n = 5, minJaccard = 0.7)
+      .select("doc_new", "doc_store").as[(Long, Long)].collect().toSet
+    // both new dups hit store doc 1; the new-new pair (10, 11) is absent
+    assert(pairs == Set((10L, 1L), (11L, 1L)))
+  }
+
+  test("curate pipeline invariants: no bench docs, no contaminated, no exact dups") {
+    val docs = Tables.documents(spark, sf)
+    val isBench = $"doc_id" % 10 === 0
+    val out = graft.textops.Curate.curate(docs, isBench, qualityMin = 0.535, n = 8).cache()
+    assert(out.count() > 0)
+    assert(out.filter($"doc_id" % 10 === 0).count() == 0) // eval shard excluded
+    val contaminated = Decontaminate.contaminated(docs, isBench, n = 8).select("doc_id")
+    assert(out.join(contaminated, Seq("doc_id")).count() == 0)
+    // one survivor per exact-duplicate group among surviving docs
+    val withHash = out.join(docs.select($"doc_id", md5(lower(trim($"text"))).as("th")), Seq("doc_id"))
+    assert(withHash.groupBy("th").count().filter($"count" > 1).count() == 0)
+    assert(out.filter(!$"split".isin("train", "validation", "test")).count() == 0)
+    out.unpersist()
+  }
+
+  test("token budget sample: per-language cumulative tokens never exceed the budget") {
+    val out = graft.queries.CorpusQueries.entries.find(_.name == "token_budget_sample").get
+      .run(spark, sf)
+    val maxCum = out.groupBy("lang").agg(max("cum_tokens").as("m"))
+      .select("m").as[Long].collect()
+    assert(maxCum.nonEmpty && maxCum.forall(_ <= 3000L))
+  }
+
   implicit private class MapOps(rows: Array[(Long, Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Long, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
