@@ -132,5 +132,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    // pure range joins (inequality-only conditions) rewrite to the
+    // bucketed equi-join plan instead of a nested loop / cartesian
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
   }
 }

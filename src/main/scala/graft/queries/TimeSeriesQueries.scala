@@ -46,6 +46,36 @@ object TimeSeriesQueries {
           .orderBy("incident_id", "event_id")
       }),
 
+    // the SAME range join written naively — the RangeJoinRewrite
+    // optimizer rule (plans/RangeJoinRewrite, injected via
+    // GraftExtensions) turns the inequality-only condition into the
+    // bucketed equi-join automatically; PlanAuditSpec's no-cartesian
+    // sweep passes over this entry BECAUSE the rule fires. Shares the
+    // bucketed entry's oracle text
+    QueryDef(
+      "interval_join_rule",
+      Some("""
+        WITH iv AS (
+          SELECT event_id AS incident_id, ts AS start_ts, ts + INTERVAL 3 HOUR AS end_ts
+          FROM events WHERE event_id % 97 = 0
+        )
+        SELECT iv.incident_id, e.event_id, e.user_id, e.ts
+        FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        ORDER BY incident_id, event_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir).select("event_id", "user_id", "ts")
+        val incidents = Tables.events(spark, dir).filter(col("event_id") % 97 === 0)
+          .select(
+            col("event_id").as("incident_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 3 HOUR")).as("end_ts"))
+        ev.join(incidents,
+            ev("ts") >= incidents("start_ts") && ev("ts") < incidents("end_ts"))
+          .select("incident_id", "event_id", "user_id", "ts")
+          .orderBy("incident_id", "event_id")
+      }),
+
     // calendar gap-fill + forward-fill: complete per-user daily spine,
     // missing days flagged and filled with the last prior close (LOCF).
     // `filled` is a carried RAW value (max_by of ticks), not a float
