@@ -276,6 +276,51 @@ object CorpusQueries {
           .orderBy("doc_new", "doc_store")
       }),
 
+    // TF-IDF keyword search: the inverted-index shape — tokens filtered
+    // to the query terms BEFORE any shuffle (work ∝ term hits, not
+    // corpus), document frequencies broadcast, corpus size attached as a
+    // 1-row broadcast (sanctioned constant-side BNLJ, like
+    // group_max_next_id), top-20 via TakeOrderedAndProject
+    QueryDef(
+      "tfidf_search",
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, unnest($toksDuck) AS tok FROM documents
+        ), hits AS (
+          SELECT doc_id, tok FROM tok WHERE tok IN ('data', 'spark', 'query')
+        ), tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY doc_id, tok
+        ), df AS (
+          SELECT tok, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY tok
+        ), n AS (
+          SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT doc_id, SUM(tf * ln((n_docs + 1.0) / (df + 1.0))) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN n
+          GROUP BY doc_id
+        )
+        SELECT doc_id, round(score, 4) AS score
+        FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val terms = Seq("data", "spark", "query")
+        val docs = Tables.documents(spark, dir)
+        val hits = docs
+          .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+        val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = hits.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(broadcast(dfreq), Seq("tok"))
+          .crossJoin(broadcast(n))
+          .withColumn("w", col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
+          .groupBy("doc_id").agg(sum(col("w")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .select(col("doc_id"), round(col("score"), 4).as("score"))
+      }),
+
     // the whole curation pipeline as ONE DAG (the LLM analog of
     // etl_pipeline): quality gate → eval-shard removal → exact dedup
     // (keep-min doc id) → 8-gram decontamination → content-hash split

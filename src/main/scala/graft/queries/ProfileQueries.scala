@@ -226,6 +226,63 @@ object ProfileQueries {
             expr("percentile(value, 0.9)").as("p90"),
             expr("percentile(value, 0.99)").as("p99"))
           .orderBy("event_type")
+      }),
+
+    // per-key z-score outlier detection: mean/stddev over each key's
+    // full history (one window partition), flag |z| > 2.5. The filter
+    // boundary sits on a float aggregate — safe because cross-engine
+    // summation drift is ~1e-13 relative while z-values are O(1) apart
+    QueryDef(
+      "zscore_anomaly",
+      Some("""
+        WITH s AS (
+          SELECT user_id, ts, value,
+                 avg(value) OVER w AS mu,
+                 stddev_samp(value) OVER w AS sd
+          FROM events
+          WINDOW w AS (PARTITION BY user_id)
+        )
+        SELECT user_id, ts, value, round((value - mu) / nullif(sd, 0), 4) AS z
+        FROM s
+        WHERE abs((value - mu) / nullif(sd, 0)) > 2.5
+        ORDER BY user_id, ts
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        val z = (col("value") - avg(col("value")).over(w)) /
+          when(stddev_samp(col("value")).over(w) === 0, lit(null))
+            .otherwise(stddev_samp(col("value")).over(w))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("ts"), col("value"), z.as("_z"))
+          .filter(abs(col("_z")) > 2.5)
+          .select(col("user_id"), col("ts"), col("value"), round(col("_z"), 4).as("z"))
+          .orderBy("user_id", "ts")
+      }),
+
+    // equi-width histogram with DATA-INDEPENDENT bucket bounds
+    // (floor(value/10)): no global min/max scalar pass, so the whole
+    // histogram is one partial+final hash aggregate — the profiling
+    // shape that never bottlenecks. Bucket edges are exact double
+    // multiples; both engines floor the same doubles
+    QueryDef(
+      "value_histogram",
+      Some("""
+        SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               round(min(value), 4) AS lo,
+               round(max(value), 4) AS hi
+        FROM events
+        GROUP BY CAST(floor(value / 10) AS BIGINT)
+        ORDER BY bucket
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir)
+          .groupBy(floor(col("value") / 10).cast("long").as("bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(min(col("value")), 4).as("lo"),
+            round(max(col("value")), 4).as("hi"))
+          .orderBy("bucket")
       })
   )
 }

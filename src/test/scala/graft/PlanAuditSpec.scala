@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
   // Every other query must plan hash/sort-merge joins only.
   private val constantSideBnlj = Set(
     "ann_cosine_topk", "ann_topk_bounded", "ann_ivf_topk", // ANN scoring
-    "company_registration", "group_max_next_id")           // 1-row scalar attach
+    "company_registration", "group_max_next_id",           // 1-row scalar attach
+    "tfidf_search")                                        // 1-row corpus-size attach
 
   test("prefix_search pushes StringStartsWith to the parquet scan") {
     val plan = SparkEntry.queries("prefix_search")(spark, sf)
