@@ -178,6 +178,29 @@ object ScaleSmoke {
       out.unpersist()
     }
 
+    // incremental dedup at the daily-ops scale: a 10k-doc new batch
+    // against a 100k-doc store — candidates are new×store band
+    // collisions only (the store is never self-joined). 300 plants
+    // (ids 200000+3i) copy store doc 3i's text; all 300 must surface
+    timed("incremental dedup, 10k new docs vs 100k store (300 plants)") {
+      val store = spark.range(100000).select(
+        col("id").as("doc_id"),
+        expr("""array_join(transform(sequence(1, cast(abs(hash(id)) % 200 + 50 as int)),
+                  i -> concat('w', pmod(hash(id * 100003 + i), 5000))), ' ')""").as("text"))
+      val cleanNew = spark.range(9700).select(
+        (col("id") + 300000L).as("doc_id"),
+        expr("""array_join(transform(sequence(1, cast(abs(hash(id + 300000) % 200) + 50 as int)),
+                  i -> concat('w', pmod(hash((id + 300000) * 100003 + i), 5000))), ' ')""").as("text"))
+      val plants = store.filter($"doc_id" % 3 === 0 && $"doc_id" < 900)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text")
+      val pairs = graft.textops.Dedup
+        .incrementalLshPairs(cleanNew.unionByName(plants), store, n = 5, minJaccard = 0.7)
+        .cache()
+      val found = pairs.filter($"doc_new" - 200000L === $"doc_store").count()
+      println(s"[scale]   pairs: ${pairs.count()}, planted found: $found / 300")
+      pairs.unpersist()
+    }
+
     // calendar gap-fill at 100k keys × sparse year: ~40 observed days per
     // key forward-filled onto each key's own min..max spine (~36M spine
     // rows from 4M observations) — spine rows ∝ keys × span, one window
