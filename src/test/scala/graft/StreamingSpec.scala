@@ -237,6 +237,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: per-batch new-vs-store pairs equal the batch run") {
+    // the daily-ops flow as a stream: new document batches arrive on a
+    // file source; each micro-batch runs incrementalLshPairs against
+    // the STATIC already-ingested store inside foreachBatch. Union of
+    // per-batch results must equal one batch-mode run over all new docs
+    // (per-doc signatures are corpus-independent, so batching cannot
+    // change any pair).
+    val docs = Tables.documents(spark, sf)
+    val store = docs.filter($"doc_id" < 250)
+    val fresh = docs.filter($"doc_id" >= 250)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-incdedup-src")
+    // two separate files → two micro-batches (maxFilesPerTrigger=1)
+    fresh.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    fresh.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      graft.textops.Dedup.incrementalLshPairs(batch, store, n = 5, minJaccard = 0.7)
+        .select("doc_new", "doc_store")
+        .collect().foreach(r => collected.add((r.getLong(0), r.getLong(1))))
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = scala.jdk.CollectionConverters.CollectionHasAsScala(collected).asScala.toSet
+    val batchRun = graft.textops.Dedup.incrementalLshPairs(fresh, store, n = 5, minJaccard = 0.7)
+      .select("doc_new", "doc_store").as[(Long, Long)].collect().toSet
+    assert(streamed == batchRun)
+    assert(batchRun.nonEmpty) // 13 cross-boundary pairs exist at sf0.001? — nonzero guard
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-dup-src")
