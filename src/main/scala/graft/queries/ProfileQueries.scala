@@ -259,6 +259,85 @@ object ProfileQueries {
           .orderBy("user_id", "ts")
       }),
 
+    // staged funnel analysis: first view → first click AFTER that view →
+    // first purchase AFTER that click, per user. Each stage is one
+    // filtered min-aggregate joined on the key — all shuffles on
+    // user_id, no window over the full event stream
+    QueryDef(
+      "funnel_stages",
+      Some("""
+        WITH v AS (
+          SELECT user_id, min(ts) AS t_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+               CAST(1 + (t_click IS NOT NULL)::INT + (t_purchase IS NOT NULL)::INT AS BIGINT) AS stages
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
+        ORDER BY v.user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
+          .filter(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
+          .filter(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .withColumn("stages",
+            (lit(1) + col("t_click").isNotNull.cast("int") + col("t_purchase").isNotNull.cast("int"))
+              .cast("long"))
+          .select("user_id", "t_view", "t_click", "t_purchase", "stages")
+          .orderBy("user_id")
+      }),
+
+    // order-insensitive table checksum — row-level parity validation for
+    // a migration (exactly how a reference→graft cutover would be
+    // audited): per-row 60-bit md5 key over canonically-rendered
+    // columns, summed mod-free into one BIGINT (15k × 2^60 ≪ 2^63).
+    // Doubles render via exact integer cents, dates via a fixed format,
+    // so both engines hash identical strings; the sum is
+    // order-independent, so partitioning cannot change it
+    QueryDef(
+      "table_checksum",
+      Some("""
+        SELECT CAST(SUM(CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS checksum,
+               COUNT(*) AS n_rows
+        FROM (
+          SELECT concat_ws('|',
+                   CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                   o_orderstatus,
+                   CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                   strftime(o_orderdate, '%Y-%m-%d'),
+                   o_orderpriority) AS k
+          FROM orders) t
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.orders(spark, dir)
+          .select(concat_ws("|",
+            col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+            col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").cast("string"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            col("o_orderpriority")).as("k"))
+          .select(expr("cast(conv(substring(md5(k), 1, 15), 16, 10) as bigint) % 1000000007").as("h"))
+          .agg(sum(col("h")).cast("long").as("checksum"), count(lit(1)).as("n_rows"))
+      }),
+
     // equi-width histogram with DATA-INDEPENDENT bucket bounds
     // (floor(value/10)): no global min/max scalar pass, so the whole
     // histogram is one partial+final hash aggregate — the profiling
