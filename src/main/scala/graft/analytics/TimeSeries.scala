@@ -21,6 +21,11 @@ object TimeSeries {
     * days — never a global calendar cross join), a left join back on
     * (key, day), and one ordered window for the fill. All four stages
     * share the key as shuffle key; AQE coalesces the small spine side.
+    *
+    * CONTRACT: `value` must be non-null on observed rows — max_by's
+    * null-element behavior differs between engines, so a null close
+    * would diverge from the oracle. Non-null in the catalog's events;
+    * caller obligation otherwise.
     */
   def gapFillDaily(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
     val daily = df
@@ -51,6 +56,12 @@ object TimeSeries {
     * Implementation collects the frame into an array and folds a weighted
     * sum with higher-order functions — interpreted, not codegen'd, but
     * per-row cost is O(window) with zero shuffles beyond the window sort.
+    *
+    * CONTRACT: `value` must be non-null. Spark's collect_list silently
+    * DROPS nulls from the frame (shifting the weights onto the surviving
+    * rows) while DuckDB's list() keeps them — pre-filter nulls before
+    * calling, or the engines diverge. The catalog's events.value is
+    * non-null; this is a caller obligation, not a checked invariant.
     */
   def ewma(df: DataFrame, key: String, ts: String, value: String,
            alpha: Double, window: Int): DataFrame = {
