@@ -72,6 +72,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq(1.0, 1.6667, 2.4286))
   }
 
+  test("funnel stages: only in-order progressions count") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 01:00:00")), // A: full funnel in order
+      (1L, "click", ts("2024-01-01 02:00:00")),
+      (1L, "purchase", ts("2024-01-01 03:00:00")),
+      (2L, "click", ts("2024-01-01 01:00:00")), // B: click BEFORE view → stage 1
+      (2L, "view", ts("2024-01-01 02:00:00")),
+      (3L, "view", ts("2024-01-01 01:00:00")), // C: view only
+      (4L, "view", ts("2024-01-01 01:00:00")), // D: purchase before click → stage 2
+      (4L, "purchase", ts("2024-01-01 01:30:00")),
+      (4L, "click", ts("2024-01-01 02:00:00")),
+      (5L, "purchase", ts("2024-01-01 01:00:00")) // E: no view → absent
+    ).toDF("user_id", "event_type", "ts")
+    ev.createOrReplaceTempView("funnel_fixture")
+    val v = ev.filter($"event_type" === "view").groupBy("user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, Seq("user_id"))
+      .filter($"ts" > $"t_view").groupBy("user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase").join(c, Seq("user_id"))
+      .filter($"ts" > $"t_click").groupBy("user_id").agg(min($"ts").as("t_purchase"))
+    val stages = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id",
+        (lit(1) + $"t_click".isNotNull.cast("int") + $"t_purchase".isNotNull.cast("int")).as("stages"))
+      .as[(Long, Int)].collect().toMap
+    assert(stages == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
   test("drawdown: peak is running max, dd is fraction off peak") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:01"), 10.0),
