@@ -86,6 +86,40 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // duplicated-span SCRUBBING (substring-dedup removal): tokens covered
+    // by an 8-gram whose first corpus occurrence is elsewhere are
+    // dropped; the first occurrence survives. Exact-dup docs scrub to ''
+    // while their canonical keeps its text
+    QueryDef(
+      "dedup_scrub_spans",
+      Some(s"""
+        WITH ${posShinglesDuck(8)},
+        firstocc AS (SELECT shingle, min(doc_id * 1000000 + pos) AS fk FROM pos GROUP BY shingle),
+        dupstart AS (
+          SELECT p.doc_id, p.pos FROM pos p JOIN firstocc f ON p.shingle = f.shingle
+          WHERE p.doc_id * 1000000 + p.pos <> f.fk
+        ),
+        toks AS (SELECT doc_id, u.i AS tpos, t[u.i] AS tok FROM tok, unnest(range(1, len(t) + 1)) AS u(i)),
+        flagged AS (
+          SELECT tk.doc_id, tk.tpos, tk.tok,
+                 max(CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY tk.doc_id ORDER BY tk.tpos
+                   ROWS BETWEEN ${8 - 1} PRECEDING AND CURRENT ROW) AS covered
+          FROM toks tk LEFT JOIN dupstart d ON d.doc_id = tk.doc_id AND d.pos = tk.tpos
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE covered = 0) AS BIGINT) AS n_kept,
+               md5(coalesce(string_agg(tok, ' ' ORDER BY tpos) FILTER (WHERE covered = 0), '')) AS scrubbed_fp
+        FROM flagged
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Decontaminate.scrubDupSpans(Tables.documents(spark, dir), n = 8)
+          .orderBy("doc_id")
+      }),
+
     // URL parse + domain blocklist: synthesize a deterministic URL per
     // doc, extract host/path/query-param natively (parse_url — codegen'd
     // builtin), drop blocklisted domains via broadcast anti join. The

@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination and duplicated-span statistics for a
@@ -61,6 +62,49 @@ object Decontaminate {
       .agg(
         countDistinct(col("shingle")).as("n_shared"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  /** Exact duplicated-span SCRUBBING (the substring-dedup REMOVAL step,
+    * at the token-n-gram grain): every token covered by an n-gram whose
+    * first corpus occurrence is elsewhere is dropped; the first
+    * occurrence survives intact. Exact-duplicate documents therefore
+    * scrub to empty (their every span is a repeat of the first copy) —
+    * the canonical keeps its text.
+    *
+    * Scale shape: first occurrences are ONE partial-agg-friendly
+    * min-aggregate per n-gram (NOT a per-n-gram row_number window — a
+    * hot boilerplate n-gram would serialize into one sort partition),
+    * then a join back on the n-gram key and one per-doc window for span
+    * coverage. (doc_id, pos) packs into a single int64 min-key —
+    * requires pos < 10^6, i.e. docs under a million tokens.
+    * Returns (doc_id, n_tokens, n_kept, scrubbed_fp) where scrubbed_fp
+    * fingerprints the scrubbed text ('' when everything was scrubbed).
+    */
+  def scrubDupSpans(documents: DataFrame, n: Int = 8): DataFrame = {
+    val pos = positionalShingles(documents, n)
+    val firstOcc = pos.groupBy(col("shingle"))
+      .agg(min(col("doc_id") * 1000000L + col("pos")).as("_fk"))
+    val dupStarts = pos.join(firstOcc, Seq("shingle"))
+      .filter(col("doc_id") * 1000000L + col("pos") =!= col("_fk"))
+      .select(col("doc_id"), col("pos").as("tpos"), lit(1).as("_d"))
+    val toks = documents
+      .withColumn("toks", expr(TextAnalysis.tokensExpr))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("_p0", "tok")))
+      .withColumn("tpos", col("_p0") + 1)
+    val wCover = Window.partitionBy(col("doc_id")).orderBy(col("tpos"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    toks.join(dupStarts, Seq("doc_id", "tpos"), "left")
+      .withColumn("covered", max(coalesce(col("_d"), lit(0))).over(wCover))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("covered") === 0, 1L).otherwise(0L)).as("n_kept"),
+        md5(expr(
+          """array_join(
+               transform(
+                 filter(array_sort(collect_list(struct(tpos, covered, tok))),
+                        s -> s.covered = 0),
+                 s -> s.tok), ' ')""")).as("scrubbed_fp"))
   }
 
   /** Per-document duplicated-span statistics: the fraction of a doc's

@@ -83,6 +83,22 @@ class CorpusSpec extends SparkSpec {
     assert(arr.count(_ == "") <= 1 && arr.filter(_.nonEmpty) == Seq("a", "b"))
   }
 
+  test("span scrubbing: first occurrence survives, copies scrub, partials lose only the span") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // original
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact copy → empty
+      (3L, "intro words alpha beta gamma delta epsilon zeta eta theta trailer bits follow here") // embeds the span
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.scrubDupSpans(d, n = 8)
+      .select("doc_id", "n_tokens", "n_kept").as[(Long, Long, Long)].collect().toMap2b
+    assert(out(1L) == (10L, 10L)) // canonical intact
+    assert(out(2L) == (10L, 0L)) // exact copy fully scrubbed
+    // doc 3: 14 tokens; dup 8-grams start at pos 3 (alpha..theta) — kept
+    // tokens are those not covered by a dup span start within 7 back
+    val kept3 = out(3L)._2
+    assert(kept3 > 0 && kept3 < 14) // intro/trailer survive, the span does not
+  }
+
   test("incremental dedup reports only new-vs-store pairs, never new-new") {
     val store = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -125,5 +141,9 @@ class CorpusSpec extends SparkSpec {
   implicit private class MapOps(rows: Array[(Long, Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Long, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+  implicit private class MapOpsB(rows: Array[(Long, Long, Long)]) {
+    def toMap2b: Map[Long, (Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 }
