@@ -178,6 +178,24 @@ object ScaleSmoke {
       out.unpersist()
     }
 
+    // span scrubbing at the 20× corpus: 50k docs + 500 exact copies —
+    // every copy must scrub to zero kept tokens while its canonical
+    // stays intact; first-occurrence selection is one min-agg per 8-gram
+    timed("span scrubbing, 50.5k docs (500 exact copies)") {
+      val base = spark.range(50000).select(
+        col("id").as("doc_id"),
+        expr("""array_join(transform(sequence(1, cast(abs(hash(id)) % 200 + 50 as int)),
+                  i -> concat('w', pmod(hash(id * 100003 + i), 5000))), ' ')""").as("text"))
+      val copies = base.filter($"doc_id" < 500)
+        .select(($"doc_id" + 400000L).as("doc_id"), $"text")
+      val out = graft.textops.Decontaminate
+        .scrubDupSpans(base.unionByName(copies), n = 8).cache()
+      val copiesScrubbed = out.filter($"doc_id" >= 400000L && $"n_kept" === 0).count()
+      val originalsIntact = out.filter($"doc_id" < 500 && $"n_kept" === $"n_tokens").count()
+      println(s"[scale]   copies fully scrubbed: $copiesScrubbed / 500, canonicals intact: $originalsIntact / 500")
+      out.unpersist()
+    }
+
     // incremental dedup at the daily-ops scale: a 10k-doc new batch
     // against a 100k-doc store — candidates are new×store band
     // collisions only (the store is never self-joined). 300 plants
