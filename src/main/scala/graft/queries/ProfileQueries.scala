@@ -307,8 +307,9 @@ object ProfileQueries {
 
     // order-insensitive table checksum — row-level parity validation for
     // a migration (exactly how a reference→graft cutover would be
-    // audited): per-row 60-bit md5 key over canonically-rendered
-    // columns, summed mod-free into one BIGINT (15k × 2^60 ≪ 2^63).
+    // audited): per-row 60-bit md5 key REDUCED MOD 1e9+7 (so the plain
+    // BIGINT sum stays exact up to ~9e9 rows — the mod is what makes the
+    // sum overflow-safe, not the key width), summed into one BIGINT.
     // Doubles render via exact integer cents, dates via a fixed format,
     // so both engines hash identical strings; the sum is
     // order-independent, so partitioning cannot change it

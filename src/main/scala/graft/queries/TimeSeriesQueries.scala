@@ -136,7 +136,8 @@ object TimeSeriesQueries {
     // weighted daily average: value weighted by the JSON `k` prop —
     // integer cents × integer weights accumulate exactly, and the
     // average is emitted as an EXACT scaled integer (price × 10⁻⁴,
-    // floored): vwap = Σcents·k / (100·Σk), so ×10⁴ = Σcents·k·100 // Σk.
+    // truncated toward zero — Spark DIV and DuckDB // agree on negative
+    // operands too): vwap = Σcents·k / (100·Σk), so ×10⁴ = Σcents·k·100 // Σk.
     // A rounded double here is a genuine cross-engine hazard — the
     // rational lands exactly on a 5th-decimal midpoint for round-number
     // weight sums, and Spark (HALF_UP on BigDecimal) vs DuckDB
