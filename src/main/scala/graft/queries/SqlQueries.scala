@@ -37,12 +37,54 @@ object SqlQueries {
       |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
       |ORDER BY c.c_custkey""".stripMargin
 
+  // window functions through the raw-SQL surface: both engines execute
+  // this text verbatim (named WINDOW clause, rank + lag + running sum)
+  private val adhocWindow =
+    """SELECT user_id, ts,
+      |       CAST(rank() OVER w AS BIGINT) AS rnk,
+      |       lag(value) OVER w AS prev_value,
+      |       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER wrun AS BIGINT) AS run_cents
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts),
+      |       wrun AS (PARTITION BY user_id ORDER BY ts
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts""".stripMargin
+
+  // LATERAL correlated subquery (top-2 orders per customer): Catalyst
+  // plans DecorrelateInnerQuery + window, DuckDB a dependent join — the
+  // per-group top-k idiom straight from user SQL
+  private val adhocLateral =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice_cents
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey,
+      |                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+      |         FROM orders o WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey <= 100
+      |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin
+
+  // explicit GROUPING SETS (completes ROLLUP/CUBE): per-status,
+  // per-priority, and grand-total groups in one pass
+  private val adhocGroupingSets =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sql_adhoc_agg", Some(adhocAgg),
       (spark, dir) => Views.adhoc(spark, dir, adhocAgg)),
     QueryDef("sql_adhoc_join", Some(adhocJoin),
       (spark, dir) => Views.adhoc(spark, dir, adhocJoin)),
     QueryDef("sql_adhoc_exists", Some(adhocExists),
-      (spark, dir) => Views.adhoc(spark, dir, adhocExists))
+      (spark, dir) => Views.adhoc(spark, dir, adhocExists)),
+    QueryDef("sql_adhoc_window", Some(adhocWindow),
+      (spark, dir) => Views.adhoc(spark, dir, adhocWindow)),
+    QueryDef("sql_adhoc_lateral", Some(adhocLateral),
+      (spark, dir) => Views.adhoc(spark, dir, adhocLateral)),
+    QueryDef("sql_adhoc_grouping_sets", Some(adhocGroupingSets),
+      (spark, dir) => Views.adhoc(spark, dir, adhocGroupingSets))
   )
 }
