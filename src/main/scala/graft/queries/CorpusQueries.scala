@@ -329,11 +329,11 @@ object CorpusQueries {
         ), n AS (
           SELECT COUNT(*) AS n_docs FROM documents
         ), scored AS (
-          SELECT doc_id, SUM(tf * ln((n_docs + 1.0) / (df + 1.0))) AS score
+          SELECT doc_id, round(SUM(tf * ln((n_docs + 1.0) / (df + 1.0))), 4) AS score
           FROM tf JOIN df USING (tok) CROSS JOIN n
           GROUP BY doc_id
         )
-        SELECT doc_id, round(score, 4) AS score
+        SELECT doc_id, score
         FROM scored
         ORDER BY score DESC, doc_id
         LIMIT 20
@@ -347,12 +347,17 @@ object CorpusQueries {
         val tf = hits.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
         val dfreq = hits.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
+        // ORDER on the ROUNDED score: near-duplicate docs produce
+        // last-ulp-different raw sums whose relative order can flip
+        // between engines (caught at sf0.001 — docs 16/369 are near-dups
+        // with a 3e-16 score gap); rounding first makes them true ties,
+        // broken by doc_id identically everywhere
         tf.join(broadcast(dfreq), Seq("tok"))
           .crossJoin(broadcast(n))
           .withColumn("w", col("tf") * log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))))
-          .groupBy("doc_id").agg(sum(col("w")).as("score"))
+          .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(20)
-          .select(col("doc_id"), round(col("score"), 4).as("score"))
+          .select("doc_id", "score")
       }),
 
     // the whole curation pipeline as ONE DAG (the LLM analog of
