@@ -339,6 +339,50 @@ object ProfileQueries {
           .agg(sum(col("h")).cast("long").as("checksum"), count(lit(1)).as("n_rows"))
       }),
 
+    // snapshot diff (CDC between table versions): version B is derived
+    // from orders deterministically (drop every 97th key, bump price on
+    // every 101st, insert a shifted copy of every 103rd) and the diff
+    // recovers exactly those inserts/updates/deletes via one full-outer
+    // join — output ∝ churn, not table size. Pairs with table_checksum
+    // (whether versions diverge → where they diverge)
+    QueryDef(
+      "snapshot_diff",
+      Some("""
+        WITH a AS (
+          SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        ), b AS (
+          SELECT k, CASE WHEN k % 101 = 0 THEN cents + cents // 10 ELSE cents END AS cents
+          FROM a WHERE k % 97 <> 0
+          UNION ALL
+          SELECT k + 10000000, cents + 7 FROM a WHERE k % 103 = 0
+        ), d AS (
+          SELECT coalesce(a.k, b.k) AS k,
+                 a.cents AS old_cents, b.cents AS new_cents,
+                 CASE WHEN a.k IS NULL THEN 'insert'
+                      WHEN b.k IS NULL THEN 'delete'
+                      WHEN a.cents <> b.cents THEN 'update'
+                      ELSE 'same' END AS status
+          FROM a FULL OUTER JOIN b ON a.k = b.k
+        )
+        SELECT k, status, old_cents, new_cents
+        FROM d WHERE status <> 'same'
+        ORDER BY k
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val a = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val b = a.filter(col("k") % 97 =!= 0)
+          .select(col("k"),
+            when(col("k") % 101 === 0, col("cents") + expr("cents DIV 10"))
+              .otherwise(col("cents")).as("cents"))
+          .unionByName(a.filter(col("k") % 103 === 0)
+            .select((col("k") + 10000000L).as("k"), (col("cents") + 7).as("cents")))
+        graft.operators.SnapshotDiff.diff(a, b, Seq("k"))
+          .select("k", "status", "old_cents", "new_cents")
+          .orderBy("k")
+      }),
+
     // equi-width histogram with DATA-INDEPENDENT bucket bounds
     // (floor(value/10)): no global min/max scalar pass, so the whole
     // histogram is one partial+final hash aggregate — the profiling

@@ -72,6 +72,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq(1.0, 1.6667, 2.4286))
   }
 
+  test("snapshot diff: insert/delete/update classified, null-safe, unchanged dropped") {
+    val a = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val b = Seq((1L, Some(10.0)), (2L, Some(25.0)), (3L, Some(30.0)), (5L, Some(50.0)))
+      .toDF("k", "v")
+    val got = graft.operators.SnapshotDiff.diff(a, b, Seq("k"))
+      .select("k", "status").as[(Long, String)].collect().toSet
+    assert(got == Set(
+      (2L, "update"), // value changed
+      (3L, "update"), // null → value is a change (null-safe compare)
+      (4L, "delete"),
+      (5L, "insert"))) // row 1 unchanged → absent
+  }
+
   test("funnel stages: only in-order progressions count") {
     val ev = Seq(
       (1L, "view", ts("2024-01-01 01:00:00")), // A: full funnel in order
