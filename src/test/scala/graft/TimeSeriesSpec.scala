@@ -38,6 +38,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(n == want.size)
   }
 
+  test("range join is bucket-width invariant (spans far above and below the bucket)") {
+    val pts = spark.range(500).select(
+      col("id").as("pt_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 173000000L).as("ts"))
+    val ivs = spark.range(60).select(
+      col("id").as("iv_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 1390000000L).as("start_ts"))
+      .withColumn("end_ts", timestamp_micros(
+        unix_micros(col("start_ts")) + (pmod(col("iv_id") * 7919, lit(12000)) + lit(5)) * 1000000L))
+    def run(bucket: Long) = graft.operators.RangeJoin
+      .pointInInterval(pts, "ts", ivs, "start_ts", "end_ts", bucketSeconds = bucket)
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    val truth = pts.crossJoin(ivs)
+      .filter($"ts" >= $"start_ts" && $"ts" < $"end_ts")
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+    // 60 s buckets: spans up to 12000 s explode into ~200 buckets each;
+    // 86400 s buckets: every interval sits in 1-2 buckets. Same answer.
+    assert(run(60L) == truth)
+    assert(run(3600L) == truth)
+    assert(run(86400L) == truth)
+    assert(truth.nonEmpty)
+  }
+
   test("gap-fill: missing days materialized, flagged, forward-filled") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00"), 10.0),
