@@ -35,6 +35,24 @@ object Sources {
       .schema(schema)
       .csv(path)
 
+  /** JSON-lines scan with corrupt-record quarantine: well-formed rows
+    * parse against the explicit schema; malformed lines land whole in
+    * `_corrupt` (PERMISSIVE + columnNameOfCorruptRecord) so ingest can
+    * count/route them instead of silently dropping — the JSONL analog of
+    * `dirtyCsv`, for the modern lake-landing format the reference
+    * pre-dates.
+    *
+    * Same caveat as dirtyCsv: corrupt-record capture requires the
+    * corrupt column (or a parsed column) to be SELECTED; a bare count()
+    * over pruned columns parses nothing.
+    */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .json(path)
+
   /** Attach the event date parsed from each input file's NAME and prune to
     * [start, end]. With date-partitioned layouts Catalyst turns the same
     * predicate into partition pruning; for filename-dated flat dirs this

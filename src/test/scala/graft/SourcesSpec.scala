@@ -80,4 +80,23 @@ class SourcesSpec extends SparkSpec {
     assert(!scanned.contains("PartitionFilters: []"),
       "day predicate should appear as a partition filter")
   }
+
+  test("JSONL scan parses well-formed rows and quarantines corrupt lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.write(dir.resolve("part0.jsonl"),
+      ("""{"symbol": "AAA", "last": 12.5, "volume": 100}""" + "\n" +
+        """{"symbol": "BBB", "last": "not-a-number", "volume": 5}""" + "\n" +
+        """this is not json at all""" + "\n" +
+        """{"symbol": "CCC", "last": 7.25, "volume": 42}""" + "\n").getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "symbol STRING, last DOUBLE, volume LONG")
+    val df = graft.sources.Sources.jsonLines(spark, dir.toString, schema).cache()
+    val good = df.filter($"_corrupt".isNull)
+      .select("symbol", "last").as[(String, Double)].collect().toSet
+    assert(good == Set(("AAA", 12.5), ("CCC", 7.25)))
+    // both the unparseable-field row and the non-JSON line are quarantined
+    // whole, not dropped — ingest can count and route them
+    assert(df.filter($"_corrupt".isNotNull).count() == 2)
+    df.unpersist()
+  }
 }
