@@ -392,14 +392,19 @@ object TextQueries {
       (spark, dir) =>
         Dedup.exactDuplicates(Tables.documents(spark, dir)).orderBy("canonical_id")),
 
+    // hot shingles (df > cap) are dropped from the similarity universe on
+    // BOTH engines — see Dedup.hotShingleMaxDf for why this is the
+    // 100 TB-survival knob (one boilerplate 5-gram in k docs would emit
+    // O(k²) join rows under a single key)
     QueryDef(
       "dedup_jaccard",
       Some(s"""
         WITH $shinglesDuck,
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ${Dedup.cappedShinglesSqlDuck()},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
@@ -418,10 +423,11 @@ object TextQueries {
       "dedup_containment",
       Some(s"""
         WITH $shinglesDuck,
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        ${Dedup.cappedShinglesSqlDuck()},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
           GROUP BY a.doc_id, b.doc_id
         )
         SELECT doc_a, doc_b, n_common, sa.n AS n_a,
@@ -435,17 +441,28 @@ object TextQueries {
           .orderBy("doc_a", "doc_b")),
 
     // connected components of the near-dup graph: every doc → minimum
-    // doc_id in its cluster. Spark: distributed min-label propagation;
-    // oracle: recursive-CTE transitive closure (graph is tiny cliques).
+    // doc_id in its cluster. Spark: star-contraction CC over MinHash-LSH
+    // edges (candidates from band buckets, exact-Jaccard verified);
+    // oracle: the SAME LSH candidate generation, closed by recursive CTE.
     QueryDef(
       "dedup_clusters",
       Some(s"""
         WITH RECURSIVE $shinglesDuck,
+        k AS (SELECT doc_id, ${Dedup.shingleKeyExprDuck} AS s FROM sh),
+        sig AS (SELECT doc_id, $sigSelectDuck FROM k GROUP BY doc_id),
+        bands AS ($bandsDuck),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
         ),
         pairsj AS (
           SELECT doc_a, doc_b

@@ -40,12 +40,47 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Document-frequency cap for the shingle-join dedup family: a shingle
+    * occurring in more than `hotShingleMaxDf` documents is dropped from
+    * the similarity universe (intersections AND sizes — the df-capped
+    * shingle space, same semantics as stopword removal). Without it, one
+    * boilerplate 5-gram in k documents (nav bars, license headers on a
+    * real web corpus) makes the shingle self-join emit O(k²) rows under a
+    * SINGLE key — quadratic work concentrated as skew AQE can split but
+    * not shrink. A df-10k shingle carries no dedup signal, so the recall
+    * loss is negligible; `Decontaminate` applies the same cap to its
+    * 8-grams. The cap is interpolated into the oracle SQL, so engine and
+    * oracle agree even at scales where it binds.
+    */
+  val hotShingleMaxDf = 1000
+
+  /** shingles with hot (df > maxDf) shingles removed. One window count
+    * over the shingle key — the same shuffle partitioning the downstream
+    * shingle-key self-join needs, so the cap adds no extra exchange.
+    */
+  def cappedShingles(documents: DataFrame, n: Int = 5, maxDf: Int = hotShingleMaxDf): DataFrame =
+    shingles(documents, n)
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+
+  /** DuckDB mirror of `cappedShingles`: `sh` is distinct (doc, shingle),
+    * so COUNT(*) per shingle IS the document frequency.
+    */
+  def cappedShinglesSqlDuck(maxDf: Int = hotShingleMaxDf): String =
+    s"""shc AS (
+          SELECT doc_id, shingle FROM sh
+          QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $maxDf
+        )"""
+
   /** Pairwise n-gram Jaccard ≥ `minJaccard` via shingle-key join:
     * |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. The join key is the
-    * shingle, so work scales with shared-shingle pairs, not n².
+    * shingle, so work scales with shared-shingle pairs, not n² — and the
+    * df cap (`cappedShingles`) bounds the per-key pair count at maxDf².
     */
-  def jaccardPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingles(documents, n)
+  def jaccardPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.8,
+                   maxDf: Int = hotShingleMaxDf): DataFrame = {
+    val sh = cappedShingles(documents, n, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -67,10 +102,11 @@ object Dedup {
     * wrapping), which symmetric Jaccard misses when the containing doc is
     * much larger. Directed: (doc_a contained-in doc_b) and the reverse
     * are separate rows. Same shingle-key join shape as `jaccardPairs` —
-    * work ∝ shared-shingle pairs, never n².
+    * work ∝ shared-shingle pairs, never n², hot shingles df-capped.
     */
-  def containmentPairs(documents: DataFrame, n: Int = 5, minContainment: Double = 0.8): DataFrame = {
-    val sh = shingles(documents, n)
+  def containmentPairs(documents: DataFrame, n: Int = 5, minContainment: Double = 0.8,
+                       maxDf: Int = hotShingleMaxDf): DataFrame = {
+    val sh = cappedShingles(documents, n, maxDf)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -220,57 +256,107 @@ object Dedup {
       .select("doc_new", "doc_store", "jaccard")
   }
 
+  /** Distributed connected components by alternating LARGE-STAR /
+    * SMALL-STAR contraction (the MapReduce CC algorithm of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * every node in a component ends up directly linked to the component's
+    * minimum node id in O(log n) rounds — a CHAIN of length 500 converges
+    * in ~10 rounds where per-hop min-label propagation needs 500.
+    *
+    *  - large-star(u): link every neighbor v > u to m = min(Γ⁺(u));
+    *  - small-star(u): over min-oriented edges (u > v), link every
+    *    neighbor and u itself to m = min(Γ(u)).
+    *
+    * Both steps preserve connectivity; the fixpoint is a forest of stars
+    * centered on component minima. Each round is two groupBy+join passes
+    * over the EDGE set only (nodes without a near-dup edge never enter),
+    * and the driver sees one (count, hash) checksum per round — edge data
+    * never leaves the cluster.
+    *
+    * `pairs`: two columns (src, dst), one row per undirected edge (any
+    * orientation, duplicates fine). Returns (doc_id, canonical_id) for
+    * every node that appears in `pairs`. THROWS IllegalStateException if
+    * `maxRounds` is hit before the fixpoint — a silent truncation would
+    * return wrong canonical ids; the O(log n) bound makes 50 generous for
+    * any realistic graph (2^50 nodes).
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val cols = pairs.columns
+    var e = pairs
+      .select(col(cols(0)).as("s"), col(cols(1)).as("d"))
+      .filter(col("s") =!= col("d"))
+      .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
+      .distinct()
+      .cache()
+    // fixpoint ⇔ the edge SET is unchanged: (count, Σ xxhash64(u,v)) is a
+    // deterministic set fingerprint — one aggregate per round
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = checksum(e)
+    var rounds = 0
+    var converged = prev._1 == 0L
+    while (!converged) {
+      if (rounds >= maxRounds) {
+        e.unpersist()
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds star-contraction rounds " +
+            "— refusing to emit truncated (wrong) canonical ids")
+      }
+      // large-star: from each node a, every bigger neighbor b links to
+      // min(Γ⁺(a)). Each min-oriented edge (u > v) is processed from its
+      // SMALLER endpoint's group (a = v, b = u), so no edge is lost.
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val mL = sym.groupBy(col("a")).agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      val large = sym.join(mL, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: edges are min-oriented (u > v); every neighbor of u
+      // and u itself link to m = min(Γ(u))
+      val mS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mS, Seq("u"))
+        .select(col("v").as("nn"), col("m"))
+        .unionByName(mS.select(col("u").as("nn"), col("m")))
+        .filter(col("nn") =!= col("m"))
+        .select(col("nn").as("u"), col("m").as("v"))
+        .distinct()
+        .cache()
+      val s = checksum(small)
+      converged = s == prev
+      prev = s
+      e.unpersist()
+      e = small
+      rounds += 1
+    }
+    // fixpoint edges are stars (node, component-min)
+    val labels = e.select(col("u").as("doc_id"), col("v").as("canonical_id"))
+      .unionByName(e.select(col("v").as("doc_id"), col("v").as("canonical_id")))
+      .groupBy(col("doc_id")).agg(min(col("canonical_id")).as("canonical_id"))
+    labels
+  }
+
   /** Connected components over the near-duplicate pair graph: every doc
     * is labeled with the MINIMUM doc_id reachable through near-dup edges
     * (its canonical representative). Keep-one-per-cluster dedup follows by
     * `doc_id == canonical_id`.
     *
-    * Implementation: distributed min-label propagation — labels start as
-    * doc_id, each round every node takes the min of its own and its
-    * neighbors' labels, until a fixpoint. Rounds ≤ graph diameter (near-
-    * dup clusters are tiny cliques, so 2–3 rounds in practice); each round
-    * is one join + one aggregate, all distributed. The driver only checks
-    * the converged-row count per round — the label state never leaves the
-    * cluster (same shape as GraphX/Pregel connected components).
+    * Edges come from `minhashLshPairs` — candidates from band-bucket
+    * equi-joins (work ∝ collisions), NOT the uncapped all-shared-shingle
+    * self-join: at 100 TB the edge build is the dominant cost and the LSH
+    * path is the one that scales. The label computation is star
+    * contraction (`connectedComponents`) — O(log n) rounds, honest
+    * failure on non-convergence. Isolated docs (the overwhelming majority
+    * of a real corpus) never enter the iteration and are re-attached at
+    * the end with their own id.
     */
   def nearDupClusters(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.8): DataFrame = {
-    val pairs = jaccardPairs(documents, n, minJaccard).select("doc_a", "doc_b")
-    // undirected edges, both directions
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    // the iteration runs ONLY over nodes with at least one near-dup edge —
-    // isolated docs (the overwhelming majority of a real corpus) can never
-    // change label and are re-attached once at the end. At 100 TB this is
-    // the difference between shuffling the corpus per round and shuffling
-    // the (sparse) duplicate graph per round.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("canonical_id", col("doc_id")).cache()
-    // labels only decrease → fixpoint ⇔ Σlabels unchanged; one aggregate
-    // per round instead of a join-based diff count
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("canonical_id"))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < 20) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("canonical_id")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("canonical_id"), coalesce(col("nmin"), col("canonical_id"))).as("canonical_id"))
-        .cache()
-      val s = labelSum(next)
-      converged = s == prevSum
-      prevSum = s
-      labels.unpersist()
-      labels = next
-      rounds += 1
-    }
-    edges.unpersist()
-    // isolated docs keep their own label
+    val pairs = minhashLshPairs(documents, n, minJaccard).select("doc_a", "doc_b")
+    val labels = connectedComponents(pairs)
     documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
