@@ -38,24 +38,41 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect() // warm JVM + codegen
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A failed query reports -1, NEVER its elapsed time: time-to-exception
+    // shrinks as failures fast-fail, so a crash would otherwise read as a
+    // speedup (round-4 finding: a broken query's 7.2 s → 0.4 s "win" was
+    // three swallowed exceptions).
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val samples = (1 to nRuns).map { _ =>
       catalog.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = catalog.map { case (name, _) => name -> median(samples.map(_(name))) }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // any failed run poisons the query: -1, not a median mixing times and -1s
+    val results = catalog.map { case (name, _) =>
+      name -> (if (failed(name)) -1.0 else median(samples.map(_(name))))
+    }
+    // total covers succeeding queries only — failed ones are listed, not summed
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
 
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     def line(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum$failedJson}"""
     }
     // trim the per-query map (slowest first) until the line fits the
     // driver's 2000-byte stdout tail with margin
@@ -69,7 +86,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailPath = "/tmp/graft_bench_detail.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail}""".getBytes("UTF-8"))
+      s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail$failedJson}""".getBytes("UTF-8"))
     System.err.println(s"[bench] full per-query detail: $detailPath")
     spark.stop()
     println(out) // final stdout line — nothing may follow it

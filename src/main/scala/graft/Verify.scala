@@ -17,11 +17,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD: a silently-absent result dir reads as "query
+    // removed" to the driver (round-4 finding: a runtime crash shrank the
+    // correctness file by one key and nobody noticed). Each failure writes
+    // a per-query .error sidecar plus a summary _errors.json, and the
+    // process exits non-zero so the driver can't mistake the run for clean.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        failures(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        Files.writeString(Paths.get(s"$outDir/$name.error"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -39,6 +48,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty)
+      // NOT a non-zero exit: the driver may treat that as "verify run
+      // failed" and drop the 100+ good results along with the bad one.
+      System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.mkString(", ")}")
   }
 }

@@ -30,6 +30,12 @@ object PrefixSum {
     * rows strictly before this one in orderCol order. orderCol must be
     * unique; both columns must be castable to long.
     *
+    * `nParts` ≤ 0 (the default) follows the session's
+    * `spark.sql.shuffle.partitions` — the same knob that sizes every
+    * other shuffle, so a cluster tuned for its data volume gets a
+    * matching scan width here instead of a hardcoded 32. The result is
+    * invariant to the choice (ScaleOpsSpec checks two widths).
+    *
     * The slim (order, value) projection stays persisted after the call
     * (both passes must observe one partitioning); Spark's ContextCleaner
     * reclaims it when the returned plan is garbage-collected.
@@ -38,9 +44,10 @@ object PrefixSum {
       df: DataFrame,
       orderCol: String,
       valueCol: String,
-      nParts: Int = 32): DataFrame = {
+      nParts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val nP = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
     // persisted: BOTH passes must see the identical partitioning. Range
     // boundaries come from deterministic sampling, but pinning the
     // materialized partitions removes any recompute hazard — a boundary
@@ -48,7 +55,7 @@ object PrefixSum {
     val parted = df
       .select(col(orderCol).cast("long"), col(valueCol).cast("long"))
       .as[(Long, Long)]
-      .repartitionByRange(nParts, col(orderCol))
+      .repartitionByRange(nP, col(orderCol))
       .sortWithinPartitions(orderCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = parted.mapPartitions { it =>

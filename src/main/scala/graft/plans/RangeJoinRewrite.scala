@@ -1,15 +1,19 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, TimestampType}
 
-/** Optimizer rule: rewrite an INNER join whose condition is ONLY range
+/** Optimizer rule: rewrite a join whose condition is ONLY range
   * predicates on a timestamp (`pt >= start AND pt < end` in any
   * orientation, inclusive or strict) into the bucketed equi-join form of
-  * `operators/RangeJoin` — automatically.
+  * `operators/RangeJoin` — automatically. Covers Inner always, and
+  * LeftOuter/RightOuter/LeftSemi/LeftAnti when the preserved/probe side
+  * is the point side (see `typeCompatible`); interval-preserved outer
+  * joins log a named skip — the bucket explosion would change
+  * unmatched-row multiplicity.
   *
   * Why a Rule (SURVEY.md §7.3 tier (c), the one case that earns it):
   * Spark has no equi-key to hash on in a pure range join and plans
@@ -51,8 +55,26 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) => rewrite(j).getOrElse(j)
+      case j @ Join(_, _, Inner | LeftOuter | RightOuter | LeftSemi | LeftAnti, Some(_), _) =>
+        rewrite(j).getOrElse(j)
     }
+
+  /** Non-inner joins are safe exactly when the join's PRESERVED/PROBE
+    * side (left for LeftOuter/LeftSemi/LeftAnti, right for RightOuter)
+    * is the POINT side: the point side is never exploded, so each of its
+    * rows still appears exactly once with an identical match set —
+    * unmatched rows null-pad (outer) or pass/drop (semi/anti) exactly as
+    * in the original join. When the preserved side is the INTERVAL side,
+    * its rows are multiplied by the bucket explosion and an unmatched
+    * interval would be emitted once per bucket copy — wrong multiplicity,
+    * so the rule SKIPS (named log below) and Spark's nested loop stands.
+    */
+  private def typeCompatible(jt: JoinType, pointIsLeft: Boolean): Boolean = jt match {
+    case Inner => true
+    case LeftOuter | LeftSemi | LeftAnti => pointIsLeft
+    case RightOuter => !pointIsLeft
+    case _ => false
+  }
 
   /** floor(us / B) as LONG — floor, not truncate-toward-zero, so
     * pre-epoch timestamps bucket correctly; the double division is exact
@@ -71,7 +93,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   private def rewrite(j: Join): Option[LogicalPlan] = {
-    val Join(left, right, _, Some(cond), hint) = j: @unchecked
+    val Join(left, right, joinType, Some(cond), hint) = j: @unchecked
     val conjuncts = splitConjunctivePredicates(cond)
 
     def across(l: Expression, r: Expression): Boolean = {
@@ -110,6 +132,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         .orElse(boundsFor(right, left).map { case (p, l, h, s) => (false, p, l, h, s) })
         .getOrElse(return None)
 
+    if (!typeCompatible(joinType, pointIsLeft)) {
+      logInfo(s"graft.RangeJoinRewrite: SKIP — $joinType range join with the " +
+        "preserved side on the interval side; the bucket explosion would change " +
+        "unmatched-row multiplicity. Rewrite the query with the point side preserved, " +
+        "or accept the nested-loop plan.")
+      return None
+    }
+
     val (pointPlan, ivPlan) = if (pointIsLeft) (left, right) else (right, left)
 
     val ptBucket = Alias(bucketOfMicros(UnixMicros(pt)), "_graft_bucket_p")()
@@ -126,8 +156,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     val newCond = And(EqualTo(ptBucket.toAttribute, ivBucket), cond)
     val newJoin =
-      if (pointIsLeft) Join(pointProj, ivGen, Inner, Some(newCond), hint)
-      else Join(ivGen, pointProj, Inner, Some(newCond), hint)
+      if (pointIsLeft) Join(pointProj, ivGen, joinType, Some(newCond), hint)
+      else Join(ivGen, pointProj, joinType, Some(newCond), hint)
     Some(Project(j.output, newJoin))
   }
 }

@@ -310,6 +310,46 @@ object CorpusQueries {
           .orderBy("doc_new", "doc_store")
       }),
 
+    // incremental dedup against the PERSISTED signature table: the store
+    // side is (doc_id, mh0..mh15) only — candidates AND verify touch
+    // signatures, never store text/shingles, so a crawl batch checks a
+    // 100 TB store at signature-table cost. Verify = MinHash Jaccard
+    // estimate (fraction of agreeing components, a multiple of 1/16 —
+    // exact in double). The inline `sigStore` below IS the persisted
+    // table's content; DedupSpec proves parquet round-trip identity
+    QueryDef(
+      "dedup_incremental_sig",
+      Some(s"""
+        WITH ${shinglesDuck(5)},
+        k AS (SELECT doc_id, ${Dedup.shingleKeyExprDuck} AS s FROM sh),
+        sig AS (SELECT doc_id, ${Dedup.sigSelectSqlDuck} FROM k GROUP BY doc_id),
+        bands AS (${Dedup.bandsSqlDuck}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_store
+          FROM bands x JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+          WHERE x.doc_id >= 250 AND y.doc_id < 250
+        ),
+        est AS (
+          SELECT c.doc_new, c.doc_store,
+                 ${Dedup.sigMatchEstSqlDuck("a", "b")} AS est_jaccard
+          FROM cand c
+          JOIN sig a ON a.doc_id = c.doc_new
+          JOIN sig b ON b.doc_id = c.doc_store
+        )
+        SELECT doc_new, doc_store, est_jaccard FROM est
+        WHERE est_jaccard >= 0.7
+        ORDER BY doc_new, doc_store
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val sigStore = Dedup.minhashSignatures(docs.filter(col("doc_id") < 250), n = 5)
+        Dedup.incrementalSigPairs(
+            newDocs = docs.filter(col("doc_id") >= 250),
+            storeSignatures = sigStore,
+            n = 5, minEstJaccard = 0.7)
+          .orderBy("doc_new", "doc_store")
+      }),
+
     // TF-IDF keyword search: the inverted-index shape — tokens filtered
     // to the query terms BEFORE any shuffle (work ∝ term hits, not
     // corpus), document frequencies broadcast, corpus size attached as a

@@ -342,6 +342,56 @@ object SimilarityQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // IVF against an EXTERNAL codebook (ivfTopKWithCentroids): the
+    // centroid set is a constructed DataFrame — every 4th vector below
+    // id 64 (16 cells), NOT the built-in lowest-id quantizer — standing
+    // in for offline-trained k-means centers read from a model table
+    QueryDef(
+      "ann_ivf_external",
+      Some(s"""
+        WITH $quantDuck,
+        cents AS (
+          SELECT vec_id AS cent_id, q AS qc, norm2 AS nc FROM n
+          WHERE vec_id % 4 = 0 AND vec_id < 64
+        ), scoredc AS (
+          SELECT n.vec_id, cents.cent_id,
+                 ${cosOf(dotOf("n.q", "cents.qc"), "n.norm2", "cents.nc")} AS cosc
+          FROM n, cents
+        ), ranked_assign AS (
+          SELECT vec_id, cent_id,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cosc DESC, cent_id) AS rn
+          FROM scoredc
+        ), cells AS (
+          SELECT vec_id AS cand_id, cent_id AS cell FROM ranked_assign WHERE rn = 1
+        ), probes AS (
+          SELECT vec_id AS query_id, cent_id AS cell FROM ranked_assign
+          WHERE vec_id < 32 AND rn <= 2
+        ), scored AS (
+          SELECT p.query_id, c.cand_id,
+                 ${cosOf(dotOf("qa.q", "cb.q"), "qa.norm2", "cb.norm2")} AS cos
+          FROM probes p
+          JOIN cells c ON c.cell = p.cell AND c.cand_id <> p.query_id
+          JOIN n qa ON qa.vec_id = p.query_id
+          JOIN n cb ON cb.vec_id = c.cand_id
+        ), ranked AS (
+          SELECT query_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, cand_id, cos, rank FROM ranked
+        WHERE rank <= 5
+        ORDER BY query_id, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val codebook = emb
+          .filter(col("vec_id") % 4 === 0 && col("vec_id") < 64)
+          .select(col("vec_id").as("cent_id"), col("embedding"))
+        Similarity.ivfTopKWithCentroids(emb, codebook, k = 5, maxQueryId = 32, nProbe = 2)
+          .withColumn("rank", col("rank").cast("long"))
+          .orderBy("query_id", "rank")
+      }),
+
     QueryDef(
       "ann_lsh_topk",
       Some(s"""

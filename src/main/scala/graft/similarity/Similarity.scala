@@ -105,10 +105,30 @@ object Similarity {
       k: Int,
       maxQueryId: Long,
       nCentroids: Int = 8,
+      nProbe: Int = 2): DataFrame =
+    ivfTopKWithCentroids(
+      embeddings,
+      embeddings.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding")),
+      k, maxQueryId, nProbe)
+
+  /** IVF top-k with an EXTERNAL codebook: `centroids` is
+    * (cent_id: long, embedding: array<float>) — the offline-trained
+    * k-means centers a production deployment reads from its model table
+    * (training loops are not engine-reproducible, so they don't belong in
+    * the query). `ivfTopK` is this with the deterministic lowest-id
+    * codebook; any centroid set with distinct ids works — assignment,
+    * probing and scoring are codebook-agnostic.
+    */
+  def ivfTopKWithCentroids(
+      embeddings: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      maxQueryId: Long,
       nProbe: Int = 2): DataFrame = {
     val e = quantized(embeddings).select(col("vec_id"), col("q"), col("norm2"))
-    val cents = e.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("q").as("qc"), col("norm2").as("nc"))
+    val cents = quantized(centroids)
+      .select(col("cent_id"), col("q").as("qc"), col("norm2").as("nc"))
     val scoredC = e.crossJoin(broadcast(cents))
       .withColumn("cosc", cosine(expr("graft_dot(q, qc)"), col("norm2"), col("nc")))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cosc").desc, col("cent_id"))
@@ -245,15 +265,32 @@ object Similarity {
     * behind code assignment AND the per-query ADC lookup tables.
     */
   private def pqBlockDists(
-      embeddings: DataFrame, nBlocks: Int, blockDim: Int, nCodewords: Int): DataFrame = {
+      embeddings: DataFrame, nBlocks: Int, blockDim: Int, nCodewords: Int): DataFrame =
+    pqBlockDistsWith(
+      embeddings,
+      embeddings.filter(col("vec_id") < nCodewords)
+        .select(col("vec_id").as("cw_id"), col("embedding")),
+      nBlocks, blockDim)
+
+  /** Block distances against an EXTERNAL codebook: `codebook` is
+    * (cw_id: long, embedding: array<float>) — full-length vectors whose
+    * per-block slices are the codewords, the same derivation the default
+    * lowest-id codebook uses. Offline-trained per-block codebooks drop in
+    * here unchanged.
+    */
+  private def pqBlockDistsWith(
+      embeddings: DataFrame, codebook: DataFrame, nBlocks: Int, blockDim: Int): DataFrame = {
     val e = quantized(embeddings).select(col("vec_id"), col("q"))
     val blocks = e
       .select(col("vec_id"), col("q"),
         explode(array((0 until nBlocks).map(lit(_)): _*)).as("b"))
       .withColumn("sub", expr(s"slice(q, b*$blockDim + 1, $blockDim)"))
       .drop("q")
-    val cw = blocks.filter(col("vec_id") < nCodewords)
-      .select(col("vec_id").as("cw_id"), col("b"), col("sub").as("csub"))
+    val cw = quantized(codebook)
+      .select(col("cw_id"), col("q"),
+        explode(array((0 until nBlocks).map(lit(_)): _*)).as("b"))
+      .withColumn("csub", expr(s"slice(q, b*$blockDim + 1, $blockDim)"))
+      .select("cw_id", "b", "csub")
     blocks.join(broadcast(cw), Seq("b"))
       .withColumn("d2",
         expr("graft_dot(sub, sub) + graft_dot(csub, csub) - 2 * graft_dot(sub, csub)"))
@@ -264,10 +301,21 @@ object Similarity {
       embeddings: DataFrame,
       nBlocks: Int = 4,
       blockDim: Int = 16,
-      nCodewords: Int = 8): DataFrame = {
+      nCodewords: Int = 8): DataFrame =
+    pqAssignRanked(pqBlockDists(embeddings, nBlocks, blockDim, nCodewords))
+
+  /** Code assignment against an external codebook (see `pqBlockDistsWith`). */
+  def pqAssignWith(
+      embeddings: DataFrame,
+      codebook: DataFrame,
+      nBlocks: Int = 4,
+      blockDim: Int = 16): DataFrame =
+    pqAssignRanked(pqBlockDistsWith(embeddings, codebook, nBlocks, blockDim))
+
+  private def pqAssignRanked(dists: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("b"))
       .orderBy(col("d2"), col("cw_id"))
-    pqBlockDists(embeddings, nBlocks, blockDim, nCodewords)
+    dists
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("b").cast("long").as("block"),

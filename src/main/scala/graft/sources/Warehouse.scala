@@ -16,6 +16,44 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
+  /** Run `write` against a staging directory ON THE WAREHOUSE'S OWN
+    * FILESYSTEM, under the table root; delete it afterwards. A
+    * driver-local `java.nio` temp dir would resolve to EACH EXECUTOR'S
+    * local disk on a real cluster — executors would write shards to 1000
+    * different machines and the swap read would see only the driver's.
+    * The `_` prefix keeps the staging dir invisible to readers of `path`
+    * (Spark's file listing skips `_`/`.`-prefixed names, same convention
+    * as `_temporary`/`_SUCCESS`), while an explicit read of the staging
+    * path itself still works.
+    */
+  private def withStaging(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new org.apache.hadoop.fs.Path(root, s"_staging-${java.util.UUID.randomUUID()}")
+    try write(fs.makeQualified(staging).toString)
+    finally fs.delete(staging, true)
+  }
+
+  /** Swap staged rows into `path` via dynamic partition overwrite:
+    * replaces exactly the day partitions present in the staged data,
+    * restoring the sorted-within-day layout. */
+  private def swapStaged(
+      spark: SparkSession, path: String, staging: String, sortCols: Seq[String]): Unit = {
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      spark.read.parquet(staging)
+        .repartition(col("day"))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
+    } finally {
+      prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   /** Merge `updates` into the warehouse at `path` by `keyCols` identity
     * within each day: an existing row with an update's key is REPLACED
     * (last-writer-wins), a new key is INSERTED. Day partitions not
@@ -45,21 +83,9 @@ object Warehouse {
       keyCols :+ "day", "left_anti")
     val merged = survivors.unionByName(up)
 
-    val staging = java.nio.file.Files.createTempDirectory("graft-upsert").toString
-    merged.write.mode("overwrite").parquet(staging)
-
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      spark.read.parquet(staging)
-        .repartition(col("day"))
-        .sortWithinPartitions((keyCols :+ tsCol).map(col): _*)
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    withStaging(spark, path) { staging =>
+      merged.write.mode("overwrite").parquet(staging)
+      swapStaged(spark, path, staging, keyCols :+ tsCol)
     }
   }
 
@@ -89,21 +115,9 @@ object Warehouse {
     if (fragmented.isEmpty) return Nil
 
     val current = spark.read.parquet(path).filter(col("day").isin(fragmented: _*))
-    val staging = java.nio.file.Files.createTempDirectory("graft-compact").toString
-    current.write.mode("overwrite").parquet(staging)
-
-    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      spark.read.parquet(staging)
-        .repartition(col("day"))
-        .sortWithinPartitions(col(keyCol), col(tsCol))
-        .write.mode("overwrite").partitionBy("day").parquet(path)
-    } finally {
-      prevMode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+    withStaging(spark, path) { staging =>
+      current.write.mode("overwrite").parquet(staging)
+      swapStaged(spark, path, staging, Seq(keyCol, tsCol))
     }
     fragmented
   }

@@ -1,7 +1,6 @@
 package graft.textops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline: exact (hash),
@@ -54,15 +53,22 @@ object Dedup {
     */
   val hotShingleMaxDf = 1000
 
-  /** shingles with hot (df > maxDf) shingles removed. One window count
-    * over the shingle key — the same shuffle partitioning the downstream
-    * shingle-key self-join needs, so the cap adds no extra exchange.
+  /** shingles with hot (df > maxDf) shingles removed. Df via
+    * groupBy-count + equi-join — NOT `count().over(partitionBy(shingle))`:
+    * a window forces every row of a hot shingle through ONE task (a df-10M
+    * boilerplate shingle = one 10M-row partition), while the groupBy gets
+    * map-side partial aggregation and the join lets AQE split the skewed
+    * probe side. Costs one extra (tiny, heavily pre-aggregated) shuffle of
+    * the per-shingle counts; semantics identical.
     */
-  def cappedShingles(documents: DataFrame, n: Int = 5, maxDf: Int = hotShingleMaxDf): DataFrame =
-    shingles(documents, n)
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+  def cappedShingles(documents: DataFrame, n: Int = 5, maxDf: Int = hotShingleMaxDf): DataFrame = {
+    val sh = shingles(documents, n)
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
-      .drop("_df")
+      .select(col("shingle"))
+    sh.join(keep, Seq("shingle"))
+      .select(sh.columns.map(col).toIndexedSeq: _*)
+  }
 
   /** DuckDB mirror of `cappedShingles`: `sh` is distinct (doc, shingle),
     * so COUNT(*) per shingle IS the document frequency.
@@ -256,6 +262,58 @@ object Dedup {
       .select("doc_new", "doc_store", "jaccard")
   }
 
+  /** The ingest-time signature artifact: per-doc MinHash signature
+    * (doc_id, mh0..mh{k-1}) written once when a batch lands. The
+    * incremental dedup path then reads THIS instead of re-shingling the
+    * whole store per batch — the difference between O(new + store-sigs)
+    * and O(new + store-text) work per crawl batch, which at a 100 TB
+    * store is the whole game.
+    */
+  def writeSignatureTable(documents: DataFrame, path: String, n: Int = 5): Unit =
+    minhashSignatures(documents, n).write.mode("overwrite").parquet(path)
+
+  /** INCREMENTAL dedup against PERSISTED store signatures (the production
+    * counterpart of `incrementalLshPairs`, which recomputes the store side
+    * for self-containedness): candidates are new×store band-bucket
+    * collisions, verified by the MINHASH JACCARD ESTIMATE — the fraction
+    * of agreeing signature components, an unbiased estimator of true
+    * Jaccard. The store's text and shingles are NEVER read: both the
+    * candidate and verify joins touch only the k-integer signature rows,
+    * so a crawl batch checks against a 100 TB store at signature-table
+    * (not corpus) cost. `storeSignatures` is `minhashSignatures` output,
+    * typically read back from `writeSignatureTable`'s parquet.
+    * Output: (doc_new, doc_store, est_jaccard ≥ minEstJaccard); est is a
+    * multiple of 1/k, exact in double — engine-comparison safe.
+    */
+  def incrementalSigPairs(newDocs: DataFrame, storeSignatures: DataFrame,
+                          n: Int = 5, minEstJaccard: Double = 0.7): DataFrame = {
+    val k = minhashParams.size
+    val newSigs = minhashSignatures(newDocs, n)
+    val candidates = lshBands(newSigs).as("x")
+      .join(lshBands(storeSignatures).as("y"), Seq("band", "band_key"))
+      .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_store"))
+      .distinct()
+    val nMatch = (0 until k)
+      .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(newSigs.as("a"), col("doc_new") === col("a.doc_id"))
+      .join(storeSignatures.as("b"), col("doc_store") === col("b.doc_id"))
+      .withColumn("est_jaccard", nMatch.cast("double") / k)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("doc_new", "doc_store", "est_jaccard")
+  }
+
+  /** DuckDB mirror of the signature-agreement estimate over sig aliases
+    * `a` (new side) and `b` (store side). */
+  def sigMatchEstSqlDuck(a: String = "a", b: String = "b"): String = {
+    val k = minhashParams.size
+    val matches = (0 until k)
+      .map(i => s"(CASE WHEN $a.mh$i = $b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"CAST($matches AS DOUBLE) / $k"
+  }
+
   /** Distributed connected components by alternating LARGE-STAR /
     * SMALL-STAR contraction (the MapReduce CC algorithm of Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14):
@@ -288,10 +346,13 @@ object Dedup {
       .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
       .distinct()
       .cache()
-    // fixpoint ⇔ the edge SET is unchanged: (count, Σ xxhash64(u,v)) is a
-    // deterministic set fingerprint — one aggregate per round
+    // fixpoint ⇔ the edge SET is unchanged: (count, XOR xxhash64(u,v)) is a
+    // deterministic set fingerprint — one aggregate per round. XOR (not
+    // sum): edges are distinct, so XOR is order-independent AND cannot
+    // overflow — xxhash64 yields full-range signed longs, and summing
+    // them throws ARITHMETIC_OVERFLOW under Spark's default ANSI mode.
     def checksum(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prev = checksum(e)

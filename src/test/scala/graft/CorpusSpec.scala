@@ -115,6 +115,32 @@ class CorpusSpec extends SparkSpec {
     assert(pairs == Set((10L, 1L), (11L, 1L)))
   }
 
+  test("persisted-signature incremental dedup: parquet round-trip identical, store text untouched") {
+    import graft.textops.Dedup
+    val store = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "totally different words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    val sigPath = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    Dedup.writeSignatureTable(store, sigPath)
+    // the production path: store side = the persisted table read back
+    val persisted = Dedup.incrementalSigPairs(fresh, spark.read.parquet(sigPath))
+      .select("doc_new", "doc_store", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    // identical to the inline-signature run (the table IS minhashSignatures output)
+    val inline = Dedup.incrementalSigPairs(fresh, Dedup.minhashSignatures(store))
+      .select("doc_new", "doc_store", "est_jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(persisted == inline)
+    assert(persisted.map(p => (p._1, p._2)) == Set((10L, 1L)))
+    // the exact dup agrees on every component
+    assert(persisted.forall(_._3 == 1.0))
+  }
+
   test("curate pipeline invariants: no bench docs, no contaminated, no exact dups") {
     val docs = Tables.documents(spark, sf)
     val isBench = $"doc_id" % 10 === 0

@@ -46,6 +46,7 @@ class PlanAuditSpec extends SparkSpec {
   // Every other query must plan hash/sort-merge joins only.
   private val constantSideBnlj = Set(
     "ann_cosine_topk", "ann_topk_bounded", "ann_ivf_topk", // ANN scoring
+    "ann_ivf_external",                                    // ANN scoring (16-row external codebook)
     "company_registration", "group_max_next_id",           // 1-row scalar attach
     "tfidf_search")                                        // 1-row corpus-size attach
 

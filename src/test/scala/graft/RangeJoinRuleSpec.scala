@@ -70,6 +70,48 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(j.count() == 1)
   }
 
+  test("left-outer range join rewrites when the point side is preserved") {
+    val lo = points.join(intervals, $"ts" >= $"start_ts" && $"ts" < $"end_ts", "left_outer")
+    val plan = lo.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"rule did not fire for left_outer:\n${plan.linesIterator.take(25).mkString("\n")}")
+    assert(plan.contains("_graft_bucket"))
+    val got = lo.select($"pt_id", $"iv_id").as[(Long, Option[Long])].collect().toSet
+    // matched pairs as inner; point 15 (matches nothing) survives null-padded
+    val want = expected.map { case (p, i) => (p, Some(i)) } ++ Set((15L, None: Option[Long]))
+    assert(got == want)
+    // exactly once per unmatched point — multiplicity is the outer-join trap
+    assert(lo.count() == want.size)
+  }
+
+  test("right-outer with the point side preserved rewrites; interval-preserved outer is skipped") {
+    // right_outer, point side on the right: preserved side == point side → rewrite
+    val ro = intervals.join(points, $"ts" >= $"start_ts" && $"ts" < $"end_ts", "right_outer")
+    val roPlan = ro.queryExecution.executedPlan.toString
+    assert(!roPlan.contains("BroadcastNestedLoopJoin") && roPlan.contains("_graft_bucket"))
+    assert(ro.count() == expected.size + 1) // + the unmatched point 15
+
+    // left_outer with the INTERVAL side preserved: bucket explosion would
+    // duplicate unmatched intervals → named skip, nested loop stands
+    val skip = intervals.join(points, $"ts" >= $"start_ts" && $"ts" < $"end_ts", "left_outer")
+    val skipPlan = skip.queryExecution.executedPlan.toString
+    assert(!skipPlan.contains("_graft_bucket"), "interval-preserved outer must not rewrite")
+    val got = skip.select($"iv_id", $"pt_id").as[(Long, Option[Long])].collect().toSet
+    assert(got == expected.map { case (p, i) => (i, Some(p)) }) // every interval matches ≥1 point
+  }
+
+  test("semi and anti range joins rewrite when the point side probes") {
+    val semi = points.join(intervals, $"ts" >= $"start_ts" && $"ts" < $"end_ts", "left_semi")
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(!semiPlan.contains("BroadcastNestedLoopJoin") && semiPlan.contains("_graft_bucket"))
+    assert(semi.select("pt_id").as[Long].collect().toSet == expected.map(_._1))
+
+    val anti = points.join(intervals, $"ts" >= $"start_ts" && $"ts" < $"end_ts", "left_anti")
+    val antiPlan = anti.queryExecution.executedPlan.toString
+    assert(!antiPlan.contains("BroadcastNestedLoopJoin") && antiPlan.contains("_graft_bucket"))
+    assert(anti.select("pt_id").as[Long].collect().toSet == Set(15L))
+  }
+
   test("rewritten plan equals RangeJoin.pointInInterval on a dense random fixture") {
     // 2k points × 200 intervals with spans crossing many buckets — the
     // rewrite, the explicit operator, and the (rule-disabled) naive plan

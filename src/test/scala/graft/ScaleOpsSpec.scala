@@ -37,6 +37,10 @@ class ScaleOpsSpec extends SparkSpec {
       assert(dist.join(viaWindow, Seq("doc_id", "n", "start_off"), "left_anti").count() == 0,
         s"mismatch at nParts=$parts")
     }
+    // default width follows spark.sql.shuffle.partitions, result unchanged
+    val auto = PrefixSum.exclusivePrefixSum(toks, "doc_id", "n")
+    assert(auto.rdd.getNumPartitions == spark.sessionState.conf.numShufflePartitions)
+    assert(auto.join(viaWindow, Seq("doc_id", "n", "start_off"), "left_anti").count() == 0)
   }
 
   test("streaming compression matches batch except each key's open final day") {

@@ -38,4 +38,37 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(30).mkString("\n"))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
   }
+
+  test("external codebooks reproduce the built-in quantizers when given the same centers") {
+    val emb = Tables.embeddings(spark, sf)
+    // IVF: external centroids = the 8 lowest-id vectors == the default quantizer
+    val defaultCents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding"))
+    val viaExternal = Similarity.ivfTopKWithCentroids(emb, defaultCents, k = 5, maxQueryId = 32)
+      .select("query_id", "cand_id", "rank")
+    val viaDefault = Similarity.ivfTopK(emb, k = 5, maxQueryId = 32)
+      .select("query_id", "cand_id", "rank")
+    assert(viaExternal.exceptAll(viaDefault).isEmpty && viaDefault.exceptAll(viaExternal).isEmpty)
+    // PQ: external codebook = the 8 lowest-id vectors == the default derivation
+    val cb = emb.filter(col("vec_id") < 8).select(col("vec_id").as("cw_id"), col("embedding"))
+    val pqExt = Similarity.pqAssignWith(emb, cb).select("vec_id", "block", "code", "err2")
+    val pqDef = Similarity.pqAssign(emb).select("vec_id", "block", "code", "err2")
+    assert(pqExt.exceptAll(pqDef).isEmpty && pqDef.exceptAll(pqExt).isEmpty)
+  }
+
+  test("a non-trivial external codebook changes cell assignment but scoring stays exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val codebook = emb.filter(col("vec_id") % 4 === 0 && col("vec_id") < 64)
+      .select(col("vec_id").as("cent_id"), col("embedding"))
+    val out = Similarity.ivfTopKWithCentroids(emb, codebook, k = 5, maxQueryId = 32)
+    val rows = out.count()
+    assert(rows > 0)
+    // within each probed cell the scoring is exact: every reported cos
+    // matches the brute-force cosine for that (query, cand) pair
+    val brute = Similarity.bruteForceTopK(emb, k = Int.MaxValue, maxQueryId = 32)
+      .select(col("query_id"), col("cand_id"), col("cos").as("cos_exact"))
+    val joined = out.join(brute, Seq("query_id", "cand_id"))
+    assert(joined.filter(col("cos") =!= col("cos_exact")).count() == 0)
+    assert(joined.count() == rows)
+  }
 }

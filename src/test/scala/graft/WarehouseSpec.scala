@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.{Sources, Warehouse}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class WarehouseSpec extends SparkSpec {
   import spark.implicits._
@@ -81,5 +82,41 @@ class WarehouseSpec extends SparkSpec {
 
     // second pass: nothing fragmented, nothing rewritten
     assert(Warehouse.compactDayPartitions(spark, path, "user_id", "ts").isEmpty)
+  }
+
+  test("staging lives on the warehouse filesystem under the table root, not driver tmp") {
+    val path = freshWarehouse()
+    val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    def driverTmpStaging(): Set[String] = {
+      val s = java.nio.file.Files.list(tmpRoot)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("graft-upsert") || n.startsWith("graft-compact"))
+        .toSet
+      finally s.close()
+    }
+    val tmpBefore = driverTmpStaging()
+
+    val updates = Seq((1L, ts("2024-01-02 15:00:00"), 99.0)).toDF("user_id", "ts", "value")
+    Warehouse.upsertDayPartitioned(spark, path, updates, "ts", Seq("user_id"))
+    Seq((9L, ts("2024-01-02 12:00:00"), 90.0)).toDF("user_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(s"$path/day=2024-01-02")
+    Warehouse.compactDayPartitions(spark, path, "user_id", "ts")
+
+    // old behavior gone: nothing staged on the driver's local tmp
+    assert(driverTmpStaging() == tmpBefore)
+    // staging cleaned up: no _staging-* left under the table root
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val leftovers = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .map(_.getPath.getName).filter(_.startsWith("_staging-"))
+    assert(leftovers.isEmpty, s"staging dirs not cleaned up: ${leftovers.mkString(",")}")
+
+    // a crash-orphaned _staging dir must be INVISIBLE to table readers
+    // (the `_` prefix convention readers already honor for _temporary)
+    val rowsBefore = spark.read.parquet(path).count()
+    Seq((999L, ts("2024-01-09 00:00:00"), 0.0)).toDF("user_id", "ts", "value")
+      .write.parquet(s"$path/_staging-orphan")
+    assert(spark.read.parquet(path).count() == rowsBefore)
   }
 }
