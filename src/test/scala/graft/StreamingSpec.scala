@@ -268,6 +268,54 @@ class StreamingSpec extends SparkSpec {
     assert(batchRun.nonEmpty) // 13 cross-boundary pairs exist at sf0.001? — nonzero guard
   }
 
+  test("streaming signature-store dedup: check against persisted sigs, then append own") {
+    // the FULL production ingest flow: the store is the persisted
+    // signature TABLE (never re-shingled); each arriving batch (a) dedups
+    // against the current signature store via incrementalSigPairs and
+    // (b) appends its own signatures, so batch 2 sees batch 1's docs. At
+    // the end the signature store must equal one batch-mode
+    // minhashSignatures run over everything.
+    import graft.textops.Dedup
+    val docs = Tables.documents(spark, sf)
+    val store = docs.filter($"doc_id" < 250)
+    val fresh = docs.filter($"doc_id" >= 250)
+    val sigPath = java.nio.file.Files.createTempDirectory("graft-sigstore").toString
+    Dedup.writeSignatureTable(store, sigPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sigdedup-src")
+    fresh.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    fresh.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val sigs = spark.read.parquet(sigPath)
+      Dedup.incrementalSigPairs(batch, sigs, n = 5, minEstJaccard = 0.7)
+        .select("doc_new", "doc_store")
+        .collect().foreach(r => collected.add((r.getLong(0), r.getLong(1))))
+      // ingest: this batch's signatures join the store for later batches
+      Dedup.minhashSignatures(batch, n = 5).write.mode("append").parquet(sigPath)
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = scala.jdk.CollectionConverters.CollectionHasAsScala(collected).asScala.toSet
+    // every pair the store-only batch run finds is found here too (the
+    // stream checks against a GROWING store, so it may find extra
+    // legitimate new-vs-earlier-new pairs — verify those against the
+    // full-corpus signature run)
+    val storeOnly = Dedup.incrementalSigPairs(fresh, Dedup.minhashSignatures(store))
+      .select("doc_new", "doc_store").as[(Long, Long)].collect().toSet
+    assert(storeOnly.subsetOf(streamed))
+    val allPairs = Dedup.incrementalSigPairs(fresh, Dedup.minhashSignatures(docs))
+      .filter($"doc_new" =!= $"doc_store")
+      .select("doc_new", "doc_store").as[(Long, Long)].collect().toSet
+    assert(streamed.subsetOf(allPairs))
+    // final signature store ≡ batch-mode signatures over store + all batches
+    val finalSigs = spark.read.parquet(sigPath)
+    val expected = Dedup.minhashSignatures(docs)
+    assert(finalSigs.count() == expected.count())
+    assert(finalSigs.exceptAll(expected).isEmpty && expected.exceptAll(finalSigs).isEmpty)
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-dup-src")
