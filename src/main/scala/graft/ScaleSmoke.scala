@@ -219,6 +219,30 @@ object ScaleSmoke {
       pairs.unpersist()
     }
 
+    // connected components on a planted 2M-edge graph: 10k CHAINS of
+    // length 200 (the worst case for round count — a chain needs
+    // O(log L) star-contraction rounds where per-hop propagation needs
+    // L) plus 100k 2-cliques. Every node must label with its chain/pair
+    // minimum; convergence must stay within the maxRounds budget.
+    timed("connected components, 2.2M planted edges (10k chains x 200 + 100k pairs)") {
+      val chains = spark.range(10000L * 199L).select(
+        expr("id div 199 * 1000 + id % 199").as("u"),
+        expr("id div 199 * 1000 + id % 199 + 1").as("v"))
+      val pairBase = 100000000L
+      val pairs2 = spark.range(100000L).select(
+        (col("id") * 2 + pairBase).as("u"), (col("id") * 2 + 1L + pairBase).as("v"))
+      val labels = graft.textops.Dedup
+        .connectedComponents(chains.unionByName(pairs2)).cache()
+      // chain node k*1000+i labels with k*1000; pair node labels with its even id
+      val wrongChain = labels.filter($"doc_id" < pairBase)
+        .filter($"canonical_id" =!= expr("doc_id div 1000 * 1000")).count()
+      val wrongPair = labels.filter($"doc_id" >= pairBase)
+        .filter($"canonical_id" =!= expr(s"(doc_id - ${pairBase}L) div 2 * 2 + ${pairBase}L")).count()
+      println(s"[scale]   nodes labeled: ${labels.count()}, wrong: ${wrongChain + wrongPair}")
+      labels.unpersist()
+      assert(wrongChain + wrongPair == 0, s"CC mislabeled $wrongChain chain + $wrongPair pair nodes")
+    }
+
     // calendar gap-fill at 100k keys × sparse year: ~40 observed days per
     // key forward-filled onto each key's own min..max spine (~36M spine
     // rows from 4M observations) — spine rows ∝ keys × span, one window
