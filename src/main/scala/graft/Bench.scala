@@ -67,9 +67,13 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
 
+    // cap the inline list so a mass failure can't blow the driver's
+    // 2000-byte stdout tail and take the whole JSON line down with it;
+    // n_failed always carries the true count (full names in the detail file)
     val failedJson =
       if (failed.isEmpty) ""
-      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      else s""","n_failed":${failed.size}""" +
+        failed.take(15).map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     def line(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum$failedJson}"""
@@ -86,7 +90,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val detailPath = "/tmp/graft_bench_detail.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail$failedJson}""".getBytes("UTF-8"))
+      {
+        val failedFull =
+          if (failed.isEmpty) ""
+          else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+        s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail$failedFull}""".getBytes("UTF-8")
+      })
     System.err.println(s"[bench] full per-query detail: $detailPath")
     spark.stop()
     println(out) // final stdout line — nothing may follow it

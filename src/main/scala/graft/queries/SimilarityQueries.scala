@@ -137,6 +137,54 @@ object SimilarityQueries {
           .orderBy("vec_a", "vec_b")
       }),
 
+    // connected components over the embedding near-dup graph (the modality
+    // analog of dedup_clusters): edges = nearDupPairs ≥ 0.4 (LSH
+    // candidates, exact verify — recall 1 vs the cartesian baseline per
+    // SimilaritySpec), labels = star-contraction CC, isolated vectors keep
+    // their own id. Oracle = exact pairwise edges + recursive-CTE closure.
+    QueryDef(
+      "embedding_clusters",
+      Some(s"""
+        WITH RECURSIVE $quantDuck,
+        pairs AS (
+          SELECT qa.vec_id AS vec_a, cb.vec_id AS vec_b
+          FROM n qa JOIN n cb ON qa.vec_id < cb.vec_id
+          WHERE ${cosOf(dotDuck, "qa.norm2", "cb.norm2")} >= 0.4
+        ),
+        edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION ALL
+          SELECT vec_b, vec_a FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT vec_id, vec_id FROM embeddings
+          UNION
+          SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+        ),
+        labels AS (
+          SELECT node AS vec_id, min(r) AS canonical_id FROM reach GROUP BY node
+        )
+        SELECT vec_id, canonical_id,
+               COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        FROM labels
+        ORDER BY vec_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val pairs = Similarity.nearDupPairs(emb, threshold = 0.4)
+          .select("vec_a", "vec_b")
+        val labels = graft.textops.Dedup.connectedComponents(pairs)
+          .withColumnRenamed("doc_id", "vec_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))
+        emb.select(col("vec_id"))
+          .join(labels, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy("vec_id")
+      }),
+
     // array-column surface over embeddings: length, positional access
     // (incl. negative = from-end), element predicates. Heads/tails emitted
     // as SCALAR columns — array-typed outputs hash differently across

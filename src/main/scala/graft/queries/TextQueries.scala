@@ -488,6 +488,81 @@ object TextQueries {
         Dedup.nearDupClusters(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
           .orderBy("doc_id")),
 
+    // keep-BEST-per-cluster: the curation op a training pipeline actually
+    // runs over the cluster labels — keep the highest-quality member of
+    // each near-dup cluster (not the arbitrary min-id), tie → lowest id.
+    // quality_score doubles are bit-identical across engines, so the
+    // argmax and the cut agree exactly
+    QueryDef(
+      "dedup_keep_best",
+      Some(s"""
+        WITH RECURSIVE $shinglesDuck,
+        k AS (SELECT doc_id, ${Dedup.shingleKeyExprDuck} AS s FROM sh),
+        sig AS (SELECT doc_id, $sigSelectDuck FROM k GROUP BY doc_id),
+        bands AS ($bandsDuck),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        pairsj AS (
+          SELECT doc_a, doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairsj
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairsj
+        ),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+        ),
+        d AS (SELECT doc_id, text, $toksDuck AS toks FROM documents),
+        q AS (SELECT doc_id, ${TextAnalysis.qualityScoreSqlDuck} AS quality_score FROM d),
+        ranked AS (
+          SELECT l.canonical_id, l.doc_id, q.quality_score,
+                 row_number() OVER (PARTITION BY l.canonical_id
+                   ORDER BY q.quality_score DESC, l.doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY l.canonical_id) AS cluster_size
+          FROM labels l JOIN q ON q.doc_id = l.doc_id
+        )
+        SELECT canonical_id, doc_id AS kept_doc, cluster_size,
+               round(quality_score, 4) AS quality
+        FROM ranked WHERE rn = 1
+        ORDER BY canonical_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val labels = Dedup.nearDupClusters(docs, n = 5, minJaccard = 0.8)
+        val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality_score"))
+        val wBest = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))
+          .orderBy(col("quality_score").desc, col("doc_id"))
+        labels.join(q, Seq("doc_id"))
+          .withColumn("rn", row_number().over(wBest))
+          .withColumn("cluster_size",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("canonical_id"))))
+          .filter(col("rn") === 1)
+          .select(col("canonical_id"), col("doc_id").as("kept_doc"),
+            col("cluster_size"), round(col("quality_score"), 4).as("quality"))
+          .orderBy("canonical_id")
+      }),
+
     QueryDef(
       "dedup_minhash_lsh",
       Some(s"""
