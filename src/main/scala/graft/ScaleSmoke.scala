@@ -224,7 +224,7 @@ object ScaleSmoke {
     // O(log L) star-contraction rounds where per-hop propagation needs
     // L) plus 100k 2-cliques. Every node must label with its chain/pair
     // minimum; convergence must stay within the maxRounds budget.
-    timed("connected components, 2.2M planted edges (10k chains x 200 + 100k pairs)") {
+    timed("connected components, ~2.1M planted edges (10k chains x 200 + 100k pairs)") {
       val chains = spark.range(10000L * 199L).select(
         expr("id div 199 * 1000 + id % 199").as("u"),
         expr("id div 199 * 1000 + id % 199 + 1").as("v"))

@@ -19,9 +19,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Failures must be LOUD: a silently-absent result dir reads as "query
     // removed" to the driver (round-4 finding: a runtime crash shrank the
-    // correctness file by one key and nobody noticed). Each failure writes
-    // a per-query .error sidecar plus a summary _errors.json, and the
-    // process exits non-zero so the driver can't mistake the run for clean.
+    // correctness file by one key and nobody noticed). The failure signal
+    // is the per-query .error sidecars plus the summary _errors.json — NOT
+    // the exit code, which stays 0 so one bad query can't make the driver
+    // drop the 100+ good results (see the note at the bottom).
+    // Stale sidecars from a previous run into the same outDir would read
+    // as phantom failures — clear them before the query loop.
+    Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".error"))
+      .foreach(_.delete())
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -541,7 +541,7 @@ object TextQueries {
           FROM labels l JOIN q ON q.doc_id = l.doc_id
         )
         SELECT canonical_id, doc_id AS kept_doc, cluster_size,
-               round(quality_score, 4) AS quality
+               quality_score AS quality
         FROM ranked WHERE rn = 1
         ORDER BY canonical_id
       """.stripMargin.trim),
@@ -559,7 +559,10 @@ object TextQueries {
               .partitionBy(col("canonical_id"))))
           .filter(col("rn") === 1)
           .select(col("canonical_id"), col("doc_id").as("kept_doc"),
-            col("cluster_size"), round(col("quality_score"), 4).as("quality"))
+            // raw double, not round(…, 4): the score is computed by the
+            // same float ops in both engines so it is bit-identical, while
+            // HALF_UP rounding of a halfway representation is not
+            col("cluster_size"), col("quality_score").as("quality"))
           .orderBy("canonical_id")
       }),
 
