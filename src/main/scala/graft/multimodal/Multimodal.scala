@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   */
 case class MediaRow(doc_id: Long, media_type: String, payload: Array[Byte])
 
-/** Extracted per-item features. `decoded_ok` marks items the (stubbed)
-  * codec accepted.
+/** Header-level features. Option fields are None when the format doesn't
+  * carry them (images have no sample_rate) or the payload didn't decode.
   */
 case class MediaFeatures(
     doc_id: Long,
     media_type: String,
     n_bytes: Long,
     header_hex: String,
-    n_frames: Long,
-    mean_byte: Double,
+    format: Option[String],
+    width: Option[Long],
+    height: Option[Long],
+    sample_rate: Option[Long],
+    channels: Option[Long],
+    bit_depth: Option[Long],
+    n_frames: Option[Long],
+    mean_byte: Option[Double],
     decoded_ok: Boolean)
 
 /** Multimodal-column plumbing: image/audio/video as opaque binary columns
@@ -26,61 +32,62 @@ case class MediaFeatures(
   * Pandas-UDF batch loop: one iterator per partition, codec state
   * initialized once per partition, rows streamed through).
   *
-  * The DECODE STEP IS A STUB — this container has no image/audio codecs,
-  * so `decodeStub` derives deterministic fake features from the raw bytes.
-  * The Spark-side plumbing (schema, binary handling, partition-batched
-  * UDF shape, feature schema) is real and tested; swap `decodeStub` for a
-  * JNI/codec call in production.
+  * The decode step is [[MediaCodec]] — a REAL header-level parser for
+  * public container formats (PNG signature+IHDR with CRC32 verification,
+  * RIFF/WAVE chunk walk, JPEG marker scan), pure JVM, no codec libraries.
+  * Payloads are synthesized by the same codec with deterministic planted
+  * dimensions, so a DuckDB oracle recomputing those fields from doc_id
+  * arithmetic checks the build→parse round trip byte-for-byte.
   */
 object Multimodal {
 
-  /** Wrap documents as media rows: payload = UTF-8 bytes of the text,
-    * media_type derived from the source tag. Stands in for reading a
-    * `binary` Parquet column of real image/audio bytes.
+  /** Wrap documents as media rows: a real format header (planted per
+    * doc_id by [[MediaCodec.build]]) followed by the document's UTF-8
+    * bytes as the opaque content region. Stands in for reading a `binary`
+    * Parquet column of real image/audio bytes.
     */
   def asMedia(documents: DataFrame): Dataset[MediaRow] = {
     val spark = documents.sparkSession
     import spark.implicits._
     documents
-      .select(
-        col("doc_id"),
-        concat(lit("image/fake-"), col("source")).as("media_type"),
-        col("text").cast("binary").as("payload"))
-      .as[MediaRow]
-  }
-
-  /** STUB codec: deterministic pseudo-decode of a payload.
-    * Real implementation would invoke an image/audio library here.
-    */
-  private[multimodal] def decodeStub(payload: Array[Byte]): (String, Long, Double, Boolean) = {
-    if (payload == null || payload.isEmpty) ("", 0L, 0.0, false)
-    else {
-      val header = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
-      val frames = payload.length.toLong / 64L // fake "frame sample" count
-      val window = payload.take(256)
-      val mean = window.map(b => (b & 0xff).toDouble).sum / window.length
-      (header, frames, mean, true)
-    }
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (docId, text) =>
+        MediaRow(docId, MediaCodec.mediaType(docId), MediaCodec.build(docId, text))
+      }
   }
 
   /** Batch feature extraction: one pass per partition, codec initialized
     * once per partition (the expensive part for a real codec), rows
-    * streamed — never materialized per-partition in memory.
+    * streamed — never materialized per-partition in memory. `mean_byte`
+    * is over the first 256 bytes of the decoded content region — a cheap
+    * stand-in for the per-item content statistic a real pipeline computes
+    * post-decode.
     */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition codec init would go here
+      // per-partition native-codec init would go here
       rows.map { r =>
-        val (header, frames, mean, ok) = decodeStub(r.payload)
-        MediaFeatures(r.doc_id, r.media_type, Option(r.payload).map(_.length.toLong).getOrElse(0L),
-          header, frames, mean, ok)
+        val payload = Option(r.payload).getOrElse(Array.emptyByteArray)
+        val d = MediaCodec.decode(payload)
+        val headerHex = payload.take(4).map(b => f"${b & 0xff}%02x").mkString
+        val meanByte =
+          if (!d.ok) None
+          else {
+            val win = payload.slice(d.contentOffset, d.contentOffset + 256)
+            if (win.isEmpty) Some(0.0)
+            else Some(win.map(b => (b & 0xff).toDouble).sum / win.length)
+          }
+        MediaFeatures(r.doc_id, r.media_type, payload.length.toLong, headerHex,
+          d.format, d.width, d.height, d.sampleRate, d.channels, d.bitDepth,
+          d.nFrames, meanByte, d.ok)
       }
     }
   }
 
-  /** Full pipeline as a DataFrame op (used by the rows-only query entry). */
+  /** Full pipeline as a DataFrame op (used by the query entries). */
   def features(spark: SparkSession, documents: DataFrame): DataFrame =
     extractFeatures(asMedia(documents)).toDF()
 }

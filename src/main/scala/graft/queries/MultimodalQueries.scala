@@ -4,64 +4,113 @@ import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing coverage. The decode step is a documented stub
-  * (no codecs in this container) but the binary-column schema, the
-  * partition-batched extraction, and the aggregation over extracted
-  * features are real. Because `decodeStub` is a deterministic function of
-  * the payload bytes, even the mapPartitions-typed full feature extraction
-  * IS oracle-expressible: header/frames via hex/octet_length (as in
-  * multimodal_meta), and mean_byte by decoding hex digit pairs of the
-  * first-256-byte window — the byte values are integers, so the engine's
-  * sequential double sum is exact and equals the oracle's integer-sum-
-  * then-divide bit for bit.
+/** Multimodal coverage. Payloads carry REAL format headers (PNG
+  * signature+IHDR, canonical RIFF/WAVE PCM, JFIF JPEG with SOF0) planted
+  * deterministically per doc_id by `MediaCodec.build`; the engine decodes
+  * them back header-level in pure JVM (`MediaCodec.decode` — CRC32 check,
+  * chunk walk, marker scan). The oracle recomputes the planted fields
+  * from doc_id arithmetic — it never sees the bytes — so a bug in either
+  * the builder or the parser breaks the hash match. `mean_byte` is over
+  * the first 256 bytes of the decoded content region (= the document's
+  * UTF-8 bytes), oracle-computed by decoding hex digit pairs; byte values
+  * are integers so the double sum is exact in both engines.
   */
 object MultimodalQueries {
 
+  /** Shared oracle CTE: planted-field arithmetic mirrored from
+    * `MediaCodec` (formats cycle png/wav/jpeg by doc_id % 3; doc_id % 97
+    * docs get a corrupted magic byte and must fail decode).
+    */
+  private val mediaDuck = """
+    m AS (
+      SELECT doc_id,
+             doc_id % 3 AS fmt,
+             doc_id % 97 = 0 AS corrupt,
+             CAST(octet_length(encode(text)) AS BIGINT) AS tlen,
+             substr(hex(encode(text)), 1, 512) AS hx,
+             CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS win
+      FROM documents
+    ), f AS (
+      SELECT doc_id, corrupt, win, hx,
+             CASE fmt WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                  ELSE 'image/jpeg' END AS media_type,
+             tlen + CASE fmt WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 39 END AS n_bytes,
+             CASE WHEN corrupt THEN NULL WHEN fmt = 0 THEN 'png'
+                  WHEN fmt = 1 THEN 'wav' ELSE 'jpeg' END AS format,
+             CASE WHEN corrupt OR fmt = 1 THEN NULL
+                  ELSE CAST(16 + (doc_id * 7) % 2048 AS BIGINT) END AS width,
+             CASE WHEN corrupt OR fmt = 1 THEN NULL
+                  ELSE CAST(16 + (doc_id * 13) % 1536 AS BIGINT) END AS height,
+             CASE WHEN corrupt OR fmt <> 1 THEN NULL
+                  ELSE CAST(CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                            WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                            ELSE 48000 END AS BIGINT) END AS sample_rate,
+             CASE WHEN corrupt OR fmt <> 1 THEN NULL
+                  ELSE CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+             CASE WHEN corrupt THEN NULL WHEN fmt = 1 THEN CAST(16 AS BIGINT)
+                  ELSE CAST(8 AS BIGINT) END AS bit_depth,
+             CASE WHEN corrupt THEN NULL
+                  WHEN fmt = 1 THEN tlen // (2 * (1 + doc_id % 2))
+                  ELSE CAST(1 AS BIGINT) END AS n_frames,
+             CASE WHEN corrupt THEN concat('00', CASE fmt WHEN 0 THEN '504e47'
+                    WHEN 1 THEN '494646' ELSE 'd8ffe0' END)
+                  ELSE CASE fmt WHEN 0 THEN '89504e47' WHEN 1 THEN '52494646'
+                    ELSE 'ffd8ffe0' END END AS header_hex,
+             NOT corrupt AS decoded_ok
+      FROM m
+    )""".stripMargin
+
+  private val meanByteDuck = """
+    CASE WHEN corrupt THEN CAST(NULL AS DOUBLE)
+         WHEN win = 0 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(list_sum(list_transform(range(win), i ->
+                (strpos('0123456789ABCDEF', substr(hx, CAST(i*2+1 AS INT), 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substr(hx, CAST(i*2+2 AS INT), 1)) - 1))) AS DOUBLE) / win
+         END""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
-    // the deterministic metadata subset of the feature extraction IS
-    // SQL-expressible — oracle-checked byte-for-byte (payload = UTF-8
-    // bytes of text; header = first 4 bytes hex; frames = bytes/64)
+    // metadata pass: claimed type, size, magic bytes, did-it-decode
     QueryDef(
       "multimodal_meta",
-      Some("""
-        SELECT doc_id,
-               'image/fake-' || source AS media_type,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               lower(substr(hex(encode(text)), 1, 8)) AS header_hex,
-               CAST(octet_length(encode(text)) // 64 AS BIGINT) AS n_frames,
-               octet_length(encode(text)) > 0 AS decoded_ok
-        FROM documents
+      Some(s"""
+        WITH $mediaDuck
+        SELECT doc_id, media_type, n_bytes, header_hex, decoded_ok
+        FROM f
         ORDER BY doc_id
       """.stripMargin.trim),
       (spark, dir) => {
         Multimodal.features(spark, Tables.documents(spark, dir))
-          .select("doc_id", "media_type", "n_bytes", "header_hex", "n_frames", "decoded_ok")
+          .select("doc_id", "media_type", "n_bytes", "header_hex", "decoded_ok")
           .orderBy("doc_id")
       }),
+
+    // the decode proper: every field the header-level parse extracts —
+    // the oracle knows the planted values only via doc_id arithmetic
+    QueryDef(
+      "multimodal_decode",
+      Some(s"""
+        WITH $mediaDuck
+        SELECT doc_id, format, width, height, sample_rate, channels,
+               bit_depth, n_frames, decoded_ok
+        FROM f
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Multimodal.features(spark, Tables.documents(spark, dir))
+          .select("doc_id", "format", "width", "height", "sample_rate",
+            "channels", "bit_depth", "n_frames", "decoded_ok")
+          .orderBy("doc_id")
+      }),
+
+    // full feature row including the content-region byte statistic
     QueryDef(
       "multimodal_features",
-      Some("""
-        WITH m AS (
-          SELECT doc_id,
-                 'image/fake-' || source AS media_type,
-                 encode(text) AS payload
-          FROM documents
-        ), f AS (
-          SELECT doc_id, media_type,
-                 CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-                 lower(substr(hex(payload), 1, 8)) AS header_hex,
-                 CAST(octet_length(payload) // 64 AS BIGINT) AS n_frames,
-                 substr(hex(payload), 1, 512) AS h,
-                 least(octet_length(payload), 256) AS win
-          FROM m
-        )
-        SELECT doc_id, media_type, n_bytes, header_hex, n_frames,
-               CASE WHEN win = 0 THEN CAST(0 AS DOUBLE)
-                    ELSE CAST(list_sum(list_transform(range(win), i ->
-                           (strpos('0123456789ABCDEF', substr(h, CAST(i*2+1 AS INT), 1)) - 1) * 16
-                         + (strpos('0123456789ABCDEF', substr(h, CAST(i*2+2 AS INT), 1)) - 1))) AS DOUBLE) / win
-               END AS mean_byte,
-               n_bytes > 0 AS decoded_ok
+      Some(s"""
+        WITH $mediaDuck
+        SELECT doc_id, media_type, n_bytes, header_hex, format, width,
+               height, sample_rate, channels, bit_depth, n_frames,
+               $meanByteDuck AS mean_byte,
+               decoded_ok
         FROM f
         ORDER BY doc_id
       """.stripMargin.trim),
@@ -69,19 +118,20 @@ object MultimodalQueries {
         Multimodal.features(spark, Tables.documents(spark, dir))
           .orderBy("doc_id")
       }),
-    // rollup of the deterministic stub features IS SQL-expressible from
-    // the payload bytes — same octet_length/hex technique as
-    // multimodal_meta, aggregated (round-1 judge directive #5)
+
+    // per-claimed-type rollup (round-1 judge directive #5): corrupt items
+    // count toward n_items/total_bytes but not n_decoded/total_frames
     QueryDef(
       "multimodal_rollup",
-      Some("""
-        SELECT 'image/fake-' || source AS media_type,
+      Some(s"""
+        WITH $mediaDuck
+        SELECT media_type,
                COUNT(*) AS n_items,
-               CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
-               CAST(SUM(CAST(octet_length(encode(text)) // 64 AS BIGINT)) AS BIGINT) AS total_frames,
-               COUNT(CASE WHEN octet_length(encode(text)) > 0 THEN 1 END) AS n_decoded
-        FROM documents
-        GROUP BY 1
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+               COUNT(CASE WHEN decoded_ok THEN 1 END) AS n_decoded
+        FROM f
+        GROUP BY media_type
         ORDER BY media_type
       """.stripMargin.trim),
       (spark, dir) => {

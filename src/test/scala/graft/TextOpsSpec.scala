@@ -2,7 +2,6 @@ package graft
 
 import graft.textops.{Dedup, TextAnalysis}
 import graft.similarity.Similarity
-import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
 class TextOpsSpec extends SparkSpec {
@@ -69,14 +68,6 @@ class TextOpsSpec extends SparkSpec {
     assert(joined.filter($"cos" =!= $"cos_bf").count() == 0)
   }
 
-  test("multimodal stub features: byte length, header hex, frame count") {
-    val f = Multimodal.features(spark,
-      Seq((7L, "abcdWXYZ" * 16, "en", "src1", 128L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
-      .collect()(0)
-    assert(f.getAs[Long]("n_bytes") == 128L)
-    assert(f.getAs[String]("header_hex") == "61626364") // 'abcd'
-    assert(f.getAs[Long]("n_frames") == 2L)
-    assert(f.getAs[Boolean]("decoded_ok"))
-    assert(f.getAs[String]("media_type") == "image/fake-src1")
-  }
+  // multimodal coverage moved to MediaCodecSpec/MultimodalSpec alongside
+  // the real header-level codec (round-6: stub retired)
 }
