@@ -231,8 +231,13 @@ object ScaleSmoke {
       val pairBase = 100000000L
       val pairs2 = spark.range(100000L).select(
         (col("id") * 2 + pairBase).as("u"), (col("id") * 2 + 1L + pairBase).as("v"))
-      val labels = graft.textops.Dedup
-        .connectedComponents(chains.unionByName(pairs2)).cache()
+      val (labels0, cc) = graft.textops.Dedup
+        .connectedComponentsWithStats(chains.unionByName(pairs2))
+      val labels = labels0.cache()
+      // telemetry: a chain of length 200 needs ~log2(200)≈8 star rounds;
+      // drift toward maxRounds is the production alarm signal
+      println(s"[scale]   cc rounds: ${cc.rounds}, edges/round: ${cc.edgesPerRound.mkString(", ")}")
+      assert(cc.rounds <= 15, s"CC took ${cc.rounds} rounds — convergence drifting")
       // chain node k*1000+i labels with k*1000; pair node labels with its even id
       val wrongChain = labels.filter($"doc_id" < pairBase)
         .filter($"canonical_id" =!= expr("doc_id div 1000 * 1000")).count()

@@ -548,22 +548,106 @@ object TextQueries {
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         val labels = Dedup.nearDupClusters(docs, n = 5, minJaccard = 0.8)
-        val q = TextAnalysis.withQuality(docs).select(col("doc_id"), col("quality_score"))
-        val wBest = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("canonical_id"))
-          .orderBy(col("quality_score").desc, col("doc_id"))
-        labels.join(q, Seq("doc_id"))
-          .withColumn("rn", row_number().over(wBest))
-          .withColumn("cluster_size",
-            count(lit(1)).over(org.apache.spark.sql.expressions.Window
-              .partitionBy(col("canonical_id"))))
-          .filter(col("rn") === 1)
-          .select(col("canonical_id"), col("doc_id").as("kept_doc"),
-            // raw double, not round(…, 4): the score is computed by the
-            // same float ops in both engines so it is bit-identical, while
-            // HALF_UP rounding of a halfway representation is not
-            col("cluster_size"), col("quality_score").as("quality"))
-          .orderBy("canonical_id")
+        Dedup.keepBestPerCluster(docs, labels).orderBy("canonical_id")
+      }),
+
+    // near-dup-aware curation composite: the cluster labels (the
+    // expensive LSH + connected-components stage) are materialized ONCE
+    // (localCheckpoint) and passed to the curation — the sharing shape a
+    // production pipeline uses when keep-best, cluster stats, and
+    // curation all consume the same pair graph. quality gate → eval
+    // removal → keep-best-per-cluster → 8-gram decontamination → split.
+    QueryDef(
+      "curate_neardup",
+      Some(s"""
+        WITH RECURSIVE $shinglesDuck,
+        k AS (SELECT doc_id, ${Dedup.shingleKeyExprDuck} AS s FROM sh),
+        sig AS (SELECT doc_id, $sigSelectDuck FROM k GROUP BY doc_id),
+        bands AS ($bandsDuck),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+          GROUP BY c.doc_a, c.doc_b
+        ),
+        pairsj AS (
+          SELECT doc_a, doc_b
+          FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+        ),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairsj
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairsj
+        ),
+        reach(node, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.node
+        ),
+        labels AS (
+          SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node
+        ),
+        d AS (SELECT doc_id, lang, text, $toksDuck AS toks FROM documents),
+        scored AS (
+          SELECT doc_id, text, toks,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ${TextAnalysis.qualityScoreSqlDuck} AS quality_score,
+                 $langScoresDuck
+          FROM d
+        ),
+        kept AS (
+          SELECT * FROM scored WHERE quality_score >= 0.535 AND doc_id % 10 <> 0
+        ),
+        ranked AS (
+          SELECT kept.*, l.canonical_id,
+                 row_number() OVER (PARTITION BY l.canonical_id
+                   ORDER BY kept.quality_score DESC, kept.doc_id) AS rn
+          FROM kept JOIN labels l ON l.doc_id = kept.doc_id
+        ),
+        tok8 AS (
+          SELECT doc_id, $toksDuck AS t FROM documents
+        ),
+        sh8 AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(t) - 6), i ->
+              ${(0 until 8).map(j => if (j == 0) "t[i]" else s"t[i+$j]").mkString(" || ' ' || ")})) AS shingle
+            FROM tok8) x
+          WHERE shingle IS NOT NULL
+        ),
+        cont AS (
+          SELECT DISTINCT t.doc_id
+          FROM (SELECT doc_id, shingle FROM sh8 WHERE doc_id % 10 <> 0) t
+          JOIN (SELECT shingle FROM sh8 WHERE doc_id % 10 = 0) b USING (shingle)
+        )
+        SELECT doc_id, canonical_id,
+               ${TextAnalysis.langBestSqlDuck} AS predicted_lang,
+               n_tokens, quality_score,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'validation'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          FROM ranked
+          WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM cont)) z
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        // the expensive stage, materialized once and shared
+        val labels = Dedup.nearDupClusters(docs, n = 5, minJaccard = 0.8)
+          .localCheckpoint(true)
+        graft.textops.Curate
+          .curateNearDup(docs, labels, isBench = col("doc_id") % 10 === 0,
+            qualityMin = 0.535, n = 8)
+          .orderBy("doc_id")
       }),
 
     QueryDef(

@@ -44,4 +44,39 @@ object Curate {
         when(bucket < 80, "train").when(bucket < 90, "validation")
           .otherwise("test").as("split"))
   }
+
+  /** Near-dup-aware curation over PRECOMPUTED cluster labels: quality
+    * gate → eval-shard removal → keep-BEST-per-near-dup-cluster (argmax
+    * quality among the surviving members, tie → lowest doc_id) →
+    * decontamination → deterministic split.
+    *
+    * `labels` (doc_id, canonical_id) is an ARGUMENT, not recomputed: the
+    * LSH pair graph + connected components is the expensive stage of the
+    * whole pipeline, so the production shape materializes it once and
+    * feeds every consumer (this curation, cluster-size stats, span
+    * scrubbing) from the same DataFrame — see the `curate_neardup`
+    * catalog entry, which localCheckpoints the labels before this call.
+    */
+  def curateNearDup(documents: DataFrame, labels: DataFrame, isBench: Column,
+                    qualityMin: Double = 0.535, n: Int = 8): DataFrame = {
+    val scored = TextAnalysis.withLangId(TextAnalysis.withQuality(documents))
+    val kept = scored.filter(col("quality_score") >= qualityMin && !isBench)
+    val wBest = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val best = kept
+      .join(labels, Seq("doc_id"))
+      .withColumn("_rn", row_number().over(wBest))
+      .filter(col("_rn") === 1)
+    val contaminated = Decontaminate.contaminated(documents, isBench, n)
+      .select(col("doc_id"))
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+    best
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"), col("canonical_id"), col("predicted_lang"),
+        col("n_tokens"), col("quality_score"),
+        when(bucket < 80, "train").when(bucket < 90, "validation")
+          .otherwise("test").as("split"))
+  }
 }

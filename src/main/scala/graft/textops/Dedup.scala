@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** word n-gram shingles (default 5) of lowercased whitespace tokens,
     * distinct per doc. Docs shorter than n tokens yield zero shingles —
     * NOT `sequence(1, greatest(len-n+1, 0))`: Spark's sequence(1, 0) is
@@ -338,7 +340,21 @@ object Dedup {
     * return wrong canonical ids; the O(log n) bound makes 50 generous for
     * any realistic graph (2^50 nodes).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithStats(pairs, maxRounds)._1
+
+  /** Per-run convergence telemetry: rounds taken and the surviving edge
+    * count after each star-contraction round. A production run alarms on
+    * round-count drift (a skew or data bug shows up as rounds creeping
+    * toward `maxRounds` long before it becomes a wrong answer).
+    */
+  final case class CcStats(rounds: Int, edgesPerRound: Seq[Long])
+
+  /** `connectedComponents` plus its [[CcStats]]. The stats are free: the
+    * per-round fixpoint checksum already counts the edge set.
+    */
+  def connectedComponentsWithStats(
+      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, CcStats) = {
     val cols = pairs.columns
     // localCheckpoint (eager), NOT cache(): each round's plan must start
     // from MATERIALIZED edges with no lineage into the previous round.
@@ -369,6 +385,7 @@ object Dedup {
     var prev = checksum(e)
     var rounds = 0
     var converged = prev._1 == 0L
+    val edgeCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
     while (!converged) {
       if (rounds >= maxRounds) {
         throw new IllegalStateException(
@@ -402,12 +419,15 @@ object Dedup {
       prev = s
       e = small
       rounds += 1
+      edgeCounts += s._1
     }
+    log.info(s"connectedComponents converged in $rounds rounds; " +
+      s"edges/round: ${edgeCounts.mkString(", ")}")
     // fixpoint edges are stars (node, component-min)
     val labels = e.select(col("u").as("doc_id"), col("v").as("canonical_id"))
       .unionByName(e.select(col("v").as("doc_id"), col("v").as("canonical_id")))
       .groupBy(col("doc_id")).agg(min(col("canonical_id")).as("canonical_id"))
-    labels
+    (labels, CcStats(rounds, edgeCounts.toSeq))
   }
 
   /** Connected components over the near-duplicate pair graph: every doc
@@ -431,6 +451,35 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+  }
+
+  /** Keep-best-per-cluster curation over PRECOMPUTED cluster labels:
+    * within each near-dup cluster keep the member with the highest
+    * quality score (tie → lowest doc_id). Taking `labels` as an argument
+    * (rather than recomputing `nearDupClusters` internally) is the
+    * production shape: the LSH pair graph + connected components is the
+    * expensive stage, computed ONCE and shared by every downstream
+    * consumer (keep-best, cluster-size stats, scrubbing) — see
+    * `Curate.curateNearDup` for the composite.
+    *
+    * Returns (canonical_id, kept_doc, cluster_size, quality).
+    */
+  def keepBestPerCluster(documents: DataFrame, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.withQuality(documents)
+      .select(col("doc_id"), col("quality_score"))
+    val wBest = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    labels.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
+      .filter(col("rn") === 1)
+      .select(col("canonical_id"), col("doc_id").as("kept_doc"),
+        // raw double, not round(…, 4): the score is computed by the same
+        // float ops in both engines so it is bit-identical, while HALF_UP
+        // rounding of a halfway representation is not
+        col("cluster_size"), col("quality_score").as("quality"))
   }
 
   /** 32-bit SimHash over token frequencies: bit b set iff

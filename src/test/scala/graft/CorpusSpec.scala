@@ -156,6 +156,26 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("curate_neardup: labels materialized once give output identical to per-stage recompute") {
+    val full = Tables.documents(spark, sf)
+    val isBench = $"doc_id" % 10 === 0
+    // the expensive stage, computed ONCE and shared…
+    val shared = graft.textops.Dedup.nearDupClusters(full, n = 5, minJaccard = 0.8)
+      .localCheckpoint(true)
+    val viaShared = graft.textops.Curate.curateNearDup(full, shared, isBench)
+    // …must be indistinguishable from recomputing labels at the call site
+    val naive = graft.textops.Curate.curateNearDup(
+      full, graft.textops.Dedup.nearDupClusters(full, n = 5, minJaccard = 0.8), isBench)
+    assert(viaShared.exceptAll(naive).isEmpty && naive.exceptAll(viaShared).isEmpty)
+    // and the same shared labels feed keep-best: every curated doc is its
+    // cluster's keep-best pick among surviving members (bench/quality cuts
+    // applied before the argmax), so kept docs are unique per cluster
+    assert(viaShared.groupBy("canonical_id").count().filter($"count" > 1).count() == 0)
+    val kb = graft.textops.Dedup.keepBestPerCluster(full, shared)
+    assert(kb.count() > 0)
+    assert(kb.groupBy("canonical_id").count().filter($"count" > 1).count() == 0)
+  }
+
   test("token budget sample: per-language cumulative tokens never exceed the budget") {
     val out = graft.queries.CorpusQueries.entries.find(_.name == "token_budget_sample").get
       .run(spark, sf)
