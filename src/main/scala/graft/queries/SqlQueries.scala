@@ -73,6 +73,56 @@ object SqlQueries {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  // the LLM-operator surface from raw SQL: a user at the ad-hoc tab runs
+  // similarity top-k with the engine's native `graft_dot` (codegen'd
+  // int64 dot product, registered by GraftExtensions) over the
+  // `embeddings` view. This text is Spark SQL; the oracle expresses the
+  // identical exact-integer semantics in DuckDB list ops (graft_dot is
+  // engine-native, so the same-text contract of the other sql_adhoc_*
+  // entries can't apply). The BROADCAST hint pins the 8-row query batch
+  // to the build side — the ANN-scoring plan shape PlanAuditSpec
+  // sanctions (linear in the corpus).
+  private val adhocSimilaritySpark =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, q, graft_dot(q, q) AS norm2 FROM e
+      |), scored AS (
+      |  SELECT /*+ BROADCAST(qs) */ qs.vec_id AS query_id, c.vec_id AS cand_id,
+      |         CAST(graft_dot(qs.q, c.q) AS DOUBLE) /
+      |           nullif(sqrt(CAST(qs.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)), 0) AS cos
+      |  FROM n c JOIN (SELECT * FROM n WHERE vec_id < 8) qs ON c.vec_id <> qs.vec_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      |  FROM scored
+      |)
+      |SELECT query_id, cand_id, cos FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
+  private val adhocSimilarityDuck =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, q,
+      |         list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)), (a, v) -> a + v) AS norm2
+      |  FROM e
+      |), scored AS (
+      |  SELECT qs.vec_id AS query_id, c.vec_id AS cand_id,
+      |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |                list_transform(list_zip(qs.q, c.q), p -> p[1] * p[2])), (x, v) -> x + v) AS DOUBLE)
+      |           / nullif(sqrt(CAST(qs.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)), 0) AS cos
+      |  FROM n c JOIN (SELECT * FROM n WHERE vec_id < 8) qs ON c.vec_id <> qs.vec_id
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rn
+      |  FROM scored
+      |)
+      |SELECT query_id, cand_id, cos FROM ranked WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sql_adhoc_agg", Some(adhocAgg),
       (spark, dir) => Views.adhoc(spark, dir, adhocAgg)),
@@ -85,6 +135,8 @@ object SqlQueries {
     QueryDef("sql_adhoc_lateral", Some(adhocLateral),
       (spark, dir) => Views.adhoc(spark, dir, adhocLateral)),
     QueryDef("sql_adhoc_grouping_sets", Some(adhocGroupingSets),
-      (spark, dir) => Views.adhoc(spark, dir, adhocGroupingSets))
+      (spark, dir) => Views.adhoc(spark, dir, adhocGroupingSets)),
+    QueryDef("sql_adhoc_similarity", Some(adhocSimilarityDuck),
+      (spark, dir) => Views.adhoc(spark, dir, adhocSimilaritySpark))
   )
 }

@@ -47,6 +47,7 @@ class PlanAuditSpec extends SparkSpec {
   private val constantSideBnlj = Set(
     "ann_cosine_topk", "ann_topk_bounded", "ann_ivf_topk", // ANN scoring
     "ann_ivf_external",                                    // ANN scoring (16-row external codebook)
+    "sql_adhoc_similarity",                                // ANN scoring from raw SQL (8-row query batch)
     "company_registration", "group_max_next_id",           // 1-row scalar attach
     "tfidf_search")                                        // 1-row corpus-size attach
 
