@@ -316,6 +316,77 @@ class StreamingSpec extends SparkSpec {
     assert(finalSigs.exceptAll(expected).isEmpty && expected.exceptAll(finalSigs).isEmpty)
   }
 
+  test("streaming curation loop: quality gate + sig-store dedup + packing equals the batch fold") {
+    // the production ingest loop END-TO-END in one foreachBatch pipeline:
+    // each arriving file batch is (a) quality-gated, (b) deduped against
+    // the persisted signature store, (c) its SURVIVORS' signatures
+    // appended to the store (check-then-append), and (d) the survivors
+    // packed into 512-token sequences and appended to the training
+    // corpus. The reference is the identical per-batch fold run in plain
+    // batch mode over the same files in the same order — streaming
+    // infrastructure must add or lose nothing.
+    import graft.textops.{Dedup, TextAnalysis}
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, sf)
+    val store = docs.filter($"doc_id" < 250)
+    val fresh = docs.filter($"doc_id" >= 250)
+    val qualityMin = 0.5
+
+    val base = java.nio.file.Files.createTempDirectory("graft-curate-stream")
+    val srcDir = base.resolve("src")
+    // batch order is the file-source's mtime order: write b0 first
+    fresh.filter($"doc_id" < 375).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    Thread.sleep(100)
+    fresh.filter($"doc_id" >= 375).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+
+    // one micro-batch of the curation loop, shared verbatim by the
+    // streaming pipeline and the batch-mode reference fold
+    def curateStep(batch: DataFrame, batchId: Long, sigPath: String, corpusPath: String): Unit = {
+      val passed = TextAnalysis.withQuality(batch)
+        .filter(col("quality_score") >= qualityMin)
+        .select(batch.columns.map(col) :+ col("n_tokens") :+ col("quality_score"): _*)
+      val sigs = spark.read.parquet(sigPath)
+      val dupIds = Dedup.incrementalSigPairs(passed, sigs, n = 5, minEstJaccard = 0.7)
+        .select(col("doc_new").as("doc_id")).distinct()
+      val survivors = passed.join(dupIds, Seq("doc_id"), "left_anti").localCheckpoint(true)
+      Dedup.minhashSignatures(survivors, n = 5).write.mode("append").parquet(sigPath)
+      graft.operators.PrefixSum.exclusivePrefixSum(
+          survivors.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", nParts = 2)
+        .join(survivors.select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+          (lit(batchId) * 1000000L + expr("start_off div 512")).as("seq_id"))
+        .write.mode("append").parquet(corpusPath)
+    }
+
+    // streaming run
+    val sigA = base.resolve("sigA").toString
+    val corpusA = base.resolve("corpusA").toString
+    Dedup.writeSignatureTable(store, sigA)
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) => curateStep(batch, batchId, sigA, corpusA)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch-mode reference: the same fold, no streaming infrastructure
+    val sigB = base.resolve("sigB").toString
+    val corpusB = base.resolve("corpusB").toString
+    Dedup.writeSignatureTable(store, sigB)
+    curateStep(fresh.filter($"doc_id" < 375), 0L, sigB, corpusB)
+    curateStep(fresh.filter($"doc_id" >= 375), 1L, sigB, corpusB)
+
+    val got = spark.read.parquet(corpusA)
+    val want = spark.read.parquet(corpusB)
+    assert(got.count() > 0 && got.count() < fresh.count()) // gate + dedup both bit
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // final signature stores agree too (check-then-append is equivalent)
+    val sa = spark.read.parquet(sigA)
+    val sb = spark.read.parquet(sigB)
+    assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-dup-src")
