@@ -88,6 +88,51 @@ object ScaleSmoke {
       pairs.unpersist()
     }
 
+    // 50k vectors, ids 25000-25999 duplicate ids 0-999 with a +0.05 bump
+    // on dim 1 (cos ≈ 0.9996) — the planted-truth corpus for the
+    // clustering composite and the tables-vs-threshold sweep below
+    def mkEmb50k = spark.range(50000).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64), d ->
+                cast((hash((CASE WHEN id BETWEEN 25000 AND 25999 THEN id - 25000 ELSE id END) * 100 + d) % 2001) / 1000.0
+                     + (CASE WHEN id BETWEEN 25000 AND 25999 AND d = 1 THEN 0.05 ELSE 0.0 END) as float))""")
+        .as("embedding"))
+
+    // the embedding_clusters COMPOSITE end-to-end at 25×: LSH pairs →
+    // star-contraction CC → labels. Every planted (i, i+25000) pair must
+    // land in one cluster; CC round telemetry is the drift alarm
+    timed("embedding clusters composite, 50k vectors (1000 planted dup pairs)") {
+      val pairs = graft.similarity.Similarity
+        .nearDupPairs(mkEmb50k, threshold = 0.9, sigBits = 64, tables = 16, bandBits = 12)
+        .select("vec_a", "vec_b")
+      val (labels0, cc) = graft.textops.Dedup.connectedComponentsWithStats(pairs)
+      val labels = labels0.withColumnRenamed("doc_id", "vec_id").cache()
+      val coLabeled = labels.as("l1")
+        .filter(col("l1.vec_id") < 1000L)
+        .join(labels.as("l2"), col("l1.vec_id") + 25000L === col("l2.vec_id"))
+        .filter(col("l1.canonical_id") === col("l2.canonical_id")).count()
+      println(s"[scale]   cc rounds: ${cc.rounds} (edges/round: ${cc.edgesPerRound.mkString(", ")}); " +
+        s"labeled nodes: ${labels.count()}, planted co-labeled: $coLabeled / 1000")
+      assert(coLabeled == 1000L, s"only $coLabeled/1000 planted dup pairs share a cluster label")
+      labels.unpersist()
+    }
+
+    // tables-vs-threshold cost curve (SCALE.md): the catalog's 128-table/
+    // 4-bit setting exists only because the synthetic oracle threshold is
+    // 0.4 (the random-pair noise tail) — production thresholds (≥0.8)
+    // need far fewer tables. Recall measured on the 1000 planted pairs.
+    for ((thr, tables, bandBits) <- Seq((0.95, 8, 14), (0.9, 16, 12), (0.8, 32, 10))) {
+      timed(f"near-dup sweep: threshold $thr%.2f, $tables tables x $bandBits bits") {
+        val pairs = graft.similarity.Similarity
+          .nearDupPairs(mkEmb50k, threshold = thr, sigBits = 64,
+            tables = tables, bandBits = bandBits)
+          .cache()
+        val planted = pairs.filter($"vec_b" - $"vec_a" === 25000L).count()
+        println(s"[scale]   pairs: ${pairs.count()}, planted recall: $planted / 1000")
+        pairs.unpersist()
+      }
+    }
+
     // PQ-ADC at the same 25× corpus: corpus touched only through 4 byte
     // codes per vector; the per-query lookup tables broadcast
     timed("PQ-ADC top-10, 50k vectors, 32 queries") {
@@ -216,6 +261,46 @@ object ScaleSmoke {
         .cache()
       val found = pairs.filter($"doc_new" - 200000L === $"doc_store").count()
       println(s"[scale]   pairs: ${pairs.count()}, planted found: $found / 300")
+      pairs.unpersist()
+    }
+
+    // the PERSISTED-SIGNATURE path against a deliberately huge store:
+    // 2.02M signature rows (200× the 10k batch) — 20k real signatures
+    // (the plant sources) plus 2M synthetic padding rows with uniform
+    // mh values (band-key collision odds ~ (1/P)^4 per band, nil). The
+    // store TEXT is never touched — per-batch cost is the batch shingle
+    // pass plus one band equi-join against the k-integer signature
+    // table, so wall time tracks the 100k-text-store smoke above, not
+    // the 20× store growth. Signatures go through parquet (the actual
+    // persisted-store flow), scan included in the timing.
+    val realDocs = spark.range(20000).select(
+      col("id").as("doc_id"),
+      expr("""array_join(transform(sequence(1, cast(abs(hash(id)) % 200 + 50 as int)),
+                i -> concat('w', pmod(hash(id * 100003 + i), 5000))), ' ')""").as("text"))
+    timed("build + persist 2.02M-signature store (one-time, amortized)") {
+      val padSigCols = (0 until graft.textops.Dedup.minhashParams.size).map(i =>
+        expr(s"cast(abs(hash(id * 31 + $i)) % ${graft.textops.Dedup.minhashP} as bigint)").as(s"mh$i"))
+      val pad = spark.range(2000000L)
+        .select((col("id") + 1000000L).as("doc_id") +: padSigCols: _*)
+      graft.textops.Dedup.minhashSignatures(realDocs, n = 5)
+        .unionByName(pad)
+        .write.mode("overwrite").parquet(s"$dir/sigstore")
+    }
+    timed("incremental dedup, 10k new docs vs persisted 2.02M-signature store (300 plants)") {
+      val storeSigs = spark.read.parquet(s"$dir/sigstore")
+      val cleanNew = spark.range(9700).select(
+        (col("id") + 3000000L).as("doc_id"),
+        expr("""array_join(transform(sequence(1, cast(abs(hash(id + 3000000) % 200) + 50 as int)),
+                  i -> concat('w', pmod(hash((id + 3000000) * 100003 + i), 5000))), ' ')""").as("text"))
+      val plants = realDocs.filter($"doc_id" % 3 === 0 && $"doc_id" < 900)
+        .select(($"doc_id" + 200000L).as("doc_id"), $"text")
+      val pairs = graft.textops.Dedup
+        .incrementalSigPairs(cleanNew.unionByName(plants), storeSigs,
+          n = 5, minEstJaccard = 0.7)
+        .cache()
+      val found = pairs.filter($"doc_new" - 200000L === $"doc_store").count()
+      println(s"[scale]   pairs: ${pairs.count()}, planted found: $found / 300")
+      assert(found == 300L, s"persisted-signature path surfaced only $found/300 plants")
       pairs.unpersist()
     }
 
