@@ -90,4 +90,61 @@ object Multimodal {
   /** Full pipeline as a DataFrame op (used by the query entries). */
   def features(spark: SparkSession, documents: DataFrame): DataFrame =
     extractFeatures(asMedia(documents)).toDF()
+
+  /** Audio frame-sampling: decode each WAV payload, interpret the data
+    * region as 16-bit LE PCM, keep every `decimate`-th sample (the
+    * frame-sample step of a media pipeline — stats over a stride, never
+    * the full stream), and reduce to count / mean-|sample| / peak.
+    * Sums are exact integers, so the one division is bit-identical in
+    * any engine. Non-WAV and undecodable payloads yield no row.
+    */
+  def audioFrameStats(spark: SparkSession, documents: DataFrame,
+                      decimate: Int = 4): DataFrame = {
+    import spark.implicits._
+    asMedia(documents).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = Option(r.payload).getOrElse(Array.emptyByteArray)
+        val d = MediaCodec.decode(payload)
+        if (!d.ok || !d.format.contains("wav")) None
+        else {
+          val from = d.contentOffset
+          val nSamples = (payload.length - from) / 2
+          var i = 0
+          var n = 0L
+          var sumAbs = 0L
+          var peak = 0L
+          while (i < nSamples) {
+            val lo = payload(from + 2 * i) & 0xff
+            val hi = payload(from + 2 * i + 1)
+            val v = math.abs((hi << 8 | lo).toShort.toLong)
+            n += 1; sumAbs += v; if (v > peak) peak = v
+            i += decimate
+          }
+          Some((r.doc_id, nSamples.toLong, n,
+            if (n == 0) None else Some(sumAbs.toDouble / n),
+            if (n == 0) None else Some(peak)))
+        }
+      }
+    }.toDF("doc_id", "n_samples", "n_sampled", "mean_abs_sample", "peak_sample")
+  }
+
+  /** Image resize planning: thumbnail dimensions fitting `maxDim`² while
+    * preserving aspect ratio, computed from the PARSED width/height (pure
+    * integer arithmetic — floor, never upscale, floor ≥ 1). The pixel
+    * resample itself needs a raster codec and hangs off the same
+    * partition-batched loop; the planning step is what drives storage
+    * budgeting and is fully checkable.
+    */
+  def imageResizePlan(spark: SparkSession, documents: DataFrame,
+                      maxDim: Int = 128): DataFrame = {
+    features(spark, documents)
+      .filter(col("decoded_ok") && col("format").isin("png", "jpeg"))
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        // `div` (integer division), not `/` (double): the oracle uses
+        // DuckDB's `//` and the two must round identically
+        expr(s"CASE WHEN greatest(width, height) <= $maxDim THEN width " +
+          s"ELSE greatest(1L, width * $maxDim div greatest(width, height)) END").as("thumb_w"),
+        expr(s"CASE WHEN greatest(width, height) <= $maxDim THEN height " +
+          s"ELSE greatest(1L, height * $maxDim div greatest(width, height)) END").as("thumb_h"))
+  }
 }

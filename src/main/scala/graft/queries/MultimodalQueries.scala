@@ -119,6 +119,68 @@ object MultimodalQueries {
           .orderBy("doc_id")
       }),
 
+    // audio frame-sampling: every 4th 16-bit LE PCM sample of the WAV
+    // data region → count / mean-|sample| / peak. The engine parses the
+    // BYTES (content offset from the real chunk walk); the oracle
+    // reconstitutes the same samples from encode(text) hex digit pairs —
+    // exact integer sums, one bit-identical division
+    QueryDef(
+      "multimodal_frames",
+      Some("""
+        WITH w AS (
+          SELECT doc_id,
+                 octet_length(encode(text)) AS tlen,
+                 hex(encode(text)) AS hx
+          FROM documents
+          WHERE doc_id % 3 = 1 AND doc_id % 97 <> 0
+        ), s AS (
+          SELECT doc_id,
+                 CAST(tlen // 2 AS BIGINT) AS n_samples,
+                 list_transform(range(CAST((tlen // 2 + 3) // 4 AS BIGINT)), i ->
+                   abs((
+                     (strpos('0123456789ABCDEF', substr(hx, CAST(i*16+1 AS INT), 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF', substr(hx, CAST(i*16+2 AS INT), 1)) - 1)
+                   + 256 * ((strpos('0123456789ABCDEF', substr(hx, CAST(i*16+3 AS INT), 1)) - 1) * 16
+                          + (strpos('0123456789ABCDEF', substr(hx, CAST(i*16+4 AS INT), 1)) - 1))
+                   + CASE WHEN (strpos('0123456789ABCDEF', substr(hx, CAST(i*16+3 AS INT), 1)) - 1) >= 8
+                          THEN -65536 ELSE 0 END))) AS sampled
+          FROM w
+        )
+        SELECT doc_id, n_samples,
+               CAST(len(sampled) AS BIGINT) AS n_sampled,
+               CASE WHEN len(sampled) = 0 THEN NULL
+                    ELSE CAST(list_sum(sampled) AS DOUBLE) / len(sampled) END AS mean_abs_sample,
+               CASE WHEN len(sampled) = 0 THEN NULL
+                    ELSE CAST(list_max(sampled) AS BIGINT) END AS peak_sample
+        FROM s
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Multimodal.audioFrameStats(spark, Tables.documents(spark, dir), decimate = 4)
+          .orderBy("doc_id")
+      }),
+
+    // image resize planning: thumbnail dims fitting 128² from the PARSED
+    // width/height, floor-div, never upscaled, floor >= 1 — the oracle
+    // knows the dims only through the planted doc_id arithmetic
+    QueryDef(
+      "multimodal_resize",
+      Some(s"""
+        WITH $mediaDuck
+        SELECT doc_id, format, width, height,
+               CASE WHEN greatest(width, height) <= 128 THEN width
+                    ELSE greatest(1, width * 128 // greatest(width, height)) END AS thumb_w,
+               CASE WHEN greatest(width, height) <= 128 THEN height
+                    ELSE greatest(1, height * 128 // greatest(width, height)) END AS thumb_h
+        FROM f
+        WHERE decoded_ok AND format IN ('png', 'jpeg')
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Multimodal.imageResizePlan(spark, Tables.documents(spark, dir), maxDim = 128)
+          .orderBy("doc_id")
+      }),
+
     // per-claimed-type rollup (round-1 judge directive #5): corrupt items
     // count toward n_items/total_bytes but not n_decoded/total_frames
     QueryDef(

@@ -166,6 +166,47 @@ class MultimodalSpec extends SparkSpec {
     assert(wav.getAs[Any]("width") == null)
   }
 
+  test("audioFrameStats: every 4th LE PCM sample, exact mean/peak, wav-only rows") {
+    // doc 7 → wav (7 % 3 == 1). Content bytes are the text's UTF-8;
+    // recompute the expected decimated samples here independently.
+    val text = "abcdWXYZ" * 16 // 128 bytes → 64 samples → 16 sampled
+    val df = Seq(
+      (7L, text, "en", "s", 128L),
+      (3L, text, "en", "s", 128L),   // png → no row
+      (97L, text, "en", "s", 128L))  // corrupt wav → no row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.audioFrameStats(spark, df, decimate = 4).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 7L)
+    val bytes = text.getBytes("UTF-8")
+    val expect = (0 until 64 by 4).map { j =>
+      math.abs((((bytes(2 * j + 1) & 0xff) << 8) | (bytes(2 * j) & 0xff)).toShort.toLong)
+    }
+    assert(out(0).getAs[Long]("n_samples") == 64L)
+    assert(out(0).getAs[Long]("n_sampled") == expect.length.toLong)
+    assert(math.abs(out(0).getAs[Double]("mean_abs_sample") -
+      expect.sum.toDouble / expect.length) < 1e-12)
+    assert(out(0).getAs[Long]("peak_sample") == expect.max)
+  }
+
+  test("imageResizePlan: aspect preserved, floor div, never upscales, floor >= 1") {
+    // doc 3: planted 37x55 (under 128 → unchanged); doc 2: jpeg planted dims
+    val df = Seq(
+      (3L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L), (7L, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.imageResizePlan(spark, df, maxDim = 128)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(7L)) // wav has no resize plan
+    Seq(3L, 2L).foreach { id =>
+      val (w, h) = (MediaCodec.plantedWidth(id), MediaCodec.plantedHeight(id))
+      val (tw, th) =
+        if (math.max(w, h) <= 128) (w, h)
+        else (math.max(1L, w * 128 / math.max(w, h)), math.max(1L, h * 128 / math.max(w, h)))
+      assert(out(id).getAs[Long]("thumb_w") == tw, s"doc $id thumb_w")
+      assert(out(id).getAs[Long]("thumb_h") == th, s"doc $id thumb_h")
+      assert(out(id).getAs[Long]("thumb_w") <= 128 && out(id).getAs[Long]("thumb_h") <= 128)
+    }
+  }
+
   test("features schema: nullable metric columns are int64/double, not struct") {
     val df = Seq((1L, "t", "en", "s", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
     val sch = Multimodal.features(spark, df).schema
