@@ -185,6 +185,78 @@ object SimilarityQueries {
           .orderBy("vec_id")
       }),
 
+    // the PRODUCTION path of the clustering composite, oracled end-to-end:
+    // 200 planted perturbed duplicates (cos ≈ 0.999), threshold 0.9 with
+    // the production LSH knobs (16 tables × 12-bit bands — see the
+    // SCALE.md tables-vs-threshold sweep; 8× fewer candidate instances
+    // than the 0.4-threshold/128-table config the synthetic oracle
+    // forces on `embedding_clusters`). Oracle = exact pairwise edges at
+    // 0.9 + recursive-CTE closure over the planted corpus.
+    QueryDef(
+      "embedding_clusters_strict",
+      Some(s"""
+        WITH RECURSIVE corpus AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000 AS vec_id,
+                 list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
+                             list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS emb
+          FROM embeddings WHERE vec_id < 200
+        ), e AS (
+          SELECT vec_id, list_transform(emb, x -> CAST(round(x * 10000) AS BIGINT)) AS q
+          FROM corpus
+        ), n AS (
+          SELECT vec_id, q,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)), (a, v) -> a + v) AS norm2
+          FROM e
+        ), pairs AS (
+          SELECT qa.vec_id AS vec_a, cb.vec_id AS vec_b
+          FROM n qa JOIN n cb ON qa.vec_id < cb.vec_id
+          WHERE ${cosOf(dotOf("qa.q", "cb.q"), "qa.norm2", "cb.norm2")} >= 0.9
+        ),
+        edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM pairs
+          UNION ALL
+          SELECT vec_b, vec_a FROM pairs
+        ),
+        reach(node, r) AS (
+          SELECT vec_id, vec_id FROM corpus
+          UNION
+          SELECT e2.src, reach.r FROM reach JOIN edges e2 ON e2.dst = reach.node
+        ),
+        labels AS (
+          SELECT node AS vec_id, min(r) AS canonical_id FROM reach GROUP BY node
+        )
+        SELECT vec_id, canonical_id,
+               COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        FROM labels
+        ORDER BY vec_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        val base = e.select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+        val planted = e.filter(col("vec_id") < 200)
+          .select((col("vec_id") + lit(100000L)).as("vec_id"),
+            expr("transform(embedding, (x, i) -> cast(x as double) + IF(i = 0, 0.05D, 0D))")
+              .as("embedding"))
+        val corpus = base.unionByName(planted)
+        val pairs = Similarity.nearDupPairs(corpus,
+            threshold = 0.9, sigBits = 64, tables = 16, bandBits = 12)
+          .select("vec_a", "vec_b")
+        val labels = graft.textops.Dedup.connectedComponents(pairs)
+          .withColumnRenamed("doc_id", "vec_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))
+        corpus.select(col("vec_id"))
+          .join(labels, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .orderBy("vec_id")
+      }),
+
     // array-column surface over embeddings: length, positional access
     // (incl. negative = from-end), element predicates. Heads/tails emitted
     // as SCALAR columns — array-typed outputs hash differently across
