@@ -7,11 +7,12 @@ import java.util.zip.CRC32
 /** Header-level media codec over real public container formats.
   *
   * `build` synthesizes a VALID format header (PNG / canonical-PCM WAV /
-  * JFIF JPEG) deterministically from `docId`, followed by the document's
-  * UTF-8 bytes standing in for the compressed payload. `decode` parses the
-  * header back with pure JVM byte arithmetic — 8-byte PNG signature + IHDR
-  * chunk with CRC32 verification, RIFF/WAVE chunk walking, JPEG marker
-  * scanning to the SOF segment — no codec libraries. This is the shape a
+  * JFIF JPEG / AVI) deterministically from `docId`, followed by the
+  * document's UTF-8 bytes standing in for the compressed payload.
+  * `decode` parses the header back with pure JVM byte arithmetic — 8-byte
+  * PNG signature + IHDR chunk with CRC32 verification, RIFF/WAVE chunk
+  * walking, JPEG marker scanning to the SOF segment, RIFF/'AVI ' LIST
+  * walk to the avih main header — no codec libraries. This is the shape a
   * production pipeline uses at 100 TB: metadata extraction touches only
   * the first bytes of each blob; full-frame decoding (which DOES need
   * native codecs) hangs off the same `mapPartitions` plumbing.
@@ -22,7 +23,8 @@ import java.util.zip.CRC32
   * hash match (the Spark side only ever sees the bytes).
   *
   * Format references (public): PNG spec §5.2 (signature) / §11.2.2 (IHDR);
-  * RIFF/WAVE canonical 44-byte PCM header; ITU T.81 §B.2.2 (JPEG SOF).
+  * RIFF/WAVE canonical 44-byte PCM header; ITU T.81 §B.2.2 (JPEG SOF);
+  * AVI RIFF form (`hdrl` LIST → `avih` MainAVIHeader).
   */
 object MediaCodec {
 
@@ -45,18 +47,20 @@ object MediaCodec {
 
   // ---- deterministic planting rules (mirrored by the DuckDB oracle) ----
 
-  def formatOf(docId: Long): Int = (docId % 3).toInt // 0=png 1=wav 2=jpeg
+  def formatOf(docId: Long): Int = (docId % 4).toInt // 0=png 1=wav 2=jpeg 3=avi
   def isCorrupt(docId: Long): Boolean = docId % 97 == 0
   def plantedWidth(docId: Long): Long = 16 + (docId * 7) % 2048
   def plantedHeight(docId: Long): Long = 16 + (docId * 13) % 1536
   def plantedChannels(docId: Long): Long = 1 + docId % 2
+  def plantedVideoFrames(docId: Long): Long = 24 + docId % 240
   private val rates = Array(8000L, 16000L, 22050L, 44100L, 48000L)
   def plantedSampleRate(docId: Long): Long = rates((docId % 5).toInt)
 
   def mediaType(docId: Long): String = formatOf(docId) match {
     case 0 => "image/png"
     case 1 => "audio/wav"
-    case _ => "image/jpeg"
+    case 2 => "image/jpeg"
+    case _ => "video/x-msvideo"
   }
 
   /** Synthesize header + content bytes for one document. A corrupt doc
@@ -69,7 +73,9 @@ object MediaCodec {
     val header = formatOf(docId) match {
       case 0 => pngHeader(plantedWidth(docId), plantedHeight(docId))
       case 1 => wavHeader(plantedSampleRate(docId), plantedChannels(docId).toInt, content.length)
-      case _ => jpegHeader(plantedWidth(docId), plantedHeight(docId))
+      case 2 => jpegHeader(plantedWidth(docId), plantedHeight(docId))
+      case _ => aviHeader(plantedWidth(docId), plantedHeight(docId),
+        plantedVideoFrames(docId), content.length)
     }
     if (isCorrupt(docId)) header(0) = 0
     header ++ content
@@ -132,16 +138,86 @@ object MediaCodec {
     bb.array()
   }
 
+  /** 88 bytes: RIFF/'AVI ' + LIST('hdrl') + avih main header (56-byte
+    * data: µs/frame, rates, flags, TOTAL FRAMES, streams, dims, reserved).
+    */
+  private def aviHeader(width: Long, height: Long, frames: Long, contentLen: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(88).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(80 + contentLen)
+    bb.put("AVI ".getBytes(StandardCharsets.US_ASCII))
+    bb.put("LIST".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(68)                    // 'hdrl' + avih chunk (8 + 56)
+    bb.put("hdrl".getBytes(StandardCharsets.US_ASCII))
+    bb.put("avih".getBytes(StandardCharsets.US_ASCII))
+    bb.putInt(56)
+    bb.putInt(41667)                 // µs per frame (24 fps)
+    bb.putInt(0)                     // max bytes/sec
+    bb.putInt(0)                     // padding granularity
+    bb.putInt(0x10)                  // flags: AVIF_HASINDEX
+    bb.putInt(frames.toInt)          // total frames
+    bb.putInt(0)                     // initial frames
+    bb.putInt(1)                     // streams
+    bb.putInt(0)                     // suggested buffer size
+    bb.putInt(width.toInt)
+    bb.putInt(height.toInt)
+    // 16 reserved bytes remain zero
+    bb.array()
+  }
+
   // ------------------------------ decode ------------------------------
 
-  /** Dispatch on magic bytes; any structural violation → `Failed`. */
+  /** Dispatch on magic bytes; any structural violation → `Failed`. RIFF
+    * containers sub-dispatch on the form type (WAVE vs 'AVI ').
+    */
   def decode(payload: Array[Byte]): Decoded = {
-    if (payload == null || payload.length < 4) Failed
+    if (payload == null || payload.length < 12) Failed
     else if ((payload(0) & 0xff) == 0x89 && payload(1) == 'P') decodePng(payload)
-    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F')
-      decodeWav(payload)
+    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' && payload(3) == 'F') {
+      if (payload(8) == 'W' && payload(9) == 'A' && payload(10) == 'V' && payload(11) == 'E')
+        decodeWav(payload)
+      else if (payload(8) == 'A' && payload(9) == 'V' && payload(10) == 'I' && payload(11) == ' ')
+        decodeAvi(payload)
+      else Failed
+    }
     else if ((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8) decodeJpeg(payload)
     else Failed
+  }
+
+  /** Walk top-level RIFF chunks for LIST('hdrl'), then its sub-chunks for
+    * 'avih'; frames/width/height live at fixed offsets in the avih data.
+    */
+  private def decodeAvi(p: Array[Byte]): Decoded = {
+    if (p.length < 88) return Failed
+    val bb = ByteBuffer.wrap(p).order(ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= p.length) {
+      val id = new String(p, off, 4, StandardCharsets.US_ASCII)
+      val size = bb.getInt(off + 4).toLong & 0xffffffffL
+      if (id == "LIST" && off + 12 <= p.length &&
+          new String(p, off + 8, 4, StandardCharsets.US_ASCII) == "hdrl") {
+        val listEnd = off + 8 + size.toInt
+        var sub = off + 12
+        while (sub + 8 <= math.min(listEnd, p.length)) {
+          val subId = new String(p, sub, 4, StandardCharsets.US_ASCII)
+          val subSize = bb.getInt(sub + 4).toLong & 0xffffffffL
+          if (subId == "avih") {
+            if (subSize < 40 || sub + 8 + 40 > p.length) return Failed
+            val d = sub + 8
+            val frames = bb.getInt(d + 16).toLong & 0xffffffffL
+            val w = bb.getInt(d + 32).toLong & 0xffffffffL
+            val h = bb.getInt(d + 36).toLong & 0xffffffffL
+            if (w == 0 || h == 0) return Failed
+            return Decoded(Some("avi"), Some(w), Some(h), None, None, None,
+              Some(frames), listEnd, ok = true)
+          }
+          sub += 8 + ((subSize + 1) / 2 * 2).toInt
+        }
+        return Failed // hdrl without avih
+      }
+      off += 8 + ((size + 1) / 2 * 2).toInt
+    }
+    Failed
   }
 
   private val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)

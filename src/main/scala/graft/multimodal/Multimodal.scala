@@ -138,7 +138,7 @@ object Multimodal {
   def imageResizePlan(spark: SparkSession, documents: DataFrame,
                       maxDim: Int = 128): DataFrame = {
     features(spark, documents)
-      .filter(col("decoded_ok") && col("format").isin("png", "jpeg"))
+      .filter(col("decoded_ok") && col("format").isin("png", "jpeg", "avi"))
       .select(col("doc_id"), col("format"), col("width"), col("height"),
         // `div` (integer division), not `/` (double): the oracle uses
         // DuckDB's `//` and the two must round identically

@@ -18,13 +18,13 @@ import org.apache.spark.sql.functions._
 object MultimodalQueries {
 
   /** Shared oracle CTE: planted-field arithmetic mirrored from
-    * `MediaCodec` (formats cycle png/wav/jpeg by doc_id % 3; doc_id % 97
-    * docs get a corrupted magic byte and must fail decode).
+    * `MediaCodec` (formats cycle png/wav/jpeg/avi by doc_id % 4;
+    * doc_id % 97 docs get a corrupted magic byte and must fail decode).
     */
   private val mediaDuck = """
     m AS (
       SELECT doc_id,
-             doc_id % 3 AS fmt,
+             doc_id % 4 AS fmt,
              doc_id % 97 = 0 AS corrupt,
              CAST(octet_length(encode(text)) AS BIGINT) AS tlen,
              substr(hex(encode(text)), 1, 512) AS hx,
@@ -33,10 +33,12 @@ object MultimodalQueries {
     ), f AS (
       SELECT doc_id, corrupt, win, hx,
              CASE fmt WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-                  ELSE 'image/jpeg' END AS media_type,
-             tlen + CASE fmt WHEN 0 THEN 33 WHEN 1 THEN 44 ELSE 39 END AS n_bytes,
+                  WHEN 2 THEN 'image/jpeg' ELSE 'video/x-msvideo' END AS media_type,
+             tlen + CASE fmt WHEN 0 THEN 33 WHEN 1 THEN 44 WHEN 2 THEN 39
+                             ELSE 88 END AS n_bytes,
              CASE WHEN corrupt THEN NULL WHEN fmt = 0 THEN 'png'
-                  WHEN fmt = 1 THEN 'wav' ELSE 'jpeg' END AS format,
+                  WHEN fmt = 1 THEN 'wav' WHEN fmt = 2 THEN 'jpeg'
+                  ELSE 'avi' END AS format,
              CASE WHEN corrupt OR fmt = 1 THEN NULL
                   ELSE CAST(16 + (doc_id * 7) % 2048 AS BIGINT) END AS width,
              CASE WHEN corrupt OR fmt = 1 THEN NULL
@@ -47,15 +49,17 @@ object MultimodalQueries {
                             ELSE 48000 END AS BIGINT) END AS sample_rate,
              CASE WHEN corrupt OR fmt <> 1 THEN NULL
                   ELSE CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
-             CASE WHEN corrupt THEN NULL WHEN fmt = 1 THEN CAST(16 AS BIGINT)
+             CASE WHEN corrupt OR fmt = 3 THEN NULL
+                  WHEN fmt = 1 THEN CAST(16 AS BIGINT)
                   ELSE CAST(8 AS BIGINT) END AS bit_depth,
              CASE WHEN corrupt THEN NULL
                   WHEN fmt = 1 THEN tlen // (2 * (1 + doc_id % 2))
+                  WHEN fmt = 3 THEN CAST(24 + doc_id % 240 AS BIGINT)
                   ELSE CAST(1 AS BIGINT) END AS n_frames,
              CASE WHEN corrupt THEN concat('00', CASE fmt WHEN 0 THEN '504e47'
-                    WHEN 1 THEN '494646' ELSE 'd8ffe0' END)
-                  ELSE CASE fmt WHEN 0 THEN '89504e47' WHEN 1 THEN '52494646'
-                    ELSE 'ffd8ffe0' END END AS header_hex,
+                    WHEN 2 THEN 'd8ffe0' ELSE '494646' END)
+                  ELSE CASE fmt WHEN 0 THEN '89504e47' WHEN 2 THEN 'ffd8ffe0'
+                    ELSE '52494646' END END AS header_hex,
              NOT corrupt AS decoded_ok
       FROM m
     )""".stripMargin
@@ -132,7 +136,7 @@ object MultimodalQueries {
                  octet_length(encode(text)) AS tlen,
                  hex(encode(text)) AS hx
           FROM documents
-          WHERE doc_id % 3 = 1 AND doc_id % 97 <> 0
+          WHERE doc_id % 4 = 1 AND doc_id % 97 <> 0
         ), s AS (
           SELECT doc_id,
                  CAST(tlen // 2 AS BIGINT) AS n_samples,
@@ -160,9 +164,9 @@ object MultimodalQueries {
           .orderBy("doc_id")
       }),
 
-    // image resize planning: thumbnail dims fitting 128² from the PARSED
-    // width/height, floor-div, never upscaled, floor >= 1 — the oracle
-    // knows the dims only through the planted doc_id arithmetic
+    // image/video-thumbnail resize planning: dims fitting 128² from the
+    // PARSED width/height, floor-div, never upscaled, floor >= 1 — the
+    // oracle knows the dims only through the planted doc_id arithmetic
     QueryDef(
       "multimodal_resize",
       Some(s"""
@@ -173,7 +177,7 @@ object MultimodalQueries {
                CASE WHEN greatest(width, height) <= 128 THEN height
                     ELSE greatest(1, height * 128 // greatest(width, height)) END AS thumb_h
         FROM f
-        WHERE decoded_ok AND format IN ('png', 'jpeg')
+        WHERE decoded_ok AND format IN ('png', 'jpeg', 'avi')
         ORDER BY doc_id
       """.stripMargin.trim),
       (spark, dir) => {

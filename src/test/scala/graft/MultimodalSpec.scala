@@ -105,6 +105,31 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(!MediaCodec.decode("not media at all".getBytes).ok)
   }
 
+  test("AVI: hand-built RIFF/hdrl/avih parses frames and dimensions") {
+    val bb = ByteBuffer.allocate(88).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(68).put("hdrl".getBytes)
+    bb.put("avih".getBytes).putInt(56)
+    bb.putInt(33367)  // µs/frame (~30 fps)
+    bb.putInt(0).putInt(0).putInt(0x10)
+    bb.putInt(720)    // total frames
+    bb.putInt(0).putInt(1).putInt(0)
+    bb.putInt(1920).putInt(1080)
+    val d = MediaCodec.decode(bb.array() ++ "trailing".getBytes)
+    assert(d.ok && d.format.contains("avi"))
+    assert(d.width.contains(1920L) && d.height.contains(1080L))
+    assert(d.nFrames.contains(720L))
+    assert(d.sampleRate.isEmpty && d.bitDepth.isEmpty)
+    assert(d.contentOffset == 88)
+  }
+
+  test("AVI: RIFF form without an avih header fails") {
+    val bb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(16).put("AVI ".getBytes)
+    bb.put("LIST".getBytes).putInt(4).put("hdrl".getBytes)
+    assert(!MediaCodec.decode(bb.array() ++ Array.fill[Byte](70)(0)).ok)
+  }
+
   test("build→decode round trip matches the planted arithmetic for 0..300") {
     (0L to 300L).foreach { id =>
       val d = MediaCodec.decode(MediaCodec.build(id, s"text for $id"))
@@ -120,10 +145,15 @@ class MediaCodecSpec extends AnyFunSuite {
             assert(d.format.contains("wav"))
             assert(d.sampleRate.contains(MediaCodec.plantedSampleRate(id)))
             assert(d.channels.contains(MediaCodec.plantedChannels(id)))
-          case _ =>
+          case 2 =>
             assert(d.format.contains("jpeg"))
             assert(d.width.contains(MediaCodec.plantedWidth(id)))
             assert(d.height.contains(MediaCodec.plantedHeight(id)))
+          case _ =>
+            assert(d.format.contains("avi"))
+            assert(d.width.contains(MediaCodec.plantedWidth(id)))
+            assert(d.height.contains(MediaCodec.plantedHeight(id)))
+            assert(d.nFrames.contains(MediaCodec.plantedVideoFrames(id)))
         }
       }
     }
@@ -134,19 +164,20 @@ class MediaCodecSpec extends AnyFunSuite {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("features: PNG doc decodes planted dims; corrupt doc flags not-ok") {
+  test("features: PNG/WAV/AVI docs decode planted fields; corrupt doc flags not-ok") {
     val df = Seq(
-      (3L, "abcd" * 32, "en", "s1", 128L),   // fmt 0 → png
+      (4L, "abcd" * 32, "en", "s1", 128L),   // fmt 0 → png
       (97L, "wxyz" * 32, "en", "s1", 128L),  // corrupt (97 % 97 == 0), wav claimed
-      (7L, "efgh" * 32, "en", "s2", 128L))   // fmt 1 → wav
+      (5L, "efgh" * 32, "en", "s2", 128L),   // fmt 1 → wav
+      (7L, "ijkl" * 32, "en", "s2", 128L))   // fmt 3 → avi
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val f = Multimodal.features(spark, df).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
 
-    val png = f(3L)
+    val png = f(4L)
     assert(png.getAs[String]("media_type") == "image/png")
     assert(png.getAs[String]("header_hex") == "89504e47")
-    assert(png.getAs[Long]("width") == MediaCodec.plantedWidth(3L))
-    assert(png.getAs[Long]("height") == MediaCodec.plantedHeight(3L))
+    assert(png.getAs[Long]("width") == MediaCodec.plantedWidth(4L))
+    assert(png.getAs[Long]("height") == MediaCodec.plantedHeight(4L))
     assert(png.getAs[Long]("n_bytes") == 33L + 128L)
     assert(png.getAs[Boolean]("decoded_ok"))
     // content region mean: 'abcd' bytes = 97+98+99+100 over first 256
@@ -158,25 +189,33 @@ class MultimodalSpec extends SparkSpec {
     assert(corrupt.getAs[Any]("sample_rate") == null)
     assert(corrupt.getAs[String]("header_hex").startsWith("00"))
 
-    val wav = f(7L)
+    val wav = f(5L)
     assert(wav.getAs[String]("media_type") == "audio/wav")
-    assert(wav.getAs[Long]("sample_rate") == MediaCodec.plantedSampleRate(7L))
-    assert(wav.getAs[Long]("channels") == MediaCodec.plantedChannels(7L))
-    assert(wav.getAs[Long]("n_frames") == 128L / (2L * MediaCodec.plantedChannels(7L)))
+    assert(wav.getAs[Long]("sample_rate") == MediaCodec.plantedSampleRate(5L))
+    assert(wav.getAs[Long]("channels") == MediaCodec.plantedChannels(5L))
+    assert(wav.getAs[Long]("n_frames") == 128L / (2L * MediaCodec.plantedChannels(5L)))
     assert(wav.getAs[Any]("width") == null)
+
+    val avi = f(7L)
+    assert(avi.getAs[String]("media_type") == "video/x-msvideo")
+    assert(avi.getAs[String]("format") == "avi")
+    assert(avi.getAs[Long]("width") == MediaCodec.plantedWidth(7L))
+    assert(avi.getAs[Long]("n_frames") == MediaCodec.plantedVideoFrames(7L))
+    assert(avi.getAs[Long]("n_bytes") == 88L + 128L)
+    assert(avi.getAs[Any]("bit_depth") == null)
   }
 
   test("audioFrameStats: every 4th LE PCM sample, exact mean/peak, wav-only rows") {
-    // doc 7 → wav (7 % 3 == 1). Content bytes are the text's UTF-8;
+    // doc 5 → wav (5 % 4 == 1). Content bytes are the text's UTF-8;
     // recompute the expected decimated samples here independently.
     val text = "abcdWXYZ" * 16 // 128 bytes → 64 samples → 16 sampled
     val df = Seq(
-      (7L, text, "en", "s", 128L),
-      (3L, text, "en", "s", 128L),   // png → no row
+      (5L, text, "en", "s", 128L),
+      (4L, text, "en", "s", 128L),   // png → no row
       (97L, text, "en", "s", 128L))  // corrupt wav → no row
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = Multimodal.audioFrameStats(spark, df, decimate = 4).collect()
-    assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 7L)
+    assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 5L)
     val bytes = text.getBytes("UTF-8")
     val expect = (0 until 64 by 4).map { j =>
       math.abs((((bytes(2 * j + 1) & 0xff) << 8) | (bytes(2 * j) & 0xff)).toShort.toLong)
@@ -189,14 +228,15 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("imageResizePlan: aspect preserved, floor div, never upscales, floor >= 1") {
-    // doc 3: planted 37x55 (under 128 → unchanged); doc 2: jpeg planted dims
+    // doc 4: png; doc 2: jpeg; doc 7: avi (video thumbnail); doc 5: wav (no plan)
     val df = Seq(
-      (3L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L), (7L, "t", "en", "s", 1L))
+      (4L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L),
+      (7L, "t", "en", "s", 1L), (5L, "t", "en", "s", 1L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = Multimodal.imageResizePlan(spark, df, maxDim = 128)
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
-    assert(!out.contains(7L)) // wav has no resize plan
-    Seq(3L, 2L).foreach { id =>
+    assert(!out.contains(5L)) // wav has no resize plan
+    Seq(4L, 2L, 7L).foreach { id =>
       val (w, h) = (MediaCodec.plantedWidth(id), MediaCodec.plantedHeight(id))
       val (tw, th) =
         if (math.max(w, h) <= 128) (w, h)
