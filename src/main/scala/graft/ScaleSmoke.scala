@@ -333,6 +333,29 @@ object ScaleSmoke {
       assert(wrongChain + wrongPair == 0, s"CC mislabeled $wrongChain chain + $wrongPair pair nodes")
     }
 
+    // multimodal codec at 1M docs (2000× the sf0.01 documents table):
+    // build real four-format headers + parse them back in one
+    // mapPartitions pass — pure per-row CPU, zero shuffles, the shape
+    // that scales embarrassingly. Corrupt plants (id % 97) must all fail,
+    // everything else must decode with the planted fields.
+    timed("multimodal build+decode round trip, 1M docs") {
+      val docs = spark.range(1000000L).select(
+        col("id").as("doc_id"),
+        expr("""repeat(concat('w', cast(id % 997 as string), ' '), cast(id % 50 + 10 as int))""").as("text"),
+        lit("en").as("lang"), lit("gen").as("source"), lit(0L).as("n_chars"))
+      val f = graft.multimodal.Multimodal.features(spark, docs)
+      val agg = f.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("decoded_ok"), 1L).otherwise(0L)).as("ok"),
+        sum(when(col("format").isNull && !col("decoded_ok"), 1L).otherwise(0L)).as("failed"),
+        sum(col("n_frames")).as("frames")).collect()(0)
+      val corrupt = (0L until 1000000L).count(_ % 97 == 0)
+      println(s"[scale]   docs: ${agg.getLong(0)}, decoded: ${agg.getLong(1)}, " +
+        s"failed: ${agg.getLong(2)} (expected $corrupt), total frames: ${agg.getLong(3)}")
+      assert(agg.getLong(1) == 1000000L - corrupt && agg.getLong(2) == corrupt,
+        "decode success/failure counts do not match the corrupt plant arithmetic")
+    }
+
     // calendar gap-fill at 100k keys × sparse year: ~40 observed days per
     // key forward-filled onto each key's own min..max spine (~36M spine
     // rows from 4M observations) — spine rows ∝ keys × span, one window
