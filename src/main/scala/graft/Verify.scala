@@ -37,6 +37,15 @@ object Verify {
         val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
         failures(name) = msg
         System.err.println(s"[verify] $name FAILED: $msg")
+        // same phantom-staleness hazard as the .error sidecars, other
+        // direction: a query that fails BEFORE its overwrite-write starts
+        // (analysis error) leaves a previous run's result dir in place,
+        // which would read as this run's (stale) output
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$outDir/$name"))
         Files.writeString(Paths.get(s"$outDir/$name.error"), msg)
       }
     }

@@ -196,9 +196,11 @@ object MediaCodec {
       val size = bb.getInt(off + 4).toLong & 0xffffffffL
       if (id == "LIST" && off + 12 <= p.length &&
           new String(p, off + 8, 4, StandardCharsets.US_ASCII) == "hdrl") {
-        val listEnd = off + 8 + size.toInt
+        // size is UNSIGNED 32-bit: clamp in Long arithmetic — truncating
+        // to Int can go negative (crafted payload → loop never advances)
+        val listEnd = math.min(off.toLong + 8L + size, p.length.toLong).toInt
         var sub = off + 12
-        while (sub + 8 <= math.min(listEnd, p.length)) {
+        while (sub + 8 <= listEnd) {
           val subId = new String(p, sub, 4, StandardCharsets.US_ASCII)
           val subSize = bb.getInt(sub + 4).toLong & 0xffffffffL
           if (subId == "avih") {
@@ -211,11 +213,13 @@ object MediaCodec {
             return Decoded(Some("avi"), Some(w), Some(h), None, None, None,
               Some(frames), listEnd, ok = true)
           }
-          sub += 8 + ((subSize + 1) / 2 * 2).toInt
+          val subNext = sub.toLong + 8L + (subSize + 1) / 2 * 2
+          sub = if (subNext > listEnd) listEnd else subNext.toInt
         }
         return Failed // hdrl without avih
       }
-      off += 8 + ((size + 1) / 2 * 2).toInt
+      val next = off.toLong + 8L + (size + 1) / 2 * 2
+      off = if (next > p.length) p.length else next.toInt
     }
     Failed
   }
@@ -264,8 +268,12 @@ object MediaCodec {
         dataLen = size
         dataOff = off + 8
       }
-      // chunks are word-aligned in RIFF; data chunk payload may run to EOF
-      off += 8 + (if (id == "data") size.toInt else ((size + 1) / 2 * 2).toInt)
+      // chunks are word-aligned in RIFF; data chunk payload may run to
+      // EOF. Advance in LONG arithmetic: the 32-bit size is UNSIGNED, and
+      // truncating a huge claimed size to Int yields a negative advance —
+      // an infinite loop on a crafted payload, not a Failed
+      val next = off.toLong + 8L + (if (id == "data") size else (size + 1) / 2 * 2)
+      off = if (next > p.length) p.length else next.toInt
     }
     if (sr <= 0 || ch <= 0 || blockAlign <= 0 || dataLen < 0) return Failed
     Decoded(Some("wav"), None, None, Some(sr), Some(ch), Some(bits),
@@ -273,28 +281,40 @@ object MediaCodec {
   }
 
   /** Scan marker segments from SOI until a SOF (C0–CF except C4/C8/CC),
-    * then read precision/height/width.
+    * then read precision/height/width. Handles the two T.81 cases a naive
+    * scanner misparses: 0xFF fill bytes before a marker (§B.1.1.2 allows
+    * any number) and STANDALONE markers (TEM 01, RST0–7 D0–D7, SOI D8)
+    * that carry no length field.
     */
   private def decodeJpeg(p: Array[Byte]): Decoded = {
     var off = 2
-    while (off + 4 <= p.length) {
+    while (off + 1 < p.length) {
       if ((p(off) & 0xff) != 0xff) return Failed
+      // skip fill bytes: a run of 0xFF ends at the last one before the
+      // marker code
+      while (off + 1 < p.length && (p(off + 1) & 0xff) == 0xff) off += 1
+      if (off + 1 >= p.length) return Failed
       val marker = p(off + 1) & 0xff
-      val len = ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
-      if (len < 2 || off + 2 + len > p.length) return Failed
-      val isSof = marker >= 0xc0 && marker <= 0xcf &&
-        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-      if (isSof) {
-        if (len < 8) return Failed
-        val precision = (p(off + 4) & 0xff).toLong
-        val h = (((p(off + 5) & 0xff) << 8) | (p(off + 6) & 0xff)).toLong
-        val w = (((p(off + 7) & 0xff) << 8) | (p(off + 8) & 0xff)).toLong
-        if (w == 0 || h == 0) return Failed
-        return Decoded(Some("jpeg"), Some(w), Some(h), None, None, Some(precision),
-          Some(1L), off + 2 + len, ok = true)
-      }
       if (marker == 0xda || marker == 0xd9) return Failed // SOS/EOI before SOF
-      off += 2 + len
+      if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd8)) {
+        off += 2 // standalone marker, no length segment
+      } else {
+        if (off + 4 > p.length) return Failed
+        val len = ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > p.length) return Failed
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 8) return Failed
+          val precision = (p(off + 4) & 0xff).toLong
+          val h = (((p(off + 5) & 0xff) << 8) | (p(off + 6) & 0xff)).toLong
+          val w = (((p(off + 7) & 0xff) << 8) | (p(off + 8) & 0xff)).toLong
+          if (w == 0 || h == 0) return Failed
+          return Decoded(Some("jpeg"), Some(w), Some(h), None, None, Some(precision),
+            Some(1L), off + 2 + len, ok = true)
+        }
+        off += 2 + len
+      }
     }
     Failed
   }

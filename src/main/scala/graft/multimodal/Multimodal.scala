@@ -100,6 +100,7 @@ object Multimodal {
     */
   def audioFrameStats(spark: SparkSession, documents: DataFrame,
                       decimate: Int = 4): DataFrame = {
+    require(decimate > 0, s"decimate must be positive, got $decimate")
     import spark.implicits._
     asMedia(documents).mapPartitions { rows =>
       rows.flatMap { r =>

@@ -105,6 +105,39 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(!MediaCodec.decode("not media at all".getBytes).ok)
   }
 
+  test("WAV: huge unsigned chunk size terminates (no negative-advance loop)") {
+    // chunk at 12 with size 0, then a chunk claiming 0xFFFFFFF0 bytes —
+    // truncating that unsigned size to Int once made the walk cycle forever
+    val bb = ByteBuffer.allocate(60).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(52).put("WAVE".getBytes)
+    bb.put("JUNK".getBytes).putInt(0)
+    bb.put("LIST".getBytes).putInt(0xfffffff0)
+    assert(!MediaCodec.decode(bb.array()).ok)
+  }
+
+  test("AVI: huge unsigned chunk size terminates (no negative-advance loop)") {
+    val bb = ByteBuffer.allocate(96).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(88).put("AVI ".getBytes)
+    bb.put("JUNK".getBytes).putInt(0)
+    bb.put("LIST".getBytes).putInt(0xfffffff0)
+    assert(!MediaCodec.decode(bb.array()).ok)
+  }
+
+  test("JPEG: fill bytes and restart markers before SOF are skipped per T.81") {
+    val bb = ByteBuffer.allocate(2 + 3 + 2 + 19).order(ByteOrder.BIG_ENDIAN)
+    bb.put(0xff.toByte).put(0xd8.toByte)                 // SOI
+    bb.put(0xff.toByte).put(0xff.toByte).put(0xff.toByte) // fill bytes + ...
+    bb.put(0xd0.toByte)                                  // ...RST0 (standalone)
+    bb.put(0xff.toByte)                                  // marker intro for SOF
+    bb.put(0xc0.toByte).putShort(17)
+    bb.put(8.toByte).putShort(24).putShort(42).put(3.toByte)
+    bb.put(1.toByte).put(0x22.toByte).put(0.toByte)
+    bb.put(2.toByte).put(0x11.toByte).put(1.toByte)
+    bb.put(3.toByte).put(0x11.toByte).put(1.toByte)
+    val d = MediaCodec.decode(bb.array())
+    assert(d.ok && d.width.contains(42L) && d.height.contains(24L))
+  }
+
   test("AVI: hand-built RIFF/hdrl/avih parses frames and dimensions") {
     val bb = ByteBuffer.allocate(88).order(ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)

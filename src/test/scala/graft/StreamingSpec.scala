@@ -334,10 +334,13 @@ class StreamingSpec extends SparkSpec {
 
     val base = java.nio.file.Files.createTempDirectory("graft-curate-stream")
     val srcDir = base.resolve("src")
-    // batch order is the file-source's mtime order: write b0 first
+    // batch order is the file-source's mtime order. Pin it EXPLICITLY —
+    // a sleep between writes is flaky on filesystems with coarse mtime
+    // granularity (identical timestamps → listing order decides)
     fresh.filter($"doc_id" < 375).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
-    Thread.sleep(100)
     fresh.filter($"doc_id" >= 375).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val t0 = System.currentTimeMillis() - 60000
+    java.nio.file.Files.walk(srcDir.resolve("b0")).forEach(p => { p.toFile.setLastModified(t0); () })
 
     // one micro-batch of the curation loop, shared verbatim by the
     // streaming pipeline and the batch-mode reference fold
