@@ -185,6 +185,52 @@ object SimilarityQueries {
           .orderBy("vec_id")
       }),
 
+    // INCREMENTAL embedding near-dup: a new batch (200 planted perturbed
+    // copies, cos ≈ 0.999) against the prebuilt store ANN index —
+    // candidates are new×store table-key collisions only, verified with
+    // the exact cosine over the index's stored quantization. The oracle
+    // is the exact pairwise new×store definition; new-new and
+    // store-store pairs must never appear.
+    QueryDef(
+      "dedup_embedding_incremental",
+      Some(s"""
+        WITH st AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+          FROM embeddings
+        ), stn AS (
+          SELECT vec_id, q,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)), (a, v) -> a + v) AS norm2
+          FROM st
+        ), nw0 AS (
+          SELECT vec_id + 100000 AS vec_id,
+                 list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
+                             list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS emb
+          FROM embeddings WHERE vec_id < 200
+        ), nw AS (
+          SELECT vec_id, list_transform(emb, x -> CAST(round(x * 10000) AS BIGINT)) AS q
+          FROM nw0
+        ), nwn AS (
+          SELECT vec_id, q,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)), (a, v) -> a + v) AS norm2
+          FROM nw
+        )
+        SELECT n1.vec_id AS vec_new, s1.vec_id AS vec_store,
+               ${cosOf(dotOf("n1.q", "s1.q"), "n1.norm2", "s1.norm2")} AS cos
+        FROM nwn n1 JOIN stn s1
+          ON ${cosOf(dotOf("n1.q", "s1.q"), "n1.norm2", "s1.norm2")} >= 0.9
+        ORDER BY vec_new, vec_store
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+        val newBatch = e.filter(col("vec_id") < 200)
+          .select((col("vec_id") + lit(100000L)).as("vec_id"),
+            expr("transform(embedding, (x, i) -> cast(x as double) + IF(i = 0, 0.05D, 0D))")
+              .as("embedding"))
+        val storeIndex = Similarity.buildEmbeddingIndex(e)
+        Similarity.incrementalNearDupPairs(newBatch, storeIndex, threshold = 0.9)
+          .orderBy("vec_new", "vec_store")
+      }),
+
     // the PRODUCTION path of the clustering composite, oracled end-to-end:
     // 200 planted perturbed duplicates (cos ≈ 0.999), threshold 0.9 with
     // the production LSH knobs (16 tables × 12-bit bands — see the

@@ -246,6 +246,66 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Persisted ANN ingest index: one row per vector with its quantized
+    * coordinates, exact squared norm, and all sign-LSH table keys — the
+    * embedding analog of `Dedup.writeSignatureTable`. Incremental dedup
+    * against the index touches ONLY these columns; store embeddings are
+    * never re-read or re-hashed.
+    */
+  def buildEmbeddingIndex(
+      embeddings: DataFrame,
+      sigBits: Int = 64,
+      tables: Int = 16,
+      bandBits: Int = 12,
+      seed: Long = 12345L): DataFrame = {
+    val dims = 64
+    quantized(embeddings)
+      .withColumn("tbs", expr(s"graft_lsh_keys(q, $dims, $sigBits, $tables, $bandBits, ${seed}L)"))
+      .select("vec_id", "q", "norm2", "tbs")
+  }
+
+  def writeEmbeddingIndex(
+      embeddings: DataFrame, path: String,
+      sigBits: Int = 64, tables: Int = 16, bandBits: Int = 12,
+      seed: Long = 12345L): Unit =
+    buildEmbeddingIndex(embeddings, sigBits, tables, bandBits, seed)
+      .write.mode("overwrite").parquet(path)
+
+  /** INCREMENTAL embedding near-dup: a NEW batch against a PREBUILT store
+    * index (`buildEmbeddingIndex`, typically read back from
+    * `writeEmbeddingIndex` parquet). Candidates are new×store table-key
+    * collisions ONLY — new-new and store-store are never enumerated, so a
+    * daily batch never re-dedupes the corpus; verify is the exact int64
+    * cosine over the index's stored (q, norm2). Per-batch cost ∝ batch
+    * hashing + collisions + one scan of the narrow index. The LSH knobs
+    * MUST match the ones the index was built with (same seed → same
+    * hyperplanes → same buckets).
+    */
+  def incrementalNearDupPairs(
+      newEmbeddings: DataFrame,
+      storeIndex: DataFrame,
+      threshold: Double,
+      sigBits: Int = 64,
+      tables: Int = 16,
+      bandBits: Int = 12,
+      seed: Long = 12345L): DataFrame = {
+    val newIdx = buildEmbeddingIndex(newEmbeddings, sigBits, tables, bandBits, seed)
+    val nk = newIdx.select(col("vec_id").as("vec_new"), explode(col("tbs")).as("tb"))
+      .repartition(col("tb"))
+    val sk = storeIndex.select(col("vec_id").as("vec_store"), explode(col("tbs")).as("tb"))
+    val a = newIdx.select(col("vec_id").as("vec_new"), col("q").as("qa"), col("norm2").as("na"))
+    val b = storeIndex.select(col("vec_id").as("vec_store"), col("q").as("qb"), col("norm2").as("nb"))
+    nk.join(sk, Seq("tb"))
+      .select("vec_new", "vec_store")
+      .join(a, Seq("vec_new"))
+      .join(b, Seq("vec_store"))
+      .withColumn("dot", dotExpr("qa", "qb"))
+      .withColumn("cos", cosine(col("dot"), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_new", "vec_store", "cos")
+      .dropDuplicates("vec_new", "vec_store")
+  }
+
   /** Product-quantization code assignment — the memory-compression pillar
     * of large-scale vector search (a 64-dim float32 vector becomes 4
     * byte-codes + a shared codebook). Codebooks are DETERMINISTIC like

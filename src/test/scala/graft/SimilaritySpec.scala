@@ -71,4 +71,31 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("cos") =!= col("cos_exact")).count() == 0)
     assert(joined.count() == rows)
   }
+
+  test("incremental embedding dedup: persisted index round-trips, new×store only") {
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val newBatch = e.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(100000L)).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x as double) + IF(i = 0, 0.05D, 0D))")
+          .as("embedding"))
+    val mem = Similarity.buildEmbeddingIndex(e)
+    val path = java.nio.file.Files.createTempDirectory("graft-annindex").toString
+    Similarity.writeEmbeddingIndex(e, path)
+    val disk = spark.read.parquet(path)
+    // the persisted index is byte-identical input to the operator: same
+    // pairs whether the store was just built or read back from parquet
+    val viaMem = Similarity.incrementalNearDupPairs(newBatch, mem, threshold = 0.9)
+    val viaDisk = Similarity.incrementalNearDupPairs(newBatch, disk, threshold = 0.9)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(asSet(viaMem) == asSet(viaDisk))
+    // every planted copy surfaces against exactly its source; no new-new
+    // or store-store pair can appear by construction of the join sides
+    val got = viaMem.collect()
+    assert(got.length >= 50)
+    assert(got.forall(r => r.getAs[Long]("vec_new") >= 100000L
+      && r.getAs[Long]("vec_store") < 100000L))
+    val selfHits = viaMem.filter(col("vec_new") - 100000L === col("vec_store")).count()
+    assert(selfHits == 50L, s"only $selfHits/50 planted copies matched their source")
+  }
 }
