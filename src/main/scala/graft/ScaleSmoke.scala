@@ -304,6 +304,42 @@ object ScaleSmoke {
       pairs.unpersist()
     }
 
+    // the embedding analog of the signature store: a 10k-vector daily
+    // batch against a PERSISTED 500k-vector ANN index (50× batch).
+    // Candidates are new×store table-key collisions only; verify uses
+    // the index's stored quantization — store embeddings never re-read.
+    // 1k plants (ids 9M+i copy store vec i with a +0.05 bump) must all
+    // surface against exactly their source.
+    val storeEmb = spark.range(500000L).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(1, 64), d -> cast((hash(id * 100 + d) % 2001) / 1000.0 as float))")
+        .as("embedding"))
+    timed("build + persist 500k-vector ANN index (one-time, amortized)") {
+      graft.similarity.Similarity.writeEmbeddingIndex(
+        storeEmb, s"$dir/annstore", sigBits = 64, tables = 16, bandBits = 14)
+    }
+    timed("incremental embedding dedup, 10k new vs persisted 500k-vector index (1k plants)") {
+      val storeIdx = spark.read.parquet(s"$dir/annstore")
+      val cleanNew = spark.range(9000L).select(
+        (col("id") + 8000000L).as("vec_id"),
+        expr("transform(sequence(1, 64), d -> cast((hash((id + 8000000) * 100 + d) % 2001) / 1000.0 as float))")
+          .as("embedding"))
+      val plants = spark.range(1000L).select(
+        (col("id") + 9000000L).as("vec_id"),
+        expr("""transform(sequence(1, 64), d ->
+                  cast((hash(id * 100 + d) % 2001) / 1000.0
+                       + (CASE WHEN d = 1 THEN 0.05 ELSE 0.0 END) as float))""")
+          .as("embedding"))
+      val pairs = graft.similarity.Similarity
+        .incrementalNearDupPairs(cleanNew.unionByName(plants), storeIdx,
+          threshold = 0.9, sigBits = 64, tables = 16, bandBits = 14)
+        .cache()
+      val found = pairs.filter($"vec_new" - 9000000L === $"vec_store").count()
+      println(s"[scale]   pairs: ${pairs.count()}, planted found: $found / 1000")
+      assert(found == 1000L, s"incremental ANN-index path surfaced only $found/1000 plants")
+      pairs.unpersist()
+    }
+
     // connected components on a planted 2M-edge graph: 10k CHAINS of
     // length 200 (the worst case for round count — a chain needs
     // O(log L) star-contraction rounds where per-hop propagation needs
