@@ -203,10 +203,10 @@ object Similarity {
   private def rawCandidates(
       embeddings: DataFrame,
       sigBits: Int, tables: Int, bandBits: Int, seed: Long): DataFrame = {
-    val dims = 64
-    val e = quantized(embeddings).withColumn("tbs",
-      expr(s"graft_lsh_keys(q, $dims, $sigBits, $tables, $bandBits, ${seed}L)"))
-    val hashed = e
+    // ONE definition of the (quantize → graft_lsh_keys) construction:
+    // batch candidates and the persisted ingest index must agree on
+    // buckets for the same vectors, so both derive from the same helper
+    val hashed = buildEmbeddingIndex(embeddings, sigBits, tables, bandBits, seed)
       .select(col("vec_id"), explode(col("tbs")).as("tb"))
       .repartition(col("tb"))
     hashed.as("x").join(hashed.as("y"), Seq("tb"))
@@ -246,29 +246,40 @@ object Similarity {
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Self-describing tag of the LSH scheme an index was built with: keys
+    * from mismatched knobs would JOIN sporadically instead of failing, so
+    * recall would collapse silently — the tag turns that into an error.
+    */
+  private def lshSpec(dims: Int, sigBits: Int, tables: Int, bandBits: Int,
+                      seed: Long): String =
+    s"v1:$dims:$sigBits:$tables:$bandBits:$seed"
+
   /** Persisted ANN ingest index: one row per vector with its quantized
-    * coordinates, exact squared norm, and all sign-LSH table keys — the
-    * embedding analog of `Dedup.writeSignatureTable`. Incremental dedup
-    * against the index touches ONLY these columns; store embeddings are
-    * never re-read or re-hashed.
+    * coordinates, exact squared norm, all sign-LSH table keys, and the
+    * `lsh_spec` scheme tag — the embedding analog of
+    * `Dedup.writeSignatureTable`. Incremental dedup against the index
+    * touches ONLY these columns; store embeddings are never re-read or
+    * re-hashed. `dims` must cover the embedding dimensionality — the
+    * hash uses at most the first `dims` coordinates.
     */
   def buildEmbeddingIndex(
       embeddings: DataFrame,
       sigBits: Int = 64,
       tables: Int = 16,
       bandBits: Int = 12,
-      seed: Long = 12345L): DataFrame = {
-    val dims = 64
+      seed: Long = 12345L,
+      dims: Int = 64): DataFrame = {
     quantized(embeddings)
       .withColumn("tbs", expr(s"graft_lsh_keys(q, $dims, $sigBits, $tables, $bandBits, ${seed}L)"))
-      .select("vec_id", "q", "norm2", "tbs")
+      .withColumn("lsh_spec", lit(lshSpec(dims, sigBits, tables, bandBits, seed)))
+      .select("vec_id", "q", "norm2", "tbs", "lsh_spec")
   }
 
   def writeEmbeddingIndex(
       embeddings: DataFrame, path: String,
       sigBits: Int = 64, tables: Int = 16, bandBits: Int = 12,
-      seed: Long = 12345L): Unit =
-    buildEmbeddingIndex(embeddings, sigBits, tables, bandBits, seed)
+      seed: Long = 12345L, dims: Int = 64): Unit =
+    buildEmbeddingIndex(embeddings, sigBits, tables, bandBits, seed, dims)
       .write.mode("overwrite").parquet(path)
 
   /** INCREMENTAL embedding near-dup: a NEW batch against a PREBUILT store
@@ -288,8 +299,19 @@ object Similarity {
       sigBits: Int = 64,
       tables: Int = 16,
       bandBits: Int = 12,
-      seed: Long = 12345L): DataFrame = {
-    val newIdx = buildEmbeddingIndex(newEmbeddings, sigBits, tables, bandBits, seed)
+      seed: Long = 12345L,
+      dims: Int = 64): DataFrame = {
+    // fail LOUDLY on a scheme mismatch: keys from different knobs still
+    // join (sporadic wrong-table collisions), so without this check a
+    // mismatched index yields near-zero recall with no error
+    val expectedSpec = lshSpec(dims, sigBits, tables, bandBits, seed)
+    require(storeIndex.columns.contains("lsh_spec"),
+      "store index has no lsh_spec column — not a buildEmbeddingIndex output")
+    storeIndex.select("lsh_spec").head(1).foreach { r =>
+      require(r.getString(0) == expectedSpec,
+        s"LSH scheme mismatch: index built with ${r.getString(0)}, caller requested $expectedSpec")
+    }
+    val newIdx = buildEmbeddingIndex(newEmbeddings, sigBits, tables, bandBits, seed, dims)
     val nk = newIdx.select(col("vec_id").as("vec_new"), explode(col("tbs")).as("tb"))
       .repartition(col("tb"))
     val sk = storeIndex.select(col("vec_id").as("vec_store"), explode(col("tbs")).as("tb"))

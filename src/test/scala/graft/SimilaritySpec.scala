@@ -97,5 +97,14 @@ class SimilaritySpec extends SparkSpec {
       && r.getAs[Long]("vec_store") < 100000L))
     val selfHits = viaMem.filter(col("vec_new") - 100000L === col("vec_store")).count()
     assert(selfHits == 50L, s"only $selfHits/50 planted copies matched their source")
+    // mismatched LSH knobs would JOIN sporadically (silent recall
+    // collapse) — the lsh_spec tag must turn that into a loud error
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.incrementalNearDupPairs(newBatch, mem, threshold = 0.9, bandBits = 8)
+    }
+    assert(e2.getMessage.contains("mismatch"))
+    intercept[IllegalArgumentException] {
+      Similarity.incrementalNearDupPairs(newBatch, mem.drop("lsh_spec"), threshold = 0.9)
+    }
   }
 }

@@ -340,7 +340,11 @@ class StreamingSpec extends SparkSpec {
     fresh.filter($"doc_id" < 375).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
     fresh.filter($"doc_id" >= 375).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
     val t0 = System.currentTimeMillis() - 60000
-    java.nio.file.Files.walk(srcDir.resolve("b0")).forEach(p => { p.toFile.setLastModified(t0); () })
+    val walked = java.nio.file.Files.walk(srcDir.resolve("b0"))
+    // assert the pin took — a silently-failed setLastModified would put
+    // the test right back on the flaky natural-timestamp ordering
+    try walked.forEach(p => assert(p.toFile.setLastModified(t0), s"mtime pin failed for $p"))
+    finally walked.close()
 
     // one micro-batch of the curation loop, shared verbatim by the
     // streaming pipeline and the batch-mode reference fold
