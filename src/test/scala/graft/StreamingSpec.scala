@@ -316,6 +316,53 @@ class StreamingSpec extends SparkSpec {
     assert(finalSigs.exceptAll(expected).isEmpty && expected.exceptAll(finalSigs).isEmpty)
   }
 
+  test("streaming embedding ingest: check against persisted ANN index, then append own rows") {
+    // the embedding analog of the signature-store flow: each arriving
+    // vector batch (a) dedups against the current persisted ANN index via
+    // incrementalNearDupPairs and (b) appends its own index rows, so
+    // batch 2 sees batch 1's vectors. The final index must equal one
+    // batch-mode buildEmbeddingIndex over everything.
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    val store = emb.filter($"vec_id" < 100)
+    val fresh = emb.filter($"vec_id" >= 100 && $"vec_id" < 300)
+      // plant: vectors 100-149 duplicate store vectors 0-49 (perturbed)
+      .unionByName(emb.filter($"vec_id" < 50)
+        .select(($"vec_id" + 100000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> cast(cast(x as double) + IF(i = 0, 0.05D, 0D) as float))")
+            .as("embedding")))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    Similarity.writeEmbeddingIndex(store, idxPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-annstream-src")
+    fresh.filter($"vec_id" % 2 === 0).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    fresh.filter($"vec_id" % 2 === 1).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val dups = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val idx = spark.read.parquet(idxPath)
+      Similarity.incrementalNearDupPairs(batch, idx, threshold = 0.9)
+        .select("vec_new", "vec_store")
+        .collect().foreach(r => dups.add((r.getLong(0), r.getLong(1))))
+      Similarity.buildEmbeddingIndex(batch).write.mode("append").parquet(idxPath)
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = scala.jdk.CollectionConverters.CollectionHasAsScala(dups).asScala.toSet
+    // every planted copy surfaced against its original store vector
+    (0L until 50L).foreach { i =>
+      assert(streamed.contains((i + 100000L, i)), s"plant $i missed")
+    }
+    // final index ≡ one batch-mode build over store + all batches
+    val finalIdx = spark.read.parquet(idxPath)
+    val expected = Similarity.buildEmbeddingIndex(store.unionByName(fresh))
+    assert(finalIdx.count() == expected.count())
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", xxhash64($"q"), $"norm2", xxhash64($"tbs"), $"lsh_spec")
+      .collect().map(_.toSeq).toSet
+    assert(key(finalIdx) == key(expected))
+  }
+
   test("streaming curation loop: quality gate + sig-store dedup + packing equals the batch fold") {
     // the production ingest loop END-TO-END in one foreachBatch pipeline:
     // each arriving file batch is (a) quality-gated, (b) deduped against
