@@ -650,6 +650,52 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // LM-perplexity quality filter (CCNet/Gopher style), approximated by
+    // the corpus unigram LM: per-doc average negative log-likelihood
+    // −Σ cnt·ln(C(tok)/T) / n and its exp (perplexity). Integer counts
+    // are exact; the one log-sum is rounded at 4 decimals like
+    // char_entropy. Corpus total attaches as a broadcast 1-row frame —
+    // never a driver-side scalar. High-ppl docs (rare-token soup) are
+    // what a real pipeline cuts.
+    QueryDef(
+      "perplexity_filter",
+      Some(s"""
+        WITH tokc AS (
+          SELECT doc_id, tok, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest($toksDuck) AS tok FROM documents) z
+          GROUP BY doc_id, tok
+        ), corpus AS (
+          SELECT tok, SUM(cnt) AS ctok FROM tokc GROUP BY tok
+        ), tot AS (
+          SELECT CAST(SUM(ctok) AS BIGINT) AS t FROM corpus
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+               round(SUM(cnt * (ln(t) - ln(ctok))) / SUM(cnt), 4) AS avg_nll,
+               round(exp(SUM(cnt * (ln(t) - ln(ctok))) / SUM(cnt)), 4) AS ppl
+        FROM tokc JOIN corpus USING (tok) CROSS JOIN tot
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val tokc = Tables.documents(spark, dir)
+          .withColumn("toks", expr(TextAnalysis.tokensExpr))
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("cnt"))
+        val corpus = tokc.groupBy(col("tok")).agg(sum(col("cnt")).as("ctok"))
+        val tot = corpus.agg(sum(col("ctok")).cast("long").as("t"))
+        val nllSum = sum(col("cnt") * (log(col("t")) - log(col("ctok"))))
+        tokc.join(corpus, Seq("tok"))
+          .crossJoin(broadcast(tot))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("cnt")).cast("long").as("n_tokens"),
+            round(nllSum / sum(col("cnt")), 4).as("avg_nll"),
+            round(exp(nllSum / sum(col("cnt"))), 4).as("ppl"))
+          .orderBy("doc_id")
+      }),
+
     QueryDef(
       "dedup_minhash_lsh",
       Some(s"""

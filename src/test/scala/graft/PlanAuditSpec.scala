@@ -49,7 +49,8 @@ class PlanAuditSpec extends SparkSpec {
     "ann_ivf_external",                                    // ANN scoring (16-row external codebook)
     "sql_adhoc_similarity",                                // ANN scoring from raw SQL (8-row query batch)
     "company_registration", "group_max_next_id",           // 1-row scalar attach
-    "tfidf_search")                                        // 1-row corpus-size attach
+    "tfidf_search",                                        // 1-row corpus-size attach
+    "perplexity_filter")                                   // 1-row corpus-total attach
 
   test("prefix_search pushes StringStartsWith to the parquet scan") {
     val plan = SparkEntry.queries("prefix_search")(spark, sf)
