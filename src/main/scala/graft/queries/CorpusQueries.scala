@@ -233,6 +233,51 @@ object CorpusQueries {
       }),
 
     // token-budget sampling (data-mixture construction): per language,
+    // α-temperature language resampling (the XLM/mT5 multilingual
+    // mixture op, α = 0.3): per-language keep probability ∝ share^(α−1),
+    // normalized so the rarest language keeps everything — head
+    // languages are downsampled toward the flattened distribution. The
+    // keep decision is the DETERMINISTIC content-hash threshold every
+    // sampler here uses (retry-safe, engine-reproducible); the one
+    // cross-engine float is pow(), whose ≤1-ulp spread cannot flip a
+    // uniform 10⁶-bucket threshold in practice.
+    QueryDef(
+      "mixture_temperature_sample",
+      Some("""
+        WITH c AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ), t AS (
+          SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c
+        ), w AS (
+          SELECT lang, power(n / total, -0.7) AS raw FROM c CROSS JOIN t
+        ), mx AS (
+          SELECT MAX(raw) AS m FROM w
+        ), q AS (
+          SELECT lang, raw / m AS keep_p FROM w CROSS JOIN mx
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN q USING (lang)
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+              < CAST(keep_p * 1000000 AS BIGINT)
+        ORDER BY d.doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val c = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val t = c.agg(sum(col("n")).cast("double").as("total"))
+        val w = c.crossJoin(broadcast(t))
+          .select(col("lang"), pow(col("n") / col("total"), lit(-0.7)).as("raw"))
+        val mx = w.agg(max(col("raw")).as("m"))
+        val q = w.crossJoin(broadcast(mx))
+          .select(col("lang"), (col("raw") / col("m")).as("keep_p"))
+        docs.join(broadcast(q), Seq("lang"))
+          .filter(expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000")
+            < (col("keep_p") * 1000000).cast("long"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      }),
+
     // take the highest-quality docs until a token budget fills — a
     // cumulative-sum window over a deterministic total order (quality
     // desc, doc_id). quality_score doubles are bit-identical across
