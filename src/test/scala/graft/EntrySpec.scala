@@ -22,7 +22,12 @@ class EntrySpec extends SparkSpec {
 
   test("all queries run and return rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sf).count()
+      val df = fn(spark, sf)
+      // the driver sorts columns BY NAME before hashing — a duplicate
+      // column name would silently corrupt the compare, not error
+      val cols = df.columns.toSeq
+      assert(cols.size == cols.distinct.size, s"$name has duplicate column names: $cols")
+      val n = df.count()
       assert(n >= 0, s"$name failed")
       // high-threshold filters may legitimately match nothing at sf0.001
       if (!Set("dedup_minhash_lsh", "dedup_jaccard", "anti_join_inactive").contains(name))
