@@ -232,7 +232,6 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
-    // token-budget sampling (data-mixture construction): per language,
     // α-temperature language resampling (the XLM/mT5 multilingual
     // mixture op, α = 0.3): per-language keep probability ∝ share^(α−1),
     // normalized so the rarest language keeps everything — head
@@ -240,10 +239,12 @@ object CorpusQueries {
     // keep decision is the DETERMINISTIC content-hash threshold every
     // sampler here uses (retry-safe, engine-reproducible); the one
     // cross-engine float is pow(), whose ≤1-ulp spread cannot flip a
-    // uniform 10⁶-bucket threshold in practice.
+    // uniform 10⁶-bucket threshold in practice — but the threshold
+    // itself is floored explicitly (cast-to-integer ROUNDS in DuckDB
+    // and TRUNCATES in Spark).
     QueryDef(
       "mixture_temperature_sample",
-      Some("""
+      Some(s"""
         WITH c AS (
           SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
         ), t AS (
@@ -257,8 +258,8 @@ object CorpusQueries {
         )
         SELECT d.doc_id, d.lang
         FROM documents d JOIN q USING (lang)
-        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
-              < CAST(keep_p * 1000000 AS BIGINT)
+        WHERE ${TextAnalysis.hashBucketSqlDuck("d.doc_id", 1000000)}
+              < CAST(floor(keep_p * 1000000) AS BIGINT)
         ORDER BY d.doc_id
       """.stripMargin.trim),
       (spark, dir) => {
@@ -271,13 +272,17 @@ object CorpusQueries {
         val q = w.crossJoin(broadcast(mx))
           .select(col("lang"), (col("raw") / col("m")).as("keep_p"))
         docs.join(broadcast(q), Seq("lang"))
-          .filter(expr(
-            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 1000000")
-            < (col("keep_p") * 1000000).cast("long"))
+          // floor() EXPLICITLY on both sides: Spark's cast-to-long
+          // truncates but DuckDB's CAST rounds half-away-from-zero — an
+          // unfloored threshold differs by one bucket whenever
+          // frac(keep_p·10⁶) ≥ 0.5, a latent boundary mismatch
+          .filter(expr(TextAnalysis.hashBucketExpr("doc_id", 1000000))
+            < floor(col("keep_p") * 1000000).cast("long"))
           .select(col("doc_id"), col("lang"))
           .orderBy("doc_id")
       }),
 
+    // token-budget sampling (data-mixture construction): per language,
     // take the highest-quality docs until a token budget fills — a
     // cumulative-sum window over a deterministic total order (quality
     // desc, doc_id). quality_score doubles are bit-identical across
@@ -477,7 +482,7 @@ object CorpusQueries {
                     WHEN bucket < 90 THEN 'validation'
                     ELSE 'test' END AS split
         FROM (
-          SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          SELECT *, ${TextAnalysis.hashBucketSqlDuck("doc_id", 100)} AS bucket
           FROM ded
           WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM cont)) z
         ORDER BY doc_id

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.textops.TextAnalysis
 import org.apache.spark.sql.functions._
 
 /** Dataset-profiling operators a training-data pipeline runs before
@@ -125,10 +126,10 @@ object ProfileQueries {
     // grouped). Emits per-stratum sampled counts plus the exact ids kept
     QueryDef(
       "stratified_sample",
-      Some("""
+      Some(s"""
         WITH s AS (
           SELECT event_id, event_type,
-                 CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                 ${TextAnalysis.hashBucketSqlDuck("event_id", 100)} AS bucket
           FROM events
         )
         SELECT event_type, event_id
@@ -136,8 +137,7 @@ object ProfileQueries {
         ORDER BY event_type, event_id
       """.stripMargin.trim),
       (spark, dir) => {
-        val bucket = expr(
-          "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) % 100")
+        val bucket = expr(TextAnalysis.hashBucketExpr("event_id", 100))
         Tables.events(spark, dir)
           .select(col("event_type"), col("event_id"), bucket.as("bucket"))
           .filter(col("bucket") < 20)

@@ -357,7 +357,7 @@ object TextQueries {
       Some(s"""
         WITH s AS (
           SELECT doc_id, lang,
-                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+                 ${TextAnalysis.hashBucketSqlDuck("doc_id", 100)} AS bucket
           FROM documents
         )
         SELECT doc_id, lang,
@@ -368,7 +368,7 @@ object TextQueries {
         ORDER BY doc_id
       """.stripMargin.trim),
       (spark, dir) => {
-        val bucket = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+        val bucket = expr(TextAnalysis.hashBucketExpr("doc_id", 100))
         Tables.documents(spark, dir)
           .select(col("doc_id"), col("lang"), bucket.as("bucket"))
           .withColumn("split",
@@ -634,7 +634,7 @@ object TextQueries {
                     WHEN bucket < 90 THEN 'validation'
                     ELSE 'test' END AS split
         FROM (
-          SELECT *, CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+          SELECT *, ${TextAnalysis.hashBucketSqlDuck("doc_id", 100)} AS bucket
           FROM ranked
           WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM cont)) z
         ORDER BY doc_id

@@ -31,8 +31,7 @@ object Curate {
 
   /** deterministic content-hash split bucket (0–99) and its 80/10/10
     * assignment — retry-safe and engine-reproducible. */
-  private val bucket = expr(
-    "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint) % 100")
+  private val bucket = expr(TextAnalysis.hashBucketExpr("doc_id", 100))
   private val splitCol =
     when(bucket < 80, "train").when(bucket < 90, "validation")
       .otherwise("test").as("split")

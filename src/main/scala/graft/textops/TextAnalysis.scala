@@ -76,6 +76,20 @@ object TextAnalysis {
             list_transform(toks, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % $tokenMod)),
           (h, k) -> (h * 31 + k) % $fpMod)"""
 
+  /** Canonical deterministic content-hash bucket in [0, n): the md5-prefix
+    * integer of `key` reduced mod n — IDENTICAL arithmetic in both
+    * engines. Every sampler/splitter builds its keep decision from this
+    * pair rather than re-typing the idiom (hand-retyped variants are how
+    * cast asymmetries slip in). When comparing against a FLOAT-derived
+    * threshold, floor() the threshold explicitly on both sides: Spark's
+    * cast-to-long truncates but DuckDB's CAST rounds half-away-from-zero.
+    */
+  def hashBucketExpr(key: String, n: Long): String =
+    s"cast(conv(substring(md5(cast($key as string)), 1, 15), 16, 10) as bigint) % $n"
+
+  def hashBucketSqlDuck(key: String, n: Long): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $n"
+
   /** Tokenize + per-document quality metrics. All ratios are
     * CAST(x AS DOUBLE)/y — single deterministic division per row.
     */
