@@ -282,6 +282,7 @@ object ScaleSmoke {
         expr(s"cast(abs(hash(id * 31 + $i)) % ${graft.textops.Dedup.minhashP} as bigint)").as(s"mh$i"))
       val pad = spark.range(2000000L)
         .select((col("id") + 1000000L).as("doc_id") +: padSigCols: _*)
+        .withColumn("sig_spec", lit(graft.textops.Dedup.sigSpec(5)))
       graft.textops.Dedup.minhashSignatures(realDocs, n = 5)
         .unionByName(pad)
         .write.mode("overwrite").parquet(s"$dir/sigstore")

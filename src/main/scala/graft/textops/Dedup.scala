@@ -166,12 +166,20 @@ object Dedup {
   }.mkString(" UNION ALL ")
 
   /** Per-doc MinHash signature: one groupBy pass computing all k minima. */
+  /** Self-describing tag of the signature scheme: a store built at one
+    * shingle grain checked at another would yield est_jaccard ≈ 0 for
+    * true dups — silent recall collapse, the same hazard class as the ANN
+    * index's lsh_spec.
+    */
+  def sigSpec(n: Int): String = s"v1:n$n:k${minhashParams.size}:p$minhashP"
+
   def minhashSignatures(documents: DataFrame, n: Int = 5): DataFrame = {
     val keyed = shingles(documents, n).withColumn("s", expr(shingleKeyExpr))
     val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("s") + lit(b)) % lit(minhashP)).as(s"mh$i")
     }
     keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig_spec", lit(sigSpec(n)))
   }
 
   /** LSH band keys: unpivot the signature into (doc_id, band, band_key). */
@@ -289,6 +297,15 @@ object Dedup {
     */
   def incrementalSigPairs(newDocs: DataFrame, storeSignatures: DataFrame,
                           n: Int = 5, minEstJaccard: Double = 0.7): DataFrame = {
+    // fail LOUDLY on a scheme mismatch: a store built at another shingle
+    // grain still band-joins (sporadic collisions) but every true dup
+    // estimates ≈ 0 — silent recall collapse, not an error, without this
+    require(storeSignatures.columns.contains("sig_spec"),
+      "store signatures have no sig_spec column — not a minhashSignatures output")
+    storeSignatures.select("sig_spec").head(1).foreach { r =>
+      require(r.getString(0) == sigSpec(n),
+        s"signature scheme mismatch: store built with ${r.getString(0)}, caller requested ${sigSpec(n)}")
+    }
     val k = minhashParams.size
     val newSigs = minhashSignatures(newDocs, n)
     val candidates = lshBands(newSigs).as("x")

@@ -139,6 +139,17 @@ class CorpusSpec extends SparkSpec {
     assert(persisted.map(p => (p._1, p._2)) == Set((10L, 1L)))
     // the exact dup agrees on every component
     assert(persisted.forall(_._3 == 1.0))
+    // a store built at another shingle grain would band-join sporadically
+    // but estimate ≈ 0 for true dups — the sig_spec tag must make the
+    // mismatch a loud error, not silent recall collapse
+    val store8 = Dedup.minhashSignatures(store, n = 8)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalSigPairs(fresh, store8, n = 5)
+    }
+    assert(e.getMessage.contains("mismatch"))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalSigPairs(fresh, store8.drop("sig_spec"), n = 8)
+    }
   }
 
   test("curate pipeline invariants: no bench docs, no contaminated, no exact dups") {
