@@ -105,8 +105,20 @@ object GraftFunctions {
         "graft_lsh_keys", lshKeysBuilder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_might_contain", mightContainBuilder, "built-in")
     }
   }
+
+  /** graft_might_contain(bloomBytes, longValue): Spark's own
+    * `BloomFilterMightContain` predicate (the expression behind runtime
+    * row-level filtering) exposed as a callable function, so an
+    * explicitly-built sketch (`df.stat.bloomFilter` over `xxhash64`
+    * longs — the same putLong/mightContainLong path) can prefilter a scan
+    * as a foldable literal. Codegen'd; no UDF.
+    */
+  private[functions] def mightContainBuilder(exprs: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
 }
 
 /** SparkSessionExtensions wiring: sessions built with
@@ -132,6 +144,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+        "graft_might_contain"),
+      GraftFunctions.mightContainBuilder _))
     // pure range joins (inequality-only conditions) rewrite to the
     // bucketed equi-join plan instead of a nested loop / cartesian
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

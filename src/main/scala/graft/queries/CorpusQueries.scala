@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.GraftFunctions
-import graft.textops.{Curate, Decontaminate, Dedup, TextAnalysis}
+import graft.textops.{Curate, Decontaminate, Dedup, TextAnalysis, Vocab}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,30 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // the 100 TB shape of the same decontamination: a Bloom filter over
+    // the (small) benchmark side's shingle hashes prefilters the training
+    // scan BEFORE the shuffle; the exact confirm join removes the Bloom
+    // false positives, so the result — and the oracle — is identical to
+    // `decontaminate`
+    QueryDef(
+      "decontaminate_bloom",
+      Some(s"""
+        WITH ${shinglesDuck(8)},
+        bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0),
+        train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+        SELECT doc_id,
+               CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared,
+               CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+        FROM train JOIN bench USING (shingle)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Decontaminate.contaminatedBloom(
+            Tables.documents(spark, dir), isBench = col("doc_id") % 10 === 0, n = 8)
+          .orderBy("doc_id")
+      }),
+
     // duplicated-span statistics (substring-dedup at the token-8-gram
     // grain): fraction of each doc's n-gram POSITIONS whose n-gram occurs
     // in ≥1 other doc. Document frequency is one groupBy on the n-gram;
@@ -118,6 +142,48 @@ object CorpusQueries {
       (spark, dir) => {
         Decontaminate.scrubDupSpans(Tables.documents(spark, dir), n = 8)
           .orderBy("doc_id")
+      }),
+
+    // BPE vocabulary induction, round 1: adjacent-character-pair counts
+    // weighted by word frequency — the quantity the tokenizer trainer
+    // maximizes. The corpus is touched once (the word-frequency agg);
+    // the pair expansion runs on the compact vocab table
+    QueryDef(
+      "bpe_pair_counts",
+      Some(s"""
+        WITH words AS (
+          SELECT unnest($toksDuck) AS w FROM documents
+        ), freq AS (
+          SELECT w, count(*) AS freq FROM words WHERE length(w) > 0 GROUP BY w
+        ), pairs AS (
+          SELECT substring(w, CAST(i AS INT), 1) || ' ' || substring(w, CAST(i AS INT) + 1, 1) AS pair,
+                 freq
+          FROM freq, unnest(range(1, length(w))) AS u(i)
+        )
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM pairs
+        GROUP BY pair
+        ORDER BY cnt DESC, pair
+        LIMIT 40
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Vocab.pairCounts(Vocab.segmentChars(Vocab.wordFreq(Tables.documents(spark, dir))))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(40)
+      }),
+
+    // the full iterative trainer: 16 merge rounds; each round is one
+    // pair-count agg over the vocab + a one-row argmax + a segmentation
+    // rewrite, lineage truncated per round. Not SQL-expressible (the
+    // spec verifies against an independent local trainer); deterministic
+    // via the (cnt desc, pair asc) tiebreak
+    QueryDef(
+      "bpe_merges",
+      None,
+      (spark, dir) => {
+        import spark.implicits._
+        val (merges, _) = Vocab.bpeTrain(Tables.documents(spark, dir), nMerges = 16)
+        merges.toDF("rank", "left", "right", "cnt").orderBy("rank")
       }),
 
     // URL parse + domain blocklist: synthesize a deterministic URL per

@@ -64,6 +64,51 @@ object Decontaminate {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** `contaminated` with a Bloom-filter prefilter on the training side —
+    * the 100 TB shape of the decontamination join. The benchmark set is
+    * small (contest/eval suites: thousands of docs); the training corpus
+    * is the 100 TB side. `contaminated` shuffles EVERY training shingle
+    * into the equi-join, even though almost none share an n-gram with the
+    * benchmark. Here a Bloom filter over `xxhash64(shingle)` of the bench
+    * side is built in one distributed pass (`stat.bloomFilter` tree-merges
+    * per-partition sketches), shipped to every corpus task as a literal,
+    * and applied BEFORE the shuffle — the same plan shape Spark's own
+    * runtime row-level filtering injects, but explicit, so it also fires
+    * when AQE's heuristics would not. Only might-contain survivors (true
+    * matches + fpp false positives) reach the exact confirm join, which
+    * removes the false positives; Bloom filters have no false negatives,
+    * so the result is EXACT — same oracle as `contaminated`.
+    *
+    * Sizing: the sketch is ~1.2 bytes/item at fpp=0.03; a 10M-shingle
+    * benchmark ships ~12 MB per task closure. `fpp` trades closure size
+    * against wasted shuffle of false positives — at 100 TB even fpp=0.1
+    * drops ~90% of the corpus-side shuffle.
+    */
+  def contaminatedBloom(documents: DataFrame, isBench: Column,
+                        n: Int = 8, fpp: Double = 0.03): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val bench = Dedup.shingles(documents.filter(isBench), n)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    // two cheap passes over the SMALL side: row count for sizing (an
+    // overcount of distinct shingles — conservative, lowers effective
+    // fpp), then the sketch build
+    val nItems = math.max(bench.count(), 1L)
+    val bloom = bench.select(xxhash64(col("shingle")).as("_h"))
+      .stat.bloomFilter("_h", nItems, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val train = Dedup.shingles(documents.filter(!isBench), n)
+      .filter(call_function("graft_might_contain", lit(bytes), xxhash64(col("shingle"))))
+    train.join(bench, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("shingle")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Exact duplicated-span SCRUBBING (the substring-dedup REMOVAL step,
     * at the token-n-gram grain): every token covered by an n-gram whose
     * first corpus occurrence is elsewhere is dropped; the first

@@ -1,0 +1,108 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BPE-style vocabulary induction (Sennrich et al. 2016) as a
+  * distributed pipeline — what a tokenizer-training job runs over a
+  * training corpus before the corpus is tokenized.
+  *
+  * Scale shape (the part that matters at 100 TB): the corpus is touched
+  * EXACTLY ONCE, by the word-frequency aggregation (map-side partial
+  * combine on the word key — the same shape as `ohlcv_daily`). Every
+  * merge round after that runs on the COMPACT (word, freq, segmentation)
+  * table — O(|vocab|) rows (a web-scale corpus has ~10⁷–10⁸ distinct
+  * words, versus ~10¹³ tokens), so the iterative part never rescans the
+  * data. Each round is: pair-count aggregation over the vocab, take the
+  * argmax, rewrite segmentations with one higher-order-function pass.
+  * Per-round lineage is truncated with `localCheckpoint` like
+  * `Dedup.connectedComponents` — k merge rounds must not build a
+  * k-deep nested plan.
+  *
+  * The reference has no tokenizer training; this extends its text
+  * surface the way SURVEY.md §2's X-tier extends UDFs: reference
+  * `etl/etl.py:119` normalizes symbols with a memoized per-string
+  * function — here the per-word work is hoisted into the vocab table
+  * once, the same cache idea expressed as a DataFrame.
+  */
+object Vocab {
+
+  /** (w, freq): the one corpus-scale pass. Empty tokens are dropped
+    * (split('') artifacts — see TextAnalysis). */
+  def wordFreq(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("w", explode(expr(TextAnalysis.tokensExpr)))
+      .filter(length(col("w")) > 0)
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Adjacent-symbol-pair counts over a segmentation, weighted by word
+    * frequency: the quantity BPE maximizes each round. `segmented` must
+    * have (w, freq, sym: array<string>).
+    */
+  def pairCounts(segmented: DataFrame): DataFrame =
+    segmented
+      .withColumn("pair", explode(expr(
+        """CASE WHEN size(sym) >= 2
+             THEN transform(sequence(1, size(sym) - 1),
+                            i -> concat(element_at(sym, i), ' ', element_at(sym, i + 1)))
+             ELSE array() END""")))
+      .groupBy("pair")
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Initial segmentation: each word split into single characters. */
+  def segmentChars(wordFreq: DataFrame): DataFrame =
+    wordFreq.withColumn("sym",
+      expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+
+  /** One greedy left-to-right merge of the adjacent pair (a, b) → a||b
+    * in every word's segmentation — `aaa` under merge (a,a) becomes
+    * [aa, a], matching the standard trainer. A fold over symbol indices
+    * carrying (output, skip-next) state; higher-order functions don't
+    * codegen, but this runs on the compact vocab table, never the corpus.
+    */
+  private def applyMerge(segmented: DataFrame, a: String, b: String): DataFrame = {
+    def lit_(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    segmented.withColumn("sym", expr(
+      s"""aggregate(
+            sequence(1, size(sym)),
+            named_struct('out', CAST(array() AS array<string>), 'skip', false),
+            (acc, i) -> CASE
+              WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+              WHEN i < size(sym) AND element_at(sym, i) = '${lit_(a)}'
+                   AND element_at(sym, i + 1) = '${lit_(b)}'
+                THEN named_struct('out', array_append(acc.out, '${lit_(a + b)}'), 'skip', true)
+              ELSE named_struct('out', array_append(acc.out, element_at(sym, i)), 'skip', false)
+            END,
+            acc -> acc.out)"""))
+  }
+
+  /** Train `nMerges` BPE merges. Returns (merges, final segmentation);
+    * merges = (rank, left, right, cnt) with rank 1 = first merge.
+    * Tiebreak on equal counts is lexicographic on the pair — both
+    * deterministic and engine-independent. Stops early when no pair
+    * remains (fully merged vocab).
+    */
+  def bpeTrain(documents: DataFrame, nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var seg = segmentChars(wordFreq(documents)).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      // argmax by (cnt desc, pair asc): ONE row to the driver per round
+      val top = pairCounts(seg)
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((rank, a, b, cnt))
+        seg = applyMerge(seg, a, b).localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.toSeq, seg)
+  }
+}

@@ -21,6 +21,25 @@ class CorpusSpec extends SparkSpec {
     assert(out == Set((2L, 1L, 1L))) // one shared 8-gram, one bench doc
   }
 
+  test("bloom-prefiltered decontaminate is exact: equals the plain join, plants found") {
+    val out = Decontaminate.contaminatedBloom(docs, isBench = $"doc_id" === 100L, n = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    // identical to `contaminated` — the planted positive survives the
+    // prefilter (no false negatives) and the clean docs are dropped
+    assert(out == Set((2L, 1L, 1L)))
+    // and the prefilter is actually in the plan (not optimized away)
+    val plan = Decontaminate.contaminatedBloom(docs, $"doc_id" === 100L, n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"))
+  }
+
+  test("bloom-prefiltered decontaminate equals plain decontaminate on the sf0.001 corpus") {
+    val documents = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = Decontaminate.contaminated(documents, $"doc_id" % 10 === 0, n = 8)
+    val bloom = Decontaminate.contaminatedBloom(documents, $"doc_id" % 10 === 0, n = 8)
+    assert(exact.exceptAll(bloom).count() == 0 && bloom.exceptAll(exact).count() == 0)
+  }
+
   test("decontaminate maxDocFreq drops boilerplate n-grams") {
     // shingle shared with BOTH bench docs → df=2 > cap=1 → dropped
     val d2 = Seq(
@@ -193,6 +212,76 @@ class CorpusSpec extends SparkSpec {
     val maxCum = out.groupBy("lang").agg(max("cum_tokens").as("m"))
       .select("m").as[Long].collect()
     assert(maxCum.nonEmpty && maxCum.forall(_ <= 3000L))
+  }
+
+  // ---- BPE vocabulary induction ----
+
+  /** independent local reference trainer (greedy left-to-right merge,
+    * (cnt desc, pair asc) tiebreak — the distributed trainer's contract) */
+  private def localBpe(docs: Seq[String], nMerges: Int): Seq[(Int, String, String, Long)] = {
+    val words = docs.flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+    val freq = words.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    var seg: Map[String, Vector[String]] = freq.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    def mergeOne(sym: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = Vector.newBuilder[String]; var i = 0
+      while (i < sym.length) {
+        if (i < sym.length - 1 && sym(i) == a && sym(i + 1) == b) { buf += (a + b); i += 2 }
+        else { buf += sym(i); i += 1 }
+      }
+      buf.result()
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var stop = false
+    while (rank <= nMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, sym) <- seg; i <- 0 until sym.length - 1)
+        counts((sym(i), sym(i + 1))) = counts.getOrElse((sym(i), sym(i + 1)), 0L) + freq(w)
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, s"$x $y") }
+        out += ((rank, a, b, c))
+        seg = seg.map { case (w, sym) => w -> mergeOne(sym, a, b) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe trainer matches the local reference on the classic corpus") {
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, seg) = graft.textops.Vocab.bpeTrain(df, nMerges = 10)
+    assert(merges == localBpe(corpus, 10))
+    // classic result: 'est' and 'low' emerge as units within 10 merges
+    val units = seg.select(explode($"sym")).as[String].collect().toSet
+    assert(units.contains("est") || units.contains("newest"))
+  }
+
+  test("bpe merge is greedy left-to-right: aaa under (a,a) -> [aa, a]") {
+    val df = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val (merges, seg) = graft.textops.Vocab.bpeTrain(df, nMerges = 1)
+    assert(merges.head._2 == "a" && merges.head._3 == "a")
+    // weight: 2 occurrences of 'aaa', each with TWO overlapping (a,a)
+    // positions counted pre-merge → cnt = 4
+    assert(merges.head._4 == 4L)
+    val sym = seg.select($"sym").as[Seq[String]].collect().head
+    assert(sym == Seq("aa", "a"))
+  }
+
+  test("bpe trainer matches the local reference on mixed real-ish text") {
+    val corpus = Seq(
+      "the cat sat on the mat",
+      "the dog sat on the log",
+      "a cat and a dog and a rat",
+      "rats and cats and dogs sat")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, _) = graft.textops.Vocab.bpeTrain(df, nMerges = 12)
+    assert(merges == localBpe(corpus, 12))
   }
 
   implicit private class MapOps(rows: Array[(Long, Long, Long, Double)]) {
