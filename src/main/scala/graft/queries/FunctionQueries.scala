@@ -338,6 +338,39 @@ object FunctionQueries {
             (col("l_extendedprice") /
               when(q - q === 0, lit(null)).otherwise(q - q)).as("div_by_zero_is_null"))
           .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // Morton (Z-order) curve values — the multi-dimensional layout key
+    // behind operators/ZOrder's data-skipping write. The interleave is
+    // generated from ONE loop for both engines (ZOrder.zValue /
+    // ZOrder.zValueDuck), so engine and oracle cannot drift. Histogram
+    // by curve value: zval is unique after the groupBy → total order
+    QueryDef(
+      "zorder_curve",
+      Some(s"""
+        WITH z AS (
+          SELECT ${graft.operators.ZOrder.zValueDuck("l_partkey", "l_suppkey", 11)} AS zval,
+                 l_quantity
+          FROM lineitem
+        )
+        SELECT CAST(zval AS BIGINT) AS zval,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 4) AS sum_qty
+        FROM z
+        GROUP BY zval
+        ORDER BY zval
+        LIMIT 300
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.lineitem(spark, dir)
+          .select(
+            graft.operators.ZOrder.zValue(
+              col("l_partkey").cast("long"), col("l_suppkey").cast("long"), 11).as("zval"),
+            col("l_quantity"))
+          .groupBy("zval")
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+          .orderBy("zval")
+          .limit(300)
       })
   )
 }

@@ -36,4 +36,51 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_users_bucketed")
     }
   }
+
+  test("z-ordered layout tightens per-file bounding boxes vs single-key layout") {
+    import graft.operators.ZOrder
+    val li = Tables.lineitem(spark, sf)
+      .select($"l_partkey".cast("long").as("pk"), $"l_suppkey".cast("long").as("sk"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    try {
+      // baseline: the best SINGLE-key layout (range-partition + sort on pk)
+      li.repartitionByRange(8, $"pk").sortWithinPartitions($"pk")
+        .write.mode("overwrite").parquet(s"$tmp/by_pk")
+      ZOrder.writeZOrdered(li, $"pk", $"sk", bits = 11, nFiles = 8, path = s"$tmp/by_z")
+      val (xPk, yPk) = ZOrder.spanSums(spark.read.parquet(s"$tmp/by_pk"), $"pk", $"sk")
+      val (xZ, yZ) = ZOrder.spanSums(spark.read.parquet(s"$tmp/by_z"), $"pk", $"sk")
+      // the single-key layout leaves every file spanning ~all of sk; the
+      // curve layout must cut the total sk span (files a predicate on sk
+      // scans) while keeping pk still prunable (total pk span well under
+      // the every-file-spans-everything worst case yPk implies for sk)
+      assert(yZ < 0.75 * yPk, s"z-order sk span-sum $yZ not < 0.75x single-key $yPk")
+      val fullPk = li.agg(max($"pk") - min($"pk")).head.getLong(0).toDouble
+      assert(xZ < 0.75 * 8 * fullPk, s"pk no longer prunable: $xZ vs worst ${8 * fullPk}")
+      // and the layout is a reshuffle, not a rewrite: same rows
+      assert(spark.read.parquet(s"$tmp/by_z").count() == li.count())
+    } finally {
+      val dir = new java.io.File(tmp)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("morton interleave round-trips: even bits are x, odd bits are y") {
+    import graft.operators.ZOrder
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (2047L, 2047L))
+      .toDF("x", "y")
+      .withColumn("z", ZOrder.zValue($"x", $"y", 11))
+    val out = df.select("x", "y", "z").as[(Long, Long, Long)].collect().toMap2
+    def interleave(x: Long, y: Long): Long =
+      (0 until 11).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    out.foreach { case ((x, y), z) => assert(z == interleave(x, y), s"($x,$y)") }
+    // locality sanity: z(0,0)=0; z(1,0)=1; z(0,1)=2
+    assert(out((0L, 0L)) == 0L && out((1L, 0L)) == 1L && out((0L, 1L)) == 2L)
+  }
+
+  implicit private class PairMap(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
 }
