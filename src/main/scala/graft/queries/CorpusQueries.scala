@@ -172,6 +172,36 @@ object CorpusQueries {
           .limit(40)
       }),
 
+    // exact heavy-hitter tokens (count×(k+1) > n) via the Misra-Gries
+    // two-pass plan: an O(k)-state mergeable sketch yields the complete
+    // candidate set without shuffling the vocabulary, then only the ≤ k
+    // candidates are exact-counted behind an isin-pushed scan filter.
+    // The sketch decides WHAT is counted, never the counts — output is
+    // exact, deterministic, and oracled by the plain GROUP BY ... HAVING
+    QueryDef(
+      "heavy_hitter_tokens",
+      Some(s"""
+        WITH words AS (
+          SELECT unnest($toksDuck) AS w FROM documents
+        ), wf AS (
+          SELECT w FROM words WHERE length(w) > 0
+        ), t AS (
+          SELECT count(*) AS n FROM wf
+        )
+        SELECT w AS item, CAST(count(*) AS BIGINT) AS cnt
+        FROM wf, t
+        GROUP BY w, n
+        HAVING count(*) * 41 > n
+        ORDER BY cnt DESC, item
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .select(explode(expr(TextAnalysis.tokensExpr)).as("w"))
+          .filter(length(col("w")) > 0)
+        graft.operators.FreqItems.heavyHitters(toks, "w", k = 40)
+          .orderBy(col("cnt").desc, col("item"))
+      }),
+
     // the full iterative trainer: 16 merge rounds; each round is one
     // pair-count agg over the vocab + a one-row argmax + a segmentation
     // rewrite, lineage truncated per round. Not SQL-expressible (the

@@ -228,6 +228,54 @@ object ProfileQueries {
           .orderBy("event_type")
       }),
 
+    // winsorized robust statistics: clamp each group's values to its
+    // [p05, p95] before the moments — the outlier-robust normalization a
+    // feature pipeline applies before training. Quantiles are one
+    // exact-percentile agg per group (at 100 TB: swap for
+    // approx_percentile, same plan); the tiny per-group bounds table
+    // broadcast-joins back, so the big side shuffles only for the final
+    // group agg. Clamped moments round(4) (summation-order drift);
+    // quantile bounds are interpolation-identical doubles, emitted raw
+    QueryDef(
+      "winsorize_stats",
+      Some("""
+        WITH q AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+               lo, hi,
+               round(avg(value), 4) AS raw_mean,
+               round(avg(greatest(lo, least(hi, value))), 4) AS wins_mean,
+               round(stddev_samp(greatest(lo, least(hi, value))), 4) AS wins_std
+        FROM events JOIN q USING (event_type)
+        GROUP BY event_type, lo, hi
+        ORDER BY event_type
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val bounds = ev.groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+        val clamped = greatest(col("lo"), least(col("hi"), col("value")))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .groupBy(col("event_type"), col("lo"), col("hi"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+              .otherwise(0L)).as("n_clamped"),
+            round(avg(col("value")), 4).as("raw_mean"),
+            round(avg(clamped), 4).as("wins_mean"),
+            round(stddev_samp(clamped), 4).as("wins_std"))
+          .select(col("event_type"), col("n"), col("n_clamped"), col("lo"), col("hi"),
+            col("raw_mean"), col("wins_mean"), col("wins_std"))
+          .orderBy("event_type")
+      }),
+
     // per-key z-score outlier detection: mean/stddev over each key's
     // full history (one window partition), flag |z| > 2.5. The filter
     // boundary sits on a float aggregate — safe because cross-engine

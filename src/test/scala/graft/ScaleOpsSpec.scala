@@ -65,4 +65,46 @@ class ScaleOpsSpec extends SparkSpec {
       .agg(max(unix_micros($"ts")).as("ts_us"))
     assert(batchOnly.join(lastPerKeyDay, Seq("user_id", "ts_us"), "left_anti").count() == 0)
   }
+
+  // ---- Misra-Gries frequent items ----
+
+  // skewed synthetic stream: "hot" 30%, "warm" 15%, tail of 200 singles
+  private def mgStream: (Seq[String], Long) = {
+    val items = Seq.fill(300)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 550).map(i => s"cold_${i % 200}")
+    (new scala.util.Random(42).shuffle(items), items.size.toLong)
+  }
+
+  test("misra-gries guarantee: heavy items present, estimates never overcount") {
+    import graft.operators.FreqItems
+    val (items, n) = mgStream
+    val df = items.toDF("w")
+    val k = 9
+    val sk = FreqItems.sketch(df, "w", k)
+    assert(sk.size <= k)
+    val truth = items.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    // every item above n/(k+1) must be present
+    truth.filter(_._2 > n / (k + 1)).keys.foreach(w => assert(sk.contains(w), w))
+    // estimates: true - n/(k+1) <= est <= true
+    sk.foreach { case (w, est) =>
+      val t = truth.getOrElse(w, 0L)
+      assert(est <= t, s"$w overcounted: $est > $t")
+      assert(est >= t - n / (k + 1), s"$w undercounted past the bound")
+    }
+  }
+
+  test("heavy hitters are exact and partitioning-invariant (sketch only gates candidates)") {
+    import graft.operators.FreqItems
+    val (items, n) = mgStream
+    val df = items.toDF("w")
+    val k = 9
+    val exact = df.groupBy($"w").count().filter($"count" * (k + 1) > n)
+      .select($"w".as("item"), $"count".as("cnt"))
+      .as[(String, Long)].collect().toSet
+    val hh1 = FreqItems.heavyHitters(df.repartition(1), "w", k)
+      .as[(String, Long)].collect().toSet
+    val hh17 = FreqItems.heavyHitters(df.repartition(17), "w", k)
+      .as[(String, Long)].collect().toSet
+    assert(hh1 == exact && hh17 == exact)
+  }
 }
