@@ -241,6 +241,34 @@ object ScaleSmoke {
       out.unpersist()
     }
 
+    // bloom-prefiltered decontamination vs the plain join at a REALISTIC
+    // bench:corpus ratio — 2.5k bench docs (0.5%) against 500k training
+    // docs. The plain plan shuffles every training shingle; the bloom
+    // plan drops non-candidates at the scan, so only plants + fpp noise
+    // shuffle. Both must find exactly the 300 planted copies
+    timed("decontamination 500k docs, 0.5% bench: plain vs bloom prefilter") {
+      val corpus = spark.range(500000).select(
+        col("id").as("doc_id"),
+        expr("""array_join(transform(sequence(1, cast(abs(hash(id)) % 200 + 50 as int)),
+                  i -> concat('w', pmod(hash(id * 100003 + i), 5000))), ' ')""").as("text"))
+      val plants = corpus.filter($"doc_id" < 2400 && $"doc_id" % 8 === 0) // exactly 300
+        .select(($"doc_id" + 2000003L).as("doc_id"),
+          concat($"text", lit(" tail"), ($"doc_id" + 2000003L).cast("string")).as("text"))
+      val docs = corpus.unionByName(plants)
+      val isBench = $"doc_id" < 2500
+      val t0 = System.nanoTime()
+      val plain = graft.textops.Decontaminate.contaminated(docs, isBench, n = 8)
+      val plainFound = plain.count()
+      val tPlain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val bloom = graft.textops.Decontaminate.contaminatedBloom(docs, isBench, n = 8)
+      val bloomFound = bloom.count()
+      val tBloom = (System.nanoTime() - t1) / 1e9
+      println(f"[scale]   plain: $plainFound rows in $tPlain%.1f s; bloom: $bloomFound rows in $tBloom%.1f s")
+      assert(plainFound == bloomFound, s"bloom changed the result: $bloomFound vs $plainFound")
+      assert(bloomFound >= 300L, s"plants missing: $bloomFound < 300")
+    }
+
     // incremental dedup at the daily-ops scale: a 10k-doc new batch
     // against a 100k-doc store — candidates are new×store band
     // collisions only (the store is never self-joined). 300 plants

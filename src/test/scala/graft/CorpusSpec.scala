@@ -284,6 +284,23 @@ class CorpusSpec extends SparkSpec {
     assert(merges == localBpe(corpus, 12))
   }
 
+  test("bpe encode: segmentations reconstruct words; OOV falls back to chars") {
+    val train = Seq((1L, "lower lower lowest low low low")).toDF("doc_id", "text")
+    val (_, seg) = graft.textops.Vocab.bpeTrain(train, nMerges = 6)
+    // invariant of any merge sequence: concatenating a word's subwords
+    // yields the word
+    val broken = seg.filter(concat_ws("", $"sym") =!= $"w").count()
+    assert(broken == 0)
+    // encode a doc with one in-vocab word and one OOV word
+    val docs = Seq((7L, "lower zzzq")).toDF("doc_id", "text")
+    val out = graft.textops.Vocab.encode(docs, seg)
+      .select("doc_id", "n_words", "n_subwords")
+      .as[(Long, Long, Long)].collect().head
+    assert(out._2 == 2L)
+    val lowerSubs = seg.filter($"w" === "lower").select(size($"sym")).as[Int].collect().head
+    assert(out._3 == lowerSubs + 4L) // OOV 'zzzq' → 4 single chars
+  }
+
   implicit private class MapOps(rows: Array[(Long, Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Long, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
