@@ -104,7 +104,15 @@ object Vocab {
     * remains (fully merged vocab).
     */
   def bpeTrain(documents: DataFrame, nMerges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var seg = segmentChars(wordFreq(documents)).localCheckpoint()
+    // the corpus-scale agg is over; size the per-round parallelism to the
+    // VOCAB, not the corpus — a small vocab (test scale, domain corpora)
+    // spread over 32 shuffle partitions pays 16 rounds × 32 empty-task
+    // scheduling for nothing. Web-scale vocabs (≥ ~1M words) keep the
+    // session's partitioning.
+    val wf = wordFreq(documents).localCheckpoint()
+    val nVocab = wf.count()
+    val sized = if (nVocab < 1000000L) wf.coalesce(1) else wf
+    var seg = segmentChars(sized).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var done = false

@@ -93,6 +93,25 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("misra-gries summaries merge across micro-batches (streaming ingest shape)") {
+    import graft.operators.{FreqItems, FreqItemsAggregator}
+    val (items, n) = mgStream
+    val k = 9
+    // the streaming fold: one sketch per arriving batch, merged into the
+    // running store summary — the PODS'12 merge must preserve the bounds
+    // the one-shot sketch has
+    val agg = new FreqItemsAggregator(k)
+    val merged = items.grouped(97).map(b => FreqItems.sketch(b.toDF("w"), "w", k))
+      .foldLeft(agg.zero)(agg.merge)
+    assert(merged.size <= k)
+    val truth = items.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    truth.filter(_._2 > n / (k + 1)).keys.foreach(w =>
+      assert(merged.contains(w), s"heavy item $w lost in a batch merge"))
+    merged.foreach { case (w, est) =>
+      assert(est <= truth.getOrElse(w, 0L), s"$w overcounted after merges")
+    }
+  }
+
   test("heavy hitters are exact and partitioning-invariant (sketch only gates candidates)") {
     import graft.operators.FreqItems
     val (items, n) = mgStream
