@@ -425,6 +425,76 @@ object CorpusQueries {
 
     // token-budget sampling (data-mixture construction): per language,
     // take the highest-quality docs until a token budget fills — a
+    // weighted sampling without replacement (Efraimidis–Spirakis):
+    // key = ln(u)/w with u a deterministic md5-derived uniform and
+    // w = token count; the top-k by key IS a w-proportional sample
+    // drawn without replacement. One TakeOrderedAndProject — no global
+    // sort, no per-partition reservoir bookkeeping. Keys are macroscopic
+    // doubles (u, w differ across docs), so last-ulp ln() divergence
+    // cannot reorder them — same argument as the zscore filter boundary
+    QueryDef(
+      "weighted_sample",
+      Some(s"""
+        WITH s AS (
+          SELECT doc_id,
+                 CAST(len($toksDuck) AS BIGINT) AS w,
+                 (${TextAnalysis.hashBucketSqlDuck("doc_id", 1000000000L)} + 1) / 1000000000.0 AS u
+          FROM documents
+        )
+        SELECT doc_id, w, round(ln(u) / w, 6) AS key
+        FROM s WHERE w > 0
+        ORDER BY ln(u) / w DESC, doc_id
+        LIMIT 100
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir).select(
+          col("doc_id"),
+          size(expr(TextAnalysis.tokensExpr)).cast("long").as("w"),
+          ((expr(TextAnalysis.hashBucketExpr("doc_id", 1000000000L)) + 1) / 1000000000.0).as("u"))
+        docs.filter(col("w") > 0)
+          .select(col("doc_id"), col("w"), (log(col("u")) / col("w")).as("_key"))
+          .orderBy(col("_key").desc, col("doc_id"))
+          .limit(100)
+          .select(col("doc_id"), col("w"), round(col("_key"), 6).as("key"))
+      }),
+
+    // per-dimension embedding standardization stats — the scaler table a
+    // feature pipeline broadcasts to z-score an embedding column. One
+    // posexplode + one 64-group agg; the applying transform is an
+    // elementwise map against these 64 broadcast rows. Tall per-value
+    // output is deliberately avoided: 128k round(4)-boundary doubles is
+    // a cross-engine tie minefield; the stats table is the operator
+    QueryDef(
+      "embedding_dim_stats",
+      Some("""
+        WITH e AS (
+          SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        )
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(v), 4) AS mu,
+               round(stddev_samp(v), 4) AS sd,
+               round(min(v), 4) AS vmin,
+               round(max(v), 4) AS vmax
+        FROM e
+        GROUP BY dim
+        ORDER BY dim
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.embeddings(spark, dir)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v0")))
+          .select(col("dim").cast("long").as("dim"), col("v0").cast("double").as("v"))
+          .groupBy("dim")
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("v")), 4).as("mu"),
+            round(stddev_samp(col("v")), 4).as("sd"),
+            round(min(col("v")), 4).as("vmin"),
+            round(max(col("v")), 4).as("vmax"))
+          .orderBy("dim")
+      }),
+
     // cumulative-sum window over a deterministic total order (quality
     // desc, doc_id). quality_score doubles are bit-identical across
     // engines (text_quality hash-passes), so the order and the cut
