@@ -199,6 +199,69 @@ object JoinQueries {
           .select(col("c_custkey"), col("c_name"),
             (col("_max_id") + col("_rn")).as("new_id"))
           .orderBy("c_custkey")
+      }),
+
+    // blocked fuzzy join (operators/FuzzyJoin): the approximate-string
+    // extension of the reference's EXACT identity resolution. Distinctive
+    // canonical names are synthesized from the supplier key (the shared
+    // md5 idiom, so the oracle rebuilds byte-identical strings); each
+    // dirty probe drops one character. Candidates come from the trigram
+    // equi-join — never a |dirty|×|canon| cartesian levenshtein — and
+    // every probe must find its source at distance 1 (ties broken
+    // (dist, key) in both engines)
+    QueryDef(
+      "fuzzy_match_names",
+      Some(s"""
+        WITH canon AS (
+          SELECT s_suppkey AS c_key,
+                 'w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3)", 500L)} AS VARCHAR) ||
+                 '-w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3 + 1)", 500L)} AS VARCHAR) ||
+                 '-w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3 + 2)", 500L)} AS VARCHAR) AS c_name
+          FROM supplier
+        ), dirty AS (
+          SELECT c_key AS d_key,
+                 substring(c_name, 1, CAST(p - 1 AS INT)) || substring(c_name, CAST(p + 1 AS INT), 100) AS d_name
+          FROM (SELECT c_key, c_name,
+                       ${graft.textops.TextAnalysis.hashRawSqlDuck("(c_key * 7)")} % (length(c_name) - 1) + 1 AS p
+                FROM canon) t
+        ), lg AS (
+          SELECT DISTINCT d_key, gram FROM dirty,
+            unnest(list_distinct(list_transform(range(1, length(d_name) - 1),
+                                                i -> substring(d_name, CAST(i AS INT), 3)))) AS u(gram)
+        ), rg AS (
+          SELECT DISTINCT c_key, gram FROM canon,
+            unnest(list_distinct(list_transform(range(1, length(c_name) - 1),
+                                                i -> substring(c_name, CAST(i AS INT), 3)))) AS u(gram)
+        ), cands AS (
+          SELECT DISTINCT d_key, c_key FROM lg JOIN rg USING (gram)
+        ), scored AS (
+          SELECT d_key, c_key, levenshtein(d_name, c_name) AS dist
+          FROM cands JOIN dirty USING (d_key) JOIN canon USING (c_key)
+        ), best AS (
+          SELECT d_key, c_key, dist,
+                 ROW_NUMBER() OVER (PARTITION BY d_key ORDER BY dist, c_key) AS rn
+          FROM scored WHERE dist <= 2
+        )
+        SELECT d_key, c_key, CAST(dist AS BIGINT) AS dist
+        FROM best WHERE rn = 1
+        ORDER BY d_key
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import graft.textops.TextAnalysis.{hashBucketExpr, hashRawExpr}
+        val canon = Tables.supplier(spark, dir).selectExpr(
+          "s_suppkey AS c_key",
+          s"""concat('w', cast(${hashBucketExpr("(s_suppkey * 3)", 500L)} as string),
+                     '-w', cast(${hashBucketExpr("(s_suppkey * 3 + 1)", 500L)} as string),
+                     '-w', cast(${hashBucketExpr("(s_suppkey * 3 + 2)", 500L)} as string)) AS c_name""")
+        val dirty = canon
+          .withColumn("p",
+            expr(hashRawExpr("(c_key * 7)")) % (length(col("c_name")) - 1) + 1)
+          .selectExpr("c_key AS d_key",
+            "concat(substring(c_name, 1, cast(p - 1 as int)), substring(c_name, cast(p + 1 as int), 100)) AS d_name")
+        graft.operators.FuzzyJoin
+          .bestMatch(dirty, "d_key", "d_name", canon, "c_key", "c_name",
+            maxDist = 2, q = 3, maxGramDf = 0L)
+          .orderBy("d_key")
       })
   )
 }

@@ -85,10 +85,19 @@ object TextAnalysis {
     * cast-to-long truncates but DuckDB's CAST rounds half-away-from-zero.
     */
   def hashBucketExpr(key: String, n: Long): String =
-    s"cast(conv(substring(md5(cast($key as string)), 1, 15), 16, 10) as bigint) % $n"
+    s"${hashRawExpr(key)} % $n"
 
   def hashBucketSqlDuck(key: String, n: Long): String =
-    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) % $n"
+    s"${hashRawSqlDuck(key)} % $n"
+
+  /** The un-bucketed 60-bit hash — for call sites whose modulus is a
+    * runtime COLUMN (e.g. a string length), which the bucketed helpers
+    * cannot interpolate. */
+  def hashRawExpr(key: String): String =
+    s"cast(conv(substring(md5(cast($key as string)), 1, 15), 16, 10) as bigint)"
+
+  def hashRawSqlDuck(key: String): String =
+    s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 15)) AS BIGINT)"
 
   /** Tokenize + per-document quality metrics. All ratios are
     * CAST(x AS DOUBLE)/y — single deterministic division per row.

@@ -66,6 +66,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(batchOnly.join(lastPerKeyDay, Seq("user_id", "ts_us"), "left_anti").count() == 0)
   }
 
+  // ---- blocked fuzzy join ----
+
+  test("fuzzy join: probes match their source, blocking prunes dissimilar pairs") {
+    import graft.operators.FuzzyJoin
+    val canon = Seq((1L, "acme-corp"), (2L, "zenith-labs"), (3L, "nadir-ltd"))
+      .toDF("c_key", "c_name")
+    val dirty = Seq((10L, "acme-crp"), (20L, "zenith-lbs"), (30L, "qqqqqq"))
+      .toDF("d_key", "d_name")
+    val out = FuzzyJoin.bestMatch(dirty, "d_key", "d_name", canon, "c_key", "c_name",
+        maxDist = 2, q = 3, maxGramDf = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    // typo'd probes resolve to their sources at distance 1; the
+    // no-shared-trigram probe is absent (inner semantics), never compared
+    assert(out == Set((10L, 1L, 1L), (20L, 2L, 1L)))
+  }
+
+  test("fuzzy join: the gram-df cap drops boilerplate blocking keys") {
+    import graft.operators.FuzzyJoin
+    // every canonical shares the boilerplate suffix ' llc'; with the cap
+    // at 1 the common grams stop blocking and only the distinctive
+    // prefix grams generate candidates
+    val canon = (1L to 20L).map(i => (i, f"name$i%02d llc")).toDF("c_key", "c_name")
+    val dirty = Seq((100L, "name07 llc")).toDF("d_key", "d_name")
+    val capped = FuzzyJoin.bestMatch(dirty, "d_key", "d_name", canon, "c_key", "c_name",
+        maxDist = 2, q = 3, maxGramDf = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((100L, 7L, 0L))) // still found via its rare grams
+  }
+
   // ---- Misra-Gries frequent items ----
 
   // skewed synthetic stream: "hot" 30%, "warm" 15%, tail of 200 singles
