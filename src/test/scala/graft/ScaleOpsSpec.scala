@@ -95,6 +95,58 @@ class ScaleOpsSpec extends SparkSpec {
     assert(capped == Set((100L, 7L, 0L))) // still found via its rare grams
   }
 
+  test("fuzzy join blocking is complete: equals brute force for arbitrary edits (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.operators.FuzzyJoin
+    // the q-gram guarantee needs |canonical| ≥ q·(d+1) = 9: an edit
+    // changes at most q grams' content, so with > d·q grams at least one
+    // survives into the probe — below that, matches CAN be missed (the
+    // operator's documented bound). Generator stays above it.
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val genCanon = Gen.choose(9, 14).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    def edit(s: String, seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      val ops = r.nextInt(3) // 0..2 edits, within maxDist
+      (1 to ops).foldLeft(s) { (cur, _) =>
+        if (cur.length < 2) cur
+        else r.nextInt(3) match {
+          case 0 => val p = r.nextInt(cur.length); cur.take(p) + cur.drop(p + 1) // delete
+          case 1 => val p = r.nextInt(cur.length); cur.take(p) + ('a' + r.nextInt(3)).toChar + cur.drop(p) // insert
+          case _ => val p = r.nextInt(cur.length); cur.take(p) + ('a' + r.nextInt(3)).toChar + cur.drop(p + 1) // substitute
+        }
+      }
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val gen = for {
+      canon <- Gen.listOfN(6, genCanon).map(_.distinct)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (canon, seed)
+    val prop = Prop.forAll(gen) { case (canonNames, seed) =>
+      val canon = canonNames.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val probes = canon.map { case (i, s) => (100L + i, edit(s, seed + i)) }
+      val out = FuzzyJoin.bestMatch(
+          probes.toDF("d_key", "d_name"), "d_key", "d_name",
+          canon.toDF("c_key", "c_name"), "c_key", "c_name",
+          maxDist = 2, q = 3, maxGramDf = 0L)
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = probes.flatMap { case (dk, dn) =>
+        val scored = canon.map { case (ck, cn) => (ck, lev(dn, cn)) }.filter(_._2 <= 2)
+        if (scored.isEmpty) None
+        else { val (ck, d) = scored.minBy { case (ck, d) => (d, ck) }; Some((dk, ck, d.toLong)) }
+      }.toSet
+      out == brute
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   // ---- Misra-Gries frequent items ----
 
   // skewed synthetic stream: "hot" 30%, "warm" 15%, tail of 200 singles
