@@ -92,6 +92,22 @@ class PlanAuditSpec extends SparkSpec {
       s"range join did not plan an equi-join:\n${plan.linesIterator.take(30).mkString("\n")}")
   }
 
+  test("weighted_sample plans TakeOrderedAndProject, not a global sort") {
+    val plan = SparkEntry.queries("weighted_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.linesIterator.take(15).mkString("\n"))
+  }
+
+  test("heavy_hitter_tokens filters to sketch candidates below the exact-count agg") {
+    val plan = SparkEntry.queries("heavy_hitter_tokens")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the confirm pass must cut to the sketch's <= k candidates BEFORE
+    // aggregating (tokens are explode-generated, so the filter cannot
+    // reach the parquet scan — below the agg is the correct shape):
+    // Catalyst compiles the literal isin to an INSET predicate
+    assert(plan.contains("INSET"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("no query in the catalog plans a cartesian or unexpected nested-loop join") {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
