@@ -269,6 +269,52 @@ object ScaleSmoke {
       assert(bloomFound >= 300L, s"plants missing: $bloomFound < 300")
     }
 
+    // blocked fuzzy join at the entity-resolution scale: 10k dirty
+    // probes (one char dropped) against 100k canonical names. The
+    // digit-trigram blocking keys have df ~800 at this corpus, so the
+    // candidate join stays ~10³ candidates per probe — never the
+    // 10k × 100k cartesian levenshtein
+    timed("blocked fuzzy join, 10k probes vs 100k canonical names") {
+      import graft.textops.TextAnalysis.{hashBucketExpr, hashRawExpr}
+      val canon = spark.range(100000).selectExpr(
+        "id AS c_key",
+        s"""concat('w', cast(${hashBucketExpr("(id * 3)", 5000L)} as string),
+                   '-w', cast(${hashBucketExpr("(id * 3 + 1)", 5000L)} as string),
+                   '-w', cast(${hashBucketExpr("(id * 3 + 2)", 5000L)} as string)) AS c_name""")
+      val dirty = canon.filter(col("c_key") < 10000)
+        .withColumn("p",
+          expr(hashRawExpr("(c_key * 7)")) % (length(col("c_name")) - 1) + 1)
+        .selectExpr("c_key + 1000000 AS d_key",
+          "concat(substring(c_name, 1, cast(p - 1 as int)), substring(c_name, cast(p + 1 as int), 100)) AS d_name")
+      val out = graft.operators.FuzzyJoin
+        .bestMatch(dirty, "d_key", "d_name", canon, "c_key", "c_name",
+          maxDist = 2, q = 3, maxGramDf = 5000L)
+        .cache()
+      val toSource = out.filter(col("d_key") - 1000000L === col("c_key")).count()
+      println(s"[scale]   matched: ${out.count()} / 10000, to exact source: $toSource")
+      // a handful of hash-collision duplicate names may tie to a lower
+      // key; everything else must resolve to its own source
+      assert(toSource >= 9990L, s"only $toSource/10000 probes resolved to their source")
+      out.unpersist()
+    }
+
+    // Z-order layout at 5M rows: both keys must come out prunable —
+    // span sums are the expected-files-scanned proxy per dimension
+    timed("z-order layout, 5M rows x 64 files, span sums vs single-key") {
+      import graft.operators.ZOrder
+      val rows = spark.range(5000000L).select(
+        pmod(hash(col("id") * 13), lit(100000)).cast("long").as("x"),
+        pmod(hash(col("id") * 29), lit(100000)).cast("long").as("y"))
+      rows.repartitionByRange(64, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(s"$dir/zx")
+      ZOrder.writeZOrdered(rows, col("x"), col("y"), bits = 17, nFiles = 64, path = s"$dir/zz")
+      val (xs1, ys1) = ZOrder.spanSums(spark.read.parquet(s"$dir/zx"), col("x"), col("y"))
+      val (xs2, ys2) = ZOrder.spanSums(spark.read.parquet(s"$dir/zz"), col("x"), col("y"))
+      println(f"[scale]   single-key spans: x=${xs1 / 1e6}%.2fM y=${ys1 / 1e6}%.2fM; z-order: x=${xs2 / 1e6}%.2fM y=${ys2 / 1e6}%.2fM")
+      assert(ys2 < 0.5 * ys1, s"curve did not cut the y span sum: $ys2 vs $ys1")
+      assert(xs2 < 0.5 * 64L * 100000L, s"x no longer prunable under the curve: $xs2")
+    }
+
     // incremental dedup at the daily-ops scale: a 10k-doc new batch
     // against a 100k-doc store — candidates are new×store band
     // collisions only (the store is never self-joined). 300 plants
