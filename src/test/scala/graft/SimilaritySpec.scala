@@ -21,6 +21,36 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_a", "vec_b")
   }
 
+  test("k-means recovers geometrically planted clusters and feeds the IVF consumer") {
+    import graft.similarity.KMeans
+    // the testdata `label` column is categorical, NOT geometric (within-
+    // label cosine ≈ across-label ≈ 0 — measured), so ground truth is
+    // planted here: 8 near-orthogonal random centers, 50 members each
+    // with small perturbations (within-cluster cos ≈ 1)
+    val emb = spark.range(400).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64), d ->
+                cast((hash((id div 50) * 1000 + d) % 2001) / 1000.0
+                     + (hash(id * 37 + d) % 21) / 1000.0 as float))""").as("embedding"))
+    val (assign, cents) = KMeans.train(emb, k = 8, iters = 5)
+    val purity = assign
+      .withColumn("planted", col("vec_id") / 50 cast "int")
+      .groupBy(col("cell"), col("planted")).count()
+      .groupBy(col("cell")).agg(max(col("count")).as("maj"), sum(col("count")).as("tot"))
+      .agg(sum(col("maj")) / sum(col("tot"))).head.getDouble(0)
+    assert(purity >= 0.95, f"cluster purity $purity%.3f below 0.95")
+    assert(assign.select("vec_id").distinct().count() == 400)
+    // the trained codebook plugs straight into the IVF consumer, on the
+    // REAL embeddings table
+    val real = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val (_, realCents) = KMeans.train(real, k = 8, iters = 3)
+    val topk = Similarity.ivfTopKWithCentroids(real, realCents, k = 5, maxQueryId = 8, nProbe = 2)
+    assert(topk.count() > 0)
+    // training is deterministic: a second run yields identical assignments
+    val (assign2, _) = KMeans.train(emb, k = 8, iters = 5)
+    assert(assign.exceptAll(assign2).isEmpty && assign2.exceptAll(assign).isEmpty)
+  }
+
   test("nearDupPairs recall == 1 and precision == 1 vs exact cartesian at cos >= 0.4") {
     val lsh = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4)
       .select("vec_a", "vec_b")
