@@ -97,6 +97,45 @@ object Vocab {
         count(lit(1)).as("n_words"),
         sum(size(col("sym"))).cast("long").as("n_subwords"))
 
+  /** Tokenizer-grain spec stamped into persisted vocab artifacts — the
+    * same self-description contract as `Dedup.sigSpec`: an encode
+    * against a vocab trained under a different tokenization must fail
+    * loudly, not silently mis-segment. */
+  def vocabSpec(nMerges: Int): String = s"v1:bpe:ws-lower:m$nMerges"
+
+  /** Persist a trained vocab: `<path>/merges` (rank, left, right, cnt)
+    * and `<path>/seg` (w, freq, sym) parquet, both stamped with
+    * `vocab_spec` — the tokenizer artifact a production pipeline trains
+    * once and every encode job reads. */
+  def writeVocab(path: String, merges: Seq[(Int, String, String, Long)],
+                 seg: DataFrame, nMerges: Int): Unit = {
+    val spark = seg.sparkSession
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "cnt")
+      .withColumn("vocab_spec", lit(vocabSpec(nMerges)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    seg.select(col("w"), col("freq"), col("sym"))
+      .withColumn("vocab_spec", lit(vocabSpec(nMerges)))
+      .write.mode("overwrite").parquet(s"$path/seg")
+  }
+
+  /** Read a persisted vocab back, validating the spec. Returns
+    * (merges, seg) — seg plugs straight into `encode`. */
+  def readVocab(spark: org.apache.spark.sql.SparkSession, path: String,
+                nMerges: Int): (DataFrame, DataFrame) = {
+    val merges = spark.read.parquet(s"$path/merges")
+    val seg = spark.read.parquet(s"$path/seg")
+    Seq(merges, seg).foreach { df =>
+      require(df.columns.contains("vocab_spec"),
+        s"$path has no vocab_spec column — not a writeVocab artifact")
+      df.select("vocab_spec").head(1).foreach { r =>
+        require(r.getString(0) == vocabSpec(nMerges),
+          s"vocab scheme mismatch: artifact is ${r.getString(0)}, caller requested ${vocabSpec(nMerges)}")
+      }
+    }
+    (merges.drop("vocab_spec"), seg.drop("vocab_spec"))
+  }
+
   /** Train `nMerges` BPE merges. Returns (merges, final segmentation);
     * merges = (rank, left, right, cnt) with rank 1 = first merge.
     * Tiebreak on equal counts is lexicographic on the pair — both

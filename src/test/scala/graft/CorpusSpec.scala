@@ -227,6 +227,32 @@ class CorpusSpec extends SparkSpec {
       s"sample mean $sampleMean not above corpus mean $corpusMean")
   }
 
+  test("persisted vocab round-trips and rejects tokenizer-grain mismatches") {
+    val train = Seq((1L, "low low lower lowest")).toDF("doc_id", "text")
+    val (merges, seg) = graft.textops.Vocab.bpeTrain(train, nMerges = 4)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vocab").toString
+    try {
+      graft.textops.Vocab.writeVocab(tmp, merges, seg, nMerges = 4)
+      val (m2, seg2) = graft.textops.Vocab.readVocab(spark, tmp, nMerges = 4)
+      assert(m2.count() == merges.size)
+      // encode with the read-back seg ≡ encode with the in-memory seg
+      val docs = Seq((9L, "lower low unseen")).toDF("doc_id", "text")
+      val a = graft.textops.Vocab.encode(docs, seg).collect().toSeq
+      val b = graft.textops.Vocab.encode(docs, seg2.select("w", "sym")).collect().toSeq
+      assert(a == b)
+      // a different tokenizer grain must be rejected loudly
+      val err = intercept[IllegalArgumentException] {
+        graft.textops.Vocab.readVocab(spark, tmp, nMerges = 8)
+      }
+      assert(err.getMessage.contains("mismatch"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   // ---- BPE vocabulary induction ----
 
   /** independent local reference trainer (greedy left-to-right merge,
