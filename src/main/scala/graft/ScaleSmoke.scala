@@ -269,6 +269,26 @@ object ScaleSmoke {
       assert(bloomFound >= 300L, s"plants missing: $bloomFound < 300")
     }
 
+    // k-means codebook training at 50k vectors: 16 planted geometric
+    // clusters; farthest-first seeding + 4 Lloyd rounds must recover
+    // them (purity ≥ 0.95). Per round: broadcast-codebook assignment
+    // (no shuffle) + one (cell, dim) mean agg
+    timed("k-means training, 50k vectors, 16 planted clusters, 4 rounds") {
+      val emb = spark.range(50000).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(1, 64), d ->
+                  cast((hash((id % 16) * 1000 + d) % 2001) / 1000.0
+                       + (hash(id * 37 + d) % 21) / 1000.0 as float))""").as("embedding"))
+      val (assign, _) = graft.similarity.KMeans.train(emb, k = 16, iters = 4)
+      val purity = assign
+        .withColumn("planted", pmod(col("vec_id"), lit(16)))
+        .groupBy(col("cell"), col("planted")).count()
+        .groupBy(col("cell")).agg(max(col("count")).as("maj"), sum(col("count")).as("tot"))
+        .agg(sum(col("maj")) / sum(col("tot"))).head.getDouble(0)
+      println(f"[scale]   purity: $purity%.4f over ${assign.count()} assignments")
+      assert(purity >= 0.95, f"k-means purity $purity%.3f below 0.95 at 50k vectors")
+    }
+
     // blocked fuzzy join at the entity-resolution scale: 10k dirty
     // probes (one char dropped) against 100k canonical names. The
     // digit-trigram blocking keys have df ~800 at this corpus, so the
