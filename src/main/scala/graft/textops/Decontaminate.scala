@@ -109,6 +109,46 @@ object Decontaminate {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Persisted benchmark sketch — the artifact flow for
+    * `contaminatedBloom` at daily-ops cadence: the benchmark set changes
+    * rarely, so the sketch is built once and every ingest batch reads it
+    * instead of re-shingling the bench side. Stored as one binary row
+    * plus a self-describing spec (same contract as the signature store):
+    * applying a sketch built at a different n-gram grain or hash would
+    * silently pass everything — reject it loudly instead.
+    */
+  def bloomSpec(n: Int, fpp: Double): String = s"v1:bloom:n$n:xxh64:fpp$fpp"
+
+  def writeBenchBloom(documents: DataFrame, isBench: Column, path: String,
+                      n: Int = 8, fpp: Double = 0.03): Unit = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bench = Dedup.shingles(documents.filter(isBench), n)
+    val nItems = math.max(bench.count(), 1L)
+    val bloom = bench.select(xxhash64(col("shingle")).as("_h"))
+      .stat.bloomFilter("_h", nItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Seq((bloomSpec(n, fpp), bos.toByteArray))
+      .toDF("bloom_spec", "sketch")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The stored sketch as a might-contain prefilter Column over a
+    * shingle column, validating the spec. */
+  def readBenchBloomFilter(spark: org.apache.spark.sql.SparkSession, path: String,
+                           shingle: Column, n: Int = 8, fpp: Double = 0.03): Column = {
+    graft.functions.GraftFunctions.register(spark)
+    val row = spark.read.parquet(path)
+    require(row.columns.contains("bloom_spec"),
+      s"$path has no bloom_spec column — not a writeBenchBloom artifact")
+    val r = row.select("bloom_spec", "sketch").head()
+    require(r.getString(0) == bloomSpec(n, fpp),
+      s"bloom scheme mismatch: artifact is ${r.getString(0)}, caller requested ${bloomSpec(n, fpp)}")
+    call_function("graft_might_contain",
+      lit(r.getAs[Array[Byte]](1)), xxhash64(shingle))
+  }
+
   /** Exact duplicated-span SCRUBBING (the substring-dedup REMOVAL step,
     * at the token-n-gram grain): every token covered by an n-gram whose
     * first corpus occurrence is elsewhere is dropped; the first

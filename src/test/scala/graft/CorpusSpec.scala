@@ -40,6 +40,36 @@ class CorpusSpec extends SparkSpec {
     assert(exact.exceptAll(bloom).count() == 0 && bloom.exceptAll(exact).count() == 0)
   }
 
+  test("persisted bench bloom: round-trip prefilter is exact, grain mismatch rejected") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    try {
+      Decontaminate.writeBenchBloom(docs, $"doc_id" === 100L, tmp, n = 8)
+      val pre = Decontaminate.readBenchBloomFilter(
+        spark, tmp, col("shingle"), n = 8)
+      // prefilter + exact confirm reproduces the plain result
+      val bench = graft.textops.Dedup.shingles(docs.filter($"doc_id" === 100L), 8)
+        .select($"doc_id".as("bench_id"), $"shingle")
+      val train = graft.textops.Dedup.shingles(docs.filter($"doc_id" =!= 100L), 8)
+        .filter(pre)
+      val out = train.join(bench, Seq("shingle"))
+        .groupBy($"doc_id")
+        .agg(countDistinct($"shingle").as("n_shared"),
+          countDistinct($"bench_id").as("n_bench_docs"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out == Set((2L, 1L, 1L)))
+      // a sketch built at a different shingle grain must be rejected
+      val err = intercept[IllegalArgumentException] {
+        Decontaminate.readBenchBloomFilter(spark, tmp, col("shingle"), n = 5)
+      }
+      assert(err.getMessage.contains("mismatch"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("decontaminate maxDocFreq drops boilerplate n-grams") {
     // shingle shared with BOTH bench docs → df=2 > cap=1 → dropped
     val d2 = Seq(
