@@ -70,6 +70,54 @@ object ZOrder {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** The skew-robust write: keys are mapped to approximate QUANTILE
+    * ranks before interleaving (equal-mass cells) instead of min/max
+    * positions (equal-width cells). Under a heavy-tailed key, min/max
+    * normalization collapses — the head of the distribution lands in
+    * one curve cell, the interleave degenerates to the other key, and
+    * point predicates on hot values scan every file. Rank normalization
+    * keeps cells equal-MASS, so skipping holds under the data's own
+    * query distribution. Cuts come from one `approx_percentile` agg
+    * (tiny result to the driver, shipped back as a literal array); the
+    * per-row rank is a fold over the 2^bits-1 cuts — interpreted HOF,
+    * fine for a write path, keep `bits` ≤ 7.
+    */
+  def writeZOrderedByRank(df: DataFrame, x: Column, y: Column, bits: Int,
+                          nFiles: Int, path: String): Unit = {
+    require(bits <= 8, s"rank cells are 2^$bits cuts per dim — keep bits <= 8")
+    val nCells = 1 << bits
+    val probs = (1 until nCells).map(_.toDouble / nCells)
+    def cuts(c: Column): Seq[Double] = {
+      val arr = df.agg(percentile_approx(c.cast("double"),
+        array(probs.map(lit): _*), lit(10000))).head.getSeq[Double](0)
+      arr
+    }
+    def rank(c: Column, cs: Seq[Double]): Column =
+      size(filter(array(cs.map(lit): _*), e => e <= c.cast("double"))).cast("long")
+    val (cx, cy) = (cuts(x), cuts(y))
+    df.withColumn("_z", zValue(rank(x, cx), rank(y, cy), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Expected number of files scanned by a point predicate on `c`,
+    * measured against the DATA distribution: for each sampled actual
+    * value, count the files whose [min, max] contains it. The honest
+    * skipping metric under skew — span sums weight the tail's huge
+    * ranges equally with the head's hot values. Driver-side, test-only.
+    */
+  def expectedFilesScanned(df: DataFrame, c: Column, sample: Int = 200): Double = {
+    val boxes = df.withColumn("_f", input_file_name())
+      .groupBy(col("_f")).agg(min(c).as("lo"), max(c).as("hi"))
+      .select(col("lo").cast("double"), col("hi").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val vals = df.select(c.cast("double")).limit(sample).collect().map(_.getDouble(0))
+    vals.map(v => boxes.count { case (lo, hi) => lo <= v && v <= hi }.toDouble)
+      .sum / math.max(vals.length, 1)
+  }
+
   /** Per-dimension sums of per-file min/max spans — the data-skipping
     * metric. A selective predicate on a key scans the files whose span
     * contains the value, so expected-files-scanned for a uniform point

@@ -108,6 +108,39 @@ object TimeSeriesQueries {
           .orderBy("user_id", "day")
       }),
 
+    // hopping (sliding) windows — 10-minute width, 5-minute hop: the
+    // overlapping-window aggregation Structured Streaming shares with
+    // batch (`window(ts, width, hop)`). Each event lands in exactly
+    // width/hop = 2 windows; the oracle states the same membership with
+    // exact microsecond arithmetic. Value sums are exact integer cents
+    QueryDef(
+      "hopping_candles",
+      Some("""
+        WITH e AS (
+          SELECT epoch_us(ts) AS se, CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), m AS (
+          SELECT u.s AS ws, se, cents
+          FROM (SELECT se, cents, se - se % 300000000 AS g FROM e) t,
+               unnest([g - 300000000, g]) AS u(s)
+          WHERE se >= u.s AND se - u.s < 600000000
+        )
+        SELECT make_timestamp(ws) AS w_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM m
+        GROUP BY ws
+        ORDER BY w_start
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir)
+          .select(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("w.start").as("w_start"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+          .orderBy("w_start")
+      }),
+
     // bounded-window EWMA (adjust=true, α=0.3, 10-row window): weights
     // (1−α)^j oldest→newest folded in identical order in both engines,
     // rounded to 4 decimals per the determinism contract

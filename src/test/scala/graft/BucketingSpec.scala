@@ -67,6 +67,35 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("quantile-rank z-order keeps skipping under a heavy-tailed key") {
+    import graft.operators.ZOrder
+    // zipf-ish x: value v with mass ∝ 1/v over [1, 10^6); uniform y.
+    // min/max normalization maps ~all rows into the lowest curve cells
+    // (the head is a vanishing fraction of the RANGE but most of the
+    // MASS) — point predicates on hot x values then scan ~every file
+    val skewed = spark.range(60000).select(
+      floor(exp(rand(7) * math.log(1000000.0))).cast("long").as("x"),
+      pmod(hash($"id" * 31), lit(1000)).cast("long").as("y"))
+      .localCheckpoint()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zrank").toString
+    try {
+      ZOrder.writeZOrdered(skewed, $"x", $"y", bits = 11, nFiles = 16, path = s"$tmp/minmax")
+      ZOrder.writeZOrderedByRank(skewed, $"x", $"y", bits = 6, nFiles = 16, path = s"$tmp/rank")
+      val fMinmax = ZOrder.expectedFilesScanned(spark.read.parquet(s"$tmp/minmax"), $"x")
+      val fRank = ZOrder.expectedFilesScanned(spark.read.parquet(s"$tmp/rank"), $"x")
+      // measured against the data's own distribution, the rank layout
+      // must scan strictly fewer files for a typical x point predicate
+      assert(fRank < 0.7 * fMinmax,
+        f"rank z-order scans $fRank%.1f files vs min/max $fMinmax%.1f — no skew win")
+      assert(spark.read.parquet(s"$tmp/rank").count() == 60000L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("morton interleave round-trips: even bits are x, odd bits are y") {
     import graft.operators.ZOrder
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (2047L, 2047L))
