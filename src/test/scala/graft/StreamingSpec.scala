@@ -441,6 +441,51 @@ class StreamingSpec extends SparkSpec {
     assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
   }
 
+  test("streaming heavy hitters: per-batch sketches merged into a store match one-shot") {
+    // the sketch-store flow for vocabulary monitoring at ingest time:
+    // each micro-batch builds its own Misra-Gries summary, merges it
+    // into the persisted (item, cnt) store, and the FINAL store must
+    // satisfy the same guarantees as a one-shot sketch over everything —
+    // the PODS'12 mergeability, through actual streaming infrastructure
+    // and a parquet round-trip per batch
+    import graft.operators.{FreqItems, FreqItemsAggregator}
+    import org.apache.spark.sql.DataFrame
+    val k = 20
+    val agg = new FreqItemsAggregator(k)
+    val toks = Tables.documents(spark, sf)
+      .select($"doc_id", explode(expr(graft.textops.TextAnalysis.tokensExpr)).as("w"))
+      .filter(length($"w") > 0)
+    val base = java.nio.file.Files.createTempDirectory("graft-hh-stream")
+    val srcDir = base.resolve("src")
+    toks.filter($"doc_id" % 2 === 0).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    toks.filter($"doc_id" % 2 === 1).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val storePath = base.resolve("store").toString
+    spark.emptyDataFrame.select(lit("").as("item"), lit(0L).as("cnt")).limit(0)
+      .write.parquet(storePath)
+    val stream = spark.readStream.schema(toks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val stored = spark.read.parquet(storePath)
+        .as[(String, Long)].collect().toMap
+      val merged = agg.merge(stored, FreqItems.sketch(batch, "w", k))
+      merged.toSeq.toDF("item", "cnt")
+        .coalesce(1).write.mode("overwrite").parquet(storePath)
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamedSummary = spark.read.parquet(storePath)
+      .as[(String, Long)].collect().toMap
+    // the merged store satisfies the sketch guarantees vs GLOBAL truth
+    val truth = toks.groupBy($"w").count().as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    assert(streamedSummary.size <= k)
+    truth.filter(_._2 > n / (k + 1)).keys.foreach(w =>
+      assert(streamedSummary.contains(w), s"heavy token $w lost across micro-batches"))
+    streamedSummary.foreach { case (w, est) =>
+      assert(est <= truth.getOrElse(w, 0L), s"$w overcounted through the store")
+    }
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-dup-src")
