@@ -203,6 +203,53 @@ object ProfileQueries {
           .orderBy("user_id")
       }),
 
+    // wide→tall UNPIVOT (stack) + ntile quartile binning — the reshape a
+    // feature-distribution monitor runs over candle columns. ntile is
+    // deterministic here because the window's ORDER BY is total
+    // ((v, user_id, day) unique); the oracle unpivots via UNION ALL
+    QueryDef(
+      "unpivot_quartiles",
+      Some("""
+        WITH candles AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 min_by(value, ts) AS open, max(value) AS high,
+                 min(value) AS low, max_by(value, ts) AS close
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), tall AS (
+          SELECT user_id, day, 'open' AS metric, open AS v FROM candles
+          UNION ALL SELECT user_id, day, 'high', high FROM candles
+          UNION ALL SELECT user_id, day, 'low', low FROM candles
+          UNION ALL SELECT user_id, day, 'close', close FROM candles
+        ), binned AS (
+          SELECT metric, v,
+                 ntile(4) OVER (PARTITION BY metric ORDER BY v, user_id, day) AS quartile
+          FROM tall
+        )
+        SELECT metric, CAST(quartile AS BIGINT) AS quartile,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(v), 4) AS mean_v,
+               min(v) AS min_v, max(v) AS max_v
+        FROM binned
+        GROUP BY metric, quartile
+        ORDER BY metric, quartile
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val candles = Tables.events(spark, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(
+            expr("min_by(value, ts)").as("open"), max(col("value")).as("high"),
+            min(col("value")).as("low"), expr("max_by(value, ts)").as("close"))
+        val tall = candles.selectExpr("user_id", "day",
+          "stack(4, 'open', open, 'high', high, 'low', low, 'close', close) AS (metric, v)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("metric")).orderBy(col("v"), col("user_id"), col("day"))
+        tall.withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy(col("metric"), col("quartile"))
+          .agg(count(lit(1)).as("n"), round(avg(col("v")), 4).as("mean_v"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+          .orderBy("metric", "quartile")
+      }),
+
     // exact interpolated quantiles per group: both engines sort the group
     // and apply the same linear interpolation — identical doubles
     QueryDef(
