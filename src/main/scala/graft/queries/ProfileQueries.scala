@@ -435,7 +435,7 @@ object ProfileQueries {
       }),
 
     // partition-grain checksums: the same order-insensitive row-hash sum
-    // as table_checksum, keyed by day — the audit that localizes WHICH
+    // as table_checksum, keyed by month — the audit that localizes WHICH
     // partitions diverge after a migration/backfill, so only those are
     // re-synced. One groupBy on the partition key; at 100 TB each
     // partition's sum partial-aggregates map-side, and comparing two
@@ -443,32 +443,32 @@ object ProfileQueries {
     QueryDef(
       "partition_checksums",
       Some("""
-        SELECT day,
+        SELECT month,
                CAST(SUM(CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT) AS checksum,
                COUNT(*) AS n_rows
         FROM (
-          SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS day,
+          SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
                  concat_ws('|',
                    CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
                    o_orderstatus,
                    CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)) AS k
           FROM orders) t
-        GROUP BY day
-        ORDER BY day
+        GROUP BY month
+        ORDER BY month
       """.stripMargin.trim),
       (spark, dir) => {
         Tables.orders(spark, dir)
           .select(
-            date_format(col("o_orderdate"), "yyyy-MM").as("day"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("month"),
             concat_ws("|",
               col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
               col("o_orderstatus"),
               round(col("o_totalprice") * 100).cast("long").cast("string")).as("k"))
-          .select(col("day"),
+          .select(col("month"),
             expr("cast(conv(substring(md5(k), 1, 15), 16, 10) as bigint) % 1000000007").as("h"))
-          .groupBy("day")
+          .groupBy("month")
           .agg(sum(col("h")).cast("long").as("checksum"), count(lit(1)).as("n_rows"))
-          .orderBy("day")
+          .orderBy("month")
       }),
 
     // snapshot diff (CDC between table versions): version B is derived
