@@ -33,6 +33,41 @@ class CorpusSpec extends SparkSpec {
     assert(plan.contains("might_contain"))
   }
 
+  test("bloom prefilter sits structurally below every shuffle (not just present)") {
+    import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = graft.textops.Decontaminate
+      .contaminatedBloom(docs, $"doc_id" === 100L, n = 8)
+      .queryExecution.executedPlan
+    // plan.collect stops at the AQE wrapper — descend into it explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: flatten(a.executedPlan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    def hasExchange(p: SparkPlan): Boolean =
+      flatten(p).exists(_.isInstanceOf[Exchange])
+    val bloomFilters = flatten(plan).collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty, "no might_contain filter in the executed plan")
+    // the prefilter's subtree must be shuffle-free: it drops rows AT THE
+    // SCAN, before any exchange — the whole point of the operator
+    bloomFilters.foreach(f =>
+      assert(!hasExchange(f.child),
+        s"might_contain filter has a shuffle below it:\n${f.child.treeString.take(800)}"))
+  }
+
+  test("bloom decontaminate correctness is fpp-independent (sloppy sketch, same rows)") {
+    // a 30% false-positive sketch lets junk through the prefilter; the
+    // exact confirm join must remove all of it — fpp trades shuffle
+    // volume, never correctness
+    val sloppy = graft.textops.Decontaminate
+      .contaminatedBloom(docs, $"doc_id" === 100L, n = 8, fpp = 0.3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sloppy == Set((2L, 1L, 1L)))
+  }
+
   test("bloom-prefiltered decontaminate equals plain decontaminate on the sf0.001 corpus") {
     val documents = Tables.documents(spark, "/root/testdata/sf0.001")
     val exact = Decontaminate.contaminated(documents, $"doc_id" % 10 === 0, n = 8)
