@@ -262,6 +262,50 @@ object JoinQueries {
           .bestMatch(dirty, "d_key", "d_name", canon, "c_key", "c_name",
             maxDist = 2, q = 3, maxGramDf = 0L)
           .orderBy("d_key")
+      }),
+
+    // the SAME fuzzy match written NAIVELY — a plain inner join on
+    // `levenshtein(d_name, c_name) <= 2` with no blocking. Planable only
+    // because plans/FuzzyJoinRewrite rewrites it to the q-gram-blocked
+    // equi-join (PlanAuditSpec's catalog-wide no-cartesian audit covers
+    // this entry); the oracle states the naive join directly. All pairs,
+    // not the argmax: the rewrite must preserve join multiplicity
+    QueryDef(
+      "fuzzy_join_rule",
+      Some(s"""
+        WITH canon AS (
+          SELECT s_suppkey AS c_key,
+                 'w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3)", 500L)} AS VARCHAR) ||
+                 '-w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3 + 1)", 500L)} AS VARCHAR) ||
+                 '-w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3 + 2)", 500L)} AS VARCHAR) AS c_name
+          FROM supplier
+        ), dirty AS (
+          SELECT c_key AS d_key,
+                 substring(c_name, 1, CAST(p - 1 AS INT)) || substring(c_name, CAST(p + 1 AS INT), 100) AS d_name
+          FROM (SELECT c_key, c_name,
+                       ${graft.textops.TextAnalysis.hashRawSqlDuck("(c_key * 7)")} % (length(c_name) - 1) + 1 AS p
+                FROM canon) t
+        )
+        SELECT d_key, c_key, CAST(levenshtein(d_name, c_name) AS BIGINT) AS dist
+        FROM dirty JOIN canon ON levenshtein(d_name, c_name) <= 2
+        ORDER BY d_key, c_key
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import graft.textops.TextAnalysis.{hashBucketExpr, hashRawExpr}
+        val canon = Tables.supplier(spark, dir).selectExpr(
+          "s_suppkey AS c_key",
+          s"""concat('w', cast(${hashBucketExpr("(s_suppkey * 3)", 500L)} as string),
+                     '-w', cast(${hashBucketExpr("(s_suppkey * 3 + 1)", 500L)} as string),
+                     '-w', cast(${hashBucketExpr("(s_suppkey * 3 + 2)", 500L)} as string)) AS c_name""")
+        val dirty = canon
+          .withColumn("p",
+            expr(hashRawExpr("(c_key * 7)")) % (length(col("c_name")) - 1) + 1)
+          .selectExpr("c_key AS d_key",
+            "concat(substring(c_name, 1, cast(p - 1 as int)), substring(c_name, cast(p + 1 as int), 100)) AS d_name")
+        dirty.join(canon, levenshtein(col("d_name"), col("c_name")) <= 2)
+          .select(col("d_key"), col("c_key"),
+            levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
+          .orderBy("d_key", "c_key")
       })
   )
 }
