@@ -40,6 +40,14 @@ object CorpusQueries {
 
   private val toksDuck = TextAnalysis.tokensExprDuck
 
+  /** The frozen merge list for `bpe_encode_fixed` — ONE definition feeds
+    * both `Vocab.fixedSeg` (engine) and `Vocab.segJoinedDuck` (oracle).
+    * Chosen to exercise hierarchical merges ((t,h) then (th,e)) and the
+    * repeat-adjacent greedy case ((e,e), (o,o): 'eee' → [ee, e]). */
+  private val fixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d",
+    "i" -> "n", "e" -> "r", "o" -> "n", "e" -> "e", "o" -> "o")
+
   val entries: Seq[QueryDef] = Seq(
     // benchmark decontamination: every 10th doc is the held-out eval
     // shard; a training doc sharing any 8-gram with it is contaminated.
@@ -219,7 +227,9 @@ object CorpusQueries {
     // the ENCODE step of the trained tokenizer: corpus joins the compact
     // vocab segmentation (broadcast), OOV words fall back to chars.
     // Not SQL-expressible (depends on the trained merges); deterministic
-    // given bpeTrain's (cnt desc, pair asc) tiebreak, spec-verified
+    // given bpeTrain's (cnt desc, pair asc) tiebreak, spec-verified.
+    // The oracle-HARD variant of the same encode path is
+    // `bpe_encode_fixed` below — identical code, frozen merge list
     QueryDef(
       "bpe_encode",
       None,
@@ -227,6 +237,41 @@ object CorpusQueries {
         val docs = Tables.documents(spark, dir)
         val (_, seg) = Vocab.bpeTrain(docs, nMerges = 16)
         Vocab.encode(docs, seg).orderBy("doc_id")
+      }),
+
+    // the encode path with a FIXED published merge list — the common
+    // production shape (train once offline, encode everywhere), and the
+    // driver-HARD check for the BPE family: with the merges frozen, the
+    // greedy left-to-right merge is exactly chained non-overlapping
+    // string replace over a boundary-wrapped char segmentation (see
+    // Vocab.segJoinedDuck for why plain spaces are NOT enough), so
+    // DuckDB reproduces counts AND the md5 content fingerprint of every
+    // document's subword stream. Exercises the full encode machinery:
+    // hierarchical merges (t,h → th,e), repeat-adjacent greediness
+    // (e,e / o,o), broadcast vocab join, char fallback
+    QueryDef(
+      "bpe_encode_fixed",
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, $toksDuck AS t FROM documents
+        ), toks AS (
+          SELECT doc_id, u.i AS tpos, t[u.i] AS w
+          FROM tok, unnest(range(1, len(t) + 1)) AS u(i)
+        ), seg AS (
+          SELECT doc_id, tpos, ${Vocab.segJoinedDuck("w", fixedMerges)} AS j
+          FROM toks WHERE length(w) > 0
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(j, ' '))) AS BIGINT) AS n_subwords,
+               md5(string_agg(j, ' ' ORDER BY tpos)) AS subword_fp
+        FROM seg
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        Vocab.encode(docs, Vocab.fixedSeg(docs, fixedMerges)).orderBy("doc_id")
       }),
 
     // per-source document cap — the curation step that bounds any one

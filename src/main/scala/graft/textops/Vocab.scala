@@ -61,7 +61,7 @@ object Vocab {
     * carrying (output, skip-next) state; higher-order functions don't
     * codegen, but this runs on the compact vocab table, never the corpus.
     */
-  private def applyMerge(segmented: DataFrame, a: String, b: String): DataFrame = {
+  private[graft] def applyMerge(segmented: DataFrame, a: String, b: String): DataFrame = {
     def lit_(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     segmented.withColumn("sym", expr(
       s"""aggregate(
@@ -83,11 +83,16 @@ object Vocab {
     * state). At 100 TB the vocab is broadcast-size (10⁷ words × short
     * arrays), so tokenization costs one corpus scan with a broadcast
     * hash join — no per-document merge replay. Returns per-doc
-    * (doc_id, n_words, n_subwords, subword_fp).
+    * (doc_id, n_words, n_subwords, subword_fp); `subword_fp` is the md5
+    * of the position-ordered, space-joined subword stream, so an oracle
+    * checks segmentation CONTENT, not just counts. Documents whose
+    * tokenization yields zero non-empty tokens are absent from the
+    * output (the explode drops them — group-by-key semantics, same as
+    * a SQL GROUP BY over the token stream).
     */
   def encode(documents: DataFrame, seg: DataFrame): DataFrame =
     documents
-      .withColumn("w", explode(expr(TextAnalysis.tokensExpr)))
+      .select(col("doc_id"), posexplode(expr(TextAnalysis.tokensExpr)).as(Seq("tpos", "w")))
       .filter(length(col("w")) > 0)
       .join(broadcast(seg.select(col("w"), col("sym"))), Seq("w"), "left")
       .withColumn("sym", coalesce(col("sym"),
@@ -95,7 +100,48 @@ object Vocab {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_words"),
-        sum(size(col("sym"))).cast("long").as("n_subwords"))
+        sum(size(col("sym"))).cast("long").as("n_subwords"),
+        expr("""md5(concat_ws(' ',
+                  transform(array_sort(collect_list(struct(tpos, sym))),
+                            x -> concat_ws(' ', x.sym))))""").as("subword_fp"))
+
+  /** Segmentation table for a FIXED, already-published merge list applied
+    * in rank order — the encode-against-a-shipped-tokenizer path (the
+    * common production case: the vocab is trained once, then every encode
+    * job applies the frozen merges). Unlike `bpeTrain`'s output this is
+    * fully determined by (corpus words, merge list), so it is
+    * oracle-expressible: see `segJoinedDuck`.
+    */
+  def fixedSeg(documents: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(segmentChars(wordFreq(documents))) {
+      case (s, (a, b)) => applyMerge(s, a, b)
+    }
+
+  /** DuckDB expression computing the space-joined subword segmentation of
+    * word column `w` under the same fixed merge list — generated from the
+    * SAME list as `fixedSeg` so engine and oracle cannot drift (the
+    * shared-idiom rule, like `ZOrder.zValueDuck`).
+    *
+    * Greedy left-to-right pair merging is exactly non-overlapping
+    * left-to-right string replace — PROVIDED adjacent matches share no
+    * characters. Plain single-space joining breaks that ('t h t h' with
+    * merge (t,h): the first match consumes the middle space and the
+    * second occurrence is missed, giving [th,t,h] where greedy BPE gives
+    * [th,th]). So each symbol is wrapped in chr(31) boundaries —
+    * (shown as ␟ here): the segmentation [a, b] becomes ␟a␟␟b␟ — making every match
+    * self-contained: replace(s, ␟a␟␟b␟, ␟ab␟) ≡ one `applyMerge` pass,
+    * including the `aaa`→[aa,a] tiebreak. chr(31) (unit separator)
+    * cannot occur inside a whitespace-split token.
+    */
+  def segJoinedDuck(w: String, merges: Seq[(String, String)]): String = {
+    val B = "chr(31)"
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val init = s"$B || array_to_string(string_split($w, ''), $B||$B) || $B"
+    val merged = merges.foldLeft(init) { case (s, (a, b)) =>
+      s"replace($s, $B||${q(a)}||$B||$B||${q(b)}||$B, $B||${q(a + b)}||$B)"
+    }
+    s"trim(replace($merged, $B||$B, ' '), $B)"
+  }
 
   /** Tokenizer-grain spec stamped into persisted vocab artifacts — the
     * same self-description contract as `Dedup.sigSpec`: an encode

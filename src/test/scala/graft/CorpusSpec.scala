@@ -405,6 +405,29 @@ class CorpusSpec extends SparkSpec {
     assert(out._3 == lowerSubs + 4L) // OOV 'zzzq' → 4 single chars
   }
 
+  test("bpe fixedSeg: greedy repeat-adjacent merges and subword_fp content") {
+    // 'eeee' under merge (e,e) must segment [ee, ee]; 'eee' → [ee, e]
+    // (the single-pass greedy semantics the oracle's boundary-wrapped
+    // replace reproduces); (t,h) then (th,e) tests hierarchical merges
+    val docs = Seq((1L, "the eeee eee thth")).toDF("doc_id", "text")
+    val merges = Seq("t" -> "h", "th" -> "e", "e" -> "e")
+    val seg = graft.textops.Vocab.fixedSeg(docs, merges)
+    val bySym = seg.select($"w", $"sym").as[(String, Seq[String])].collect().toMap
+    assert(bySym("the") == Seq("the"))
+    assert(bySym("eeee") == Seq("ee", "ee"))
+    assert(bySym("eee") == Seq("ee", "e"))
+    assert(bySym("thth") == Seq("th", "th"))
+    // fp = md5 of the position-ordered space-joined subword stream
+    val out = graft.textops.Vocab.encode(docs, seg)
+      .select("n_words", "n_subwords", "subword_fp")
+      .as[(Long, Long, String)].collect().head
+    assert(out._1 == 4L && out._2 == 7L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the ee ee ee e th th".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out._3 == expected)
+  }
+
   implicit private class MapOps(rows: Array[(Long, Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Long, Double)] =
       rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
