@@ -95,15 +95,29 @@ class ScaleOpsSpec extends SparkSpec {
     assert(capped == Set((100L, 7L, 0L))) // still found via its rare grams
   }
 
+  test("fuzzy join finds short-string matches via length keys (the sub-q*(d+1) band)") {
+    import graft.operators.FuzzyJoin
+    // 'IBM' ~ 'IBN' at distance 1 share NO trigram — the gram guarantee
+    // only covers max(len) >= q*(d+1) = 9. The length-key fallback must
+    // block them anyway (round-7 ADVICE finding)
+    val canon = Seq((1L, "IBN"), (2L, "SAP"), (3L, "ab"), (4L, "x")).toDF("c_key", "c_name")
+    val dirty = Seq((10L, "IBM"), (20L, "SAPX"), (30L, "a"), (40L, "zz")).toDF("d_key", "d_name")
+    val out = FuzzyJoin.bestMatch(dirty, "d_key", "d_name", canon, "c_key", "c_name",
+        maxDist = 1, q = 3, maxGramDf = 1000L)
+      .as[(Long, Long, Long)].collect().toSet
+    // 'a' ties at dist 1 against 'ab' and 'x' → (dist, rightKey) break
+    // picks c_key 3; 'zz' is dist 2 from everything → absent
+    assert(out == Set((10L, 1L, 1L), (20L, 2L, 1L), (30L, 3L, 1L)))
+  }
+
   test("fuzzy join blocking is complete: equals brute force for arbitrary edits (property)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import graft.operators.FuzzyJoin
-    // the q-gram guarantee needs |canonical| ≥ q·(d+1) = 9: an edit
-    // changes at most q grams' content, so with > d·q grams at least one
-    // survives into the probe — below that, matches CAN be missed (the
-    // operator's documented bound). Generator stays above it.
+    // no length floor: the gram guarantee covers max(len) >= q*(d+1);
+    // below it the length keys must make blocking complete (mirrors
+    // FuzzyJoinRewrite.sideKeys), so the generator spans 1..14 chars
     val alpha = Gen.oneOf('a', 'b', 'c')
-    val genCanon = Gen.choose(9, 14).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    val genCanon = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
     def edit(s: String, seed: Long): String = {
       val r = new scala.util.Random(seed)
       val ops = r.nextInt(3) // 0..2 edits, within maxDist
