@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType}
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
@@ -31,8 +32,18 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
   * strings explode to no keys or meet through length keys, matching the
   * original null-rejecting inner semantics.
   *
-  * Inner joins only: both sides are exploded, which an outer/semi/anti
-  * join's preserved side cannot tolerate (named skip logged). The
+  * Inner and LeftSemi joins. Inner explodes both sides with the
+  * meet-once residual. LeftSemi tolerates the rewrite WITHOUT the
+  * residual — existence semantics absorb duplicate meetings — via
+  * collapse-match-expand: aggregate the left to distinct tuples with a
+  * count, run the blocked INNER join, dedupe the matched tuples, and
+  * re-expand each by its count (`explode(sequence(1, cnt))`), which
+  * reproduces per-instance semi multiplicity exactly and stays fully
+  * deterministic (no row-id tagging). Outer/anti joins keep their
+  * nested loop (named skip logged): an anti join's "no key meets"
+  * cannot be expressed through exploded keys without the same collapse
+  * on the MISSING side, which double-negates into a set-difference the
+  * optimizer cannot guarantee cheap. The
   * rule's own output contains a cross-side equi-conjunct, making it
   * fixpoint-safe, and joins that already have one are left alone. The
   * rule has no gram-frequency cap (a rewrite cannot aggregate);
@@ -119,9 +130,9 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     }
     val (el, er, d) = reading.getOrElse(return None)
 
-    if (joinType != Inner) {
-      logInfo(s"graft.FuzzyJoinRewrite: SKIP — $joinType fuzzy join; both sides " +
-        "are exploded by the rewrite, which a preserved side cannot tolerate. " +
+    if (joinType != Inner && joinType != LeftSemi) {
+      logInfo(s"graft.FuzzyJoinRewrite: SKIP — $joinType fuzzy join; a preserved " +
+        "or negated side cannot tolerate the key explosion. " +
         "Use operators/FuzzyJoin for argmax semantics, or accept the nested loop.")
       return None
     }
@@ -150,11 +161,21 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val (gramsL, keysL) = sideKeys(el, isLeft = true)
     val (gramsR, keysR) = sideKeys(er, isLeft = false)
 
+    // LeftSemi: collapse the left to distinct tuples + count BEFORE the
+    // blocked join, so the existence check runs once per distinct tuple
+    // and the count re-expands instance multiplicity afterwards
+    val (leftBase, cntAttr) =
+      if (joinType == LeftSemi) {
+        val cntAlias = Alias(Count(Literal(1)).toAggregateExpression(), "_graft_cnt")()
+        (Aggregate(left.output, left.output :+ cntAlias, left): LogicalPlan,
+          Some(cntAlias.toAttribute))
+      } else (left, None)
+
     val glAlias = Alias(gramsL, "_graft_grams_l")()
     val klAlias = Alias(keysL, "_graft_keys_l")()
     val grAlias = Alias(gramsR, "_graft_grams_r")()
     val krAlias = Alias(keysR, "_graft_keys_r")()
-    val leftProj = Project(left.output ++ Seq(glAlias, klAlias), left)
+    val leftProj = Project(leftBase.output ++ Seq(glAlias, klAlias), leftBase)
     val rightProj = Project(right.output ++ Seq(grAlias, krAlias), right)
 
     val gkL = AttributeReference("_graft_gk_l", StringType, nullable = true)()
@@ -175,8 +196,24 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           prefixed("g:", ArrayMin(ArrayIntersect(glAlias.toAttribute, grAlias.toAttribute))))),
       And(StartsWith(gkL, Literal("l:")), LessThan(maxLen, Literal(thresh))))
 
-    val newCond = And(EqualTo(gkL, gkR), And(meetOnce, cond))
-    val newJoin = Join(leftGen, rightGen, Inner, Some(newCond), hint)
-    Some(Project(j.output, newJoin))
+    if (joinType == Inner) {
+      val newCond = And(EqualTo(gkL, gkR), And(meetOnce, cond))
+      val newJoin = Join(leftGen, rightGen, Inner, Some(newCond), hint)
+      Some(Project(j.output, newJoin))
+    } else {
+      // LeftSemi: duplicate meetings are absorbed by the match-dedupe
+      // aggregate, so the meet-once residual (and its ArrayIntersect per
+      // candidate) is unnecessary work — drop it
+      val newCond = And(EqualTo(gkL, gkR), cond)
+      val newJoin = Join(leftGen, rightGen, Inner, Some(newCond), hint)
+      val matchedCols: Seq[NamedExpression] = left.output :+ cntAttr.get
+      val matched = Aggregate(matchedCols, matchedCols, newJoin)
+      val idx = AttributeReference("_graft_i", LongType)()
+      val expanded = Generate(
+        Explode(Sequence(Literal(1L), cntAttr.get, None, Some(conf.sessionLocalTimeZone))),
+        unrequiredChildIndex = Nil, outer = false, qualifier = None,
+        generatorOutput = Seq(idx), child = matched)
+      Some(Project(j.output, expanded))
+    }
   }
 }

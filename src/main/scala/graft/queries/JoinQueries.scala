@@ -306,6 +306,53 @@ object JoinQueries {
           .select(col("d_key"), col("c_key"),
             levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
           .orderBy("d_key", "c_key")
+      }),
+
+    // the naive fuzzy SEMI join — `WHERE EXISTS (… levenshtein <= 2)` —
+    // planable through FuzzyJoinRewrite's collapse-match-expand path
+    // (aggregate left to distinct+count, blocked inner join, dedupe,
+    // re-expand). Probes include DUPLICATE instances (every 7th dirty
+    // row twice) so the oracle checks that semi multiplicity — each
+    // instance surfaces once — survives the rewrite
+    QueryDef(
+      "fuzzy_semi_rule",
+      Some(s"""
+        WITH canon AS (
+          SELECT s_suppkey AS c_key,
+                 'w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3)", 500L)} AS VARCHAR) ||
+                 '-w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3 + 1)", 500L)} AS VARCHAR) ||
+                 '-w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3 + 2)", 500L)} AS VARCHAR) AS c_name
+          FROM supplier
+        ), dirty AS (
+          SELECT c_key AS d_key,
+                 substring(c_name, 1, CAST(p - 1 AS INT)) || substring(c_name, CAST(p + 1 AS INT), 100) AS d_name
+          FROM (SELECT c_key, c_name,
+                       ${graft.textops.TextAnalysis.hashRawSqlDuck("(c_key * 7)")} % (length(c_name) - 1) + 1 AS p
+                FROM canon) t
+        ), probes AS (
+          SELECT d_key, d_name FROM dirty
+          UNION ALL
+          SELECT d_key, d_name FROM dirty WHERE d_key % 7 = 0
+        )
+        SELECT d_key, d_name FROM probes p
+        WHERE EXISTS (SELECT 1 FROM canon c WHERE levenshtein(p.d_name, c.c_name) <= 2)
+        ORDER BY d_key
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import graft.textops.TextAnalysis.{hashBucketExpr, hashRawExpr}
+        val canon = Tables.supplier(spark, dir).selectExpr(
+          "s_suppkey AS c_key",
+          s"""concat('w', cast(${hashBucketExpr("(s_suppkey * 3)", 500L)} as string),
+                     '-w', cast(${hashBucketExpr("(s_suppkey * 3 + 1)", 500L)} as string),
+                     '-w', cast(${hashBucketExpr("(s_suppkey * 3 + 2)", 500L)} as string)) AS c_name""")
+        val dirty = canon
+          .withColumn("p",
+            expr(hashRawExpr("(c_key * 7)")) % (length(col("c_name")) - 1) + 1)
+          .selectExpr("c_key AS d_key",
+            "concat(substring(c_name, 1, cast(p - 1 as int)), substring(c_name, cast(p + 1 as int), 100)) AS d_name")
+        val probes = dirty.unionByName(dirty.filter(col("d_key") % 7 === 0))
+        probes.join(canon, levenshtein(col("d_name"), col("c_name")) <= 2, "left_semi")
+          .orderBy("d_key")
       })
   )
 }

@@ -70,14 +70,39 @@ class FuzzyJoinRuleSpec extends SparkSpec {
     joined.count() // and it still executes
   }
 
-  test("non-inner fuzzy joins are skipped (explosion would break the preserved side)") {
+  test("outer/anti fuzzy joins are skipped (explosion would break the preserved side)") {
     val l = leftRows.toDF("l_id", "l_name")
     val r = rightRows.toDF("r_id", "r_name")
-    val joined = l.join(r, levenshtein($"l_name", $"r_name") <= 2, "left_outer")
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(!plan.contains("_graft_gk_l"))
+    val outer = l.join(r, levenshtein($"l_name", $"r_name") <= 2, "left_outer")
+    assert(!outer.queryExecution.executedPlan.toString.contains("_graft_gk_l"))
     // left-outer semantics intact: every left row appears; null rows pad
-    assert(joined.count() >= leftRows.size - 1)
+    assert(outer.count() >= leftRows.size - 1)
+    val anti = l.join(r, levenshtein($"l_name", $"r_name") <= 2, "left_anti")
+    assert(!anti.queryExecution.executedPlan.toString.contains("_graft_gk_l"))
+    // anti keeps exactly the unmatched left instances (null/empty rows
+    // have a null/false condition against every right row → kept)
+    val gotAnti = anti.select($"l_id").as[Long].collect().toSeq.sorted
+    val matched = bruteForce(2).map(_._1).toSet
+    assert(gotAnti == leftRows.map(_._1).filterNot(matched).sorted)
+  }
+
+  test("left-semi rewrites through collapse-match-expand, preserving instance multiplicity") {
+    // duplicate a matching left INSTANCE: semi must return it twice
+    val lRows = leftRows ++ Seq((1L, "acme-corporation"))
+    val l = lRows.toDF("l_id", "l_name")
+    val r = rightRows.toDF("r_id", "r_name")
+    val joined = l.join(r, levenshtein($"l_name", $"r_name") <= 2, "left_semi")
+    val got = joined.select($"l_id").as[Long].collect().toSeq.sorted
+    val want = (for {
+      (li, ls) <- lRows if ls != null
+      if rightRows.exists { case (_, rs) => rs != null && localLev(ls, rs) <= 2 }
+    } yield li).sorted
+    assert(got == want)
+    assert(got.count(_ == 1L) == 2, "duplicate left instance must survive the semi twice")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(25).mkString("\n"))
+    assert(plan.contains("_graft_gk_l"), "semi rewrite did not fire")
   }
 
   test("strict and flipped orientations rewrite too") {
@@ -108,7 +133,10 @@ class FuzzyJoinRuleSpec extends SparkSpec {
         (a, li) <- ls.zipWithIndex; (b, ri) <- rs.zipWithIndex
         if localLev(a, b) <= d
       } yield (li.toLong, ri.toLong)).sorted
-      got == want
+      val gotSemi = l.join(r, levenshtein($"l_name", $"r_name") <= d, "left_semi")
+        .select($"l_id").as[Long].collect().toSeq.sorted
+      val wantSemi = want.map(_._1).distinct.sorted
+      got == want && gotSemi == wantSemi
     }
     val result = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
