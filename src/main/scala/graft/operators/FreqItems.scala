@@ -50,6 +50,24 @@ class FreqItemsAggregator(k: Int)
   override def outputEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
 }
 
+/** The sketch plus the stream length in ONE buffer — `n` is a by-product
+  * of the same pass, so `heavyHitters` never pays a separate `count()`
+  * scan over what is by definition a full-corpus input. */
+private class FreqItemsWithCount(k: Int)
+    extends Aggregator[String, (Map[String, Long], Long), (Map[String, Long], Long)] {
+  private val mg = new FreqItemsAggregator(k)
+  override def zero: (Map[String, Long], Long) = (mg.zero, 0L)
+  override def reduce(b: (Map[String, Long], Long), x: String): (Map[String, Long], Long) =
+    (mg.reduce(b._1, x), b._2 + 1)
+  override def merge(a: (Map[String, Long], Long), b: (Map[String, Long], Long)): (Map[String, Long], Long) =
+    (mg.merge(a._1, b._1), a._2 + b._2)
+  override def finish(r: (Map[String, Long], Long)): (Map[String, Long], Long) = r
+  override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+    Encoders.kryo[(Map[String, Long], Long)]
+  override def outputEncoder: Encoder[(Map[String, Long], Long)] =
+    Encoders.kryo[(Map[String, Long], Long)]
+}
+
 object FreqItems {
 
   /** The raw sketch over a single string column (diagnostics / tests).
@@ -65,16 +83,21 @@ object FreqItems {
 
   /** Exact heavy hitters (true count × (k+1) > n) via the two-pass
     * sketch-then-confirm plan: pass 1 builds the O(k) summary (complete
-    * candidate set — no false negatives above the threshold); pass 2
-    * exact-counts only the ≤ k candidates behind an `isin` filter that
-    * pushes into the scan, so the shuffle carries ≤ k distinct keys.
-    * Output (item, cnt) is exact and deterministic — the sketch decides
-    * only WHAT gets counted, never the counts.
+    * candidate set — no false negatives above the threshold) AND the
+    * stream length n in the same buffer; pass 2 exact-counts only the
+    * ≤ k candidates behind an `isin` filter that pushes into the scan,
+    * so the shuffle carries ≤ k distinct keys. Output (item, cnt) is
+    * exact and deterministic — the sketch decides only WHAT gets
+    * counted, never the counts.
     */
   def heavyHitters(items: DataFrame, column: String, k: Int): DataFrame = {
-    val nonNull = items.filter(col(column).isNotNull)
-    val n = nonNull.count()
-    val cands = sketch(nonNull, column, k).keys.toSeq
+    val spark = items.sparkSession
+    import spark.implicits._
+    val (summary, n) = items.select(col(column).cast("string"))
+      .filter(col(column).isNotNull).as[String]
+      .select(new FreqItemsWithCount(k).toColumn)
+      .head()
+    val cands = summary.keys.toSeq
     if (cands.isEmpty)
       return items.sparkSession.emptyDataFrame
         .withColumn("item", lit("")).withColumn("cnt", lit(0L)).limit(0)
