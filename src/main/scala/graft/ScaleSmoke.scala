@@ -289,6 +289,36 @@ object ScaleSmoke {
       assert(purity >= 0.95, f"k-means purity $purity%.3f below 0.95 at 50k vectors")
     }
 
+    // k-means|| at PQ-codebook scale: k=1024 is where farthest-first's k
+    // SEQUENTIAL driver passes stop being viable (~1024 cluster scans);
+    // the oversampling init draws all candidates in 5 passes total and
+    // reclusters the ~2·oversample·k·rounds-row candidate set driver-side.
+    // 64 planted clusters (not 1024 — planting 1024 separable clusters in
+    // 64 dims is geometrically meaningless); the check is that a k >>
+    // #clusters codebook still covers every planted cluster and the
+    // seeding cost stays flat in k
+    timed("k-means|| init, 50k vectors, k=1024 (5 oversampling passes)") {
+      val emb = spark.range(50000).select(
+        col("id").as("vec_id"),
+        expr("""transform(sequence(1, 64), d ->
+                  cast((hash((id % 64) * 1000 + d) % 2001) / 1000.0
+                       + (hash(id * 37 + d) % 21) / 1000.0 as float))""").as("embedding"))
+      val (assign, cents) = graft.similarity.KMeans.trainParallelInit(
+        emb, k = 1024, iters = 2, rounds = 5, oversample = 2.0)
+      val nCents = cents.count()
+      // at k >> #planted every cell should be HOMOGENEOUS: a degenerate
+      // seeding (all seeds in few clusters) forces cells to straddle
+      // cluster boundaries and per-cell purity collapses
+      val purity = assign
+        .withColumn("planted", pmod(col("vec_id"), lit(64)))
+        .groupBy(col("cell"), col("planted")).count()
+        .groupBy(col("cell")).agg(max(col("count")).as("maj"), sum(col("count")).as("tot"))
+        .agg(sum(col("maj")) / sum(col("tot"))).head.getDouble(0)
+      println(f"[scale]   centroids: $nCents, cell purity: $purity%.4f")
+      assert(nCents == 1024L, s"expected 1024 centroids, got $nCents")
+      assert(purity >= 0.99, f"cell purity $purity%.3f below 0.99 — degenerate seeding")
+    }
+
     // blocked fuzzy join at the entity-resolution scale: 10k dirty
     // probes (one char dropped) against 100k canonical names. The
     // digit-trigram blocking keys have df ~800 at this corpus, so the

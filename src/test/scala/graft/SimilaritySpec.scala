@@ -51,6 +51,38 @@ class SimilaritySpec extends SparkSpec {
     assert(assign.exceptAll(assign2).isEmpty && assign2.exceptAll(assign).isEmpty)
   }
 
+  test("k-means parallel (k-means||) init matches farthest-first purity on planted clusters") {
+    import graft.similarity.KMeans
+    // same planted fixture as the farthest-first test: 8 near-orthogonal
+    // centers, 50 members each. The brief's bar: parallel-init purity
+    // must be >= farthest-first's (which measures 1.0 here)
+    val emb = spark.range(400).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64), d ->
+                cast((hash((id div 50) * 1000 + d) % 2001) / 1000.0
+                     + (hash(id * 37 + d) % 21) / 1000.0 as float))""").as("embedding"))
+    def purityOf(assign: org.apache.spark.sql.DataFrame): Double = assign
+      .withColumn("planted", col("vec_id") / 50 cast "int")
+      .groupBy(col("cell"), col("planted")).count()
+      .groupBy(col("cell")).agg(max(col("count")).as("maj"), sum(col("count")).as("tot"))
+      .agg(sum(col("maj")) / sum(col("tot"))).head.getDouble(0)
+    val (ffAssign, _) = KMeans.train(emb, k = 8, iters = 5)
+    val (assign, cents) = KMeans.trainParallelInit(emb, k = 8, iters = 5)
+    val p = purityOf(assign)
+    assert(p >= purityOf(ffAssign), f"parallel-init purity $p%.3f below farthest-first")
+    assert(assign.select("vec_id").distinct().count() == 400)
+    assert(cents.count() == 8)
+    // deterministic: hash-based draw, greedy recluster — no RNG state
+    val (assignB, _) = KMeans.trainParallelInit(emb, k = 8, iters = 5)
+    assert(assign.exceptAll(assignB).isEmpty && assignB.exceptAll(assign).isEmpty)
+    // guards (the ADVICE edge cases): iters=0 / k=0 / empty input must
+    // fail loudly, not return a null frame that NPEs downstream
+    intercept[IllegalArgumentException](KMeans.train(emb, k = 8, iters = 0))
+    intercept[IllegalArgumentException](KMeans.train(emb, k = 0, iters = 1))
+    intercept[IllegalArgumentException](
+      KMeans.train(emb.filter(col("vec_id") < 0), k = 2, iters = 1))
+  }
+
   test("nearDupPairs recall == 1 and precision == 1 vs exact cartesian at cos >= 0.4") {
     val lsh = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4)
       .select("vec_a", "vec_b")
