@@ -53,6 +53,9 @@ object ZOrder {
     */
   def writeZOrdered(df: DataFrame, x: Column, y: Column, bits: Int,
                     nFiles: Int, path: String): Unit = {
+    // empty input: min/max come back NULL and getDouble NPEs with a
+    // useless message — write the empty frame (schema preserved) instead
+    if (df.isEmpty) { df.write.mode("overwrite").parquet(path); return }
     val r = df.agg(
       min(x).cast("double"), max(x).cast("double"),
       min(y).cast("double"), max(y).cast("double")).head
@@ -85,6 +88,9 @@ object ZOrder {
   def writeZOrderedByRank(df: DataFrame, x: Column, y: Column, bits: Int,
                           nFiles: Int, path: String): Unit = {
     require(bits <= 8, s"rank cells are 2^$bits cuts per dim — keep bits <= 8")
+    // same empty-input guard as writeZOrdered: approx_percentile of an
+    // empty frame is NULL and getSeq NPEs
+    if (df.isEmpty) { df.write.mode("overwrite").parquet(path); return }
     val nCells = 1 << bits
     val probs = (1 until nCells).map(_.toDouble / nCells)
     def cuts(c: Column): Seq[Double] = {
