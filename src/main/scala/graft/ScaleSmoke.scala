@@ -365,6 +365,38 @@ object ScaleSmoke {
       assert(xs2 < 0.5 * 64L * 100000L, s"x no longer prunable under the curve: $xs2")
     }
 
+    // the warehouse z-order write path, measured by what a REAL filtered
+    // read does (scan-node metrics), not spanSums: 5M ticks over 20
+    // days, point (day, key) predicate. Partition pruning must cut the
+    // file count to ~one day's slice and parquet row-group min/max
+    // skipping (off the pushed key filter) must cut the rows the scan
+    // surfaces to a fraction of the day
+    timed("z-ordered warehouse read, 5M ticks x 20 days x 320 files") {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val ticks = spark.range(5000000L).select(
+        pmod(hash(col("id") * 13), lit(2000)).cast("long").as("user_id"),
+        timestamp_micros(lit(1704067200000000L) +
+          pmod(col("id"), lit(20)) * 86400000000L +
+          pmod(hash(col("id")), lit(86400)) * 1000000L).as("ts"),
+        (abs(hash(col("id") * 7)) % 100000).cast("double").as("value"))
+      graft.sources.Warehouse.writeDayPartitionedZOrdered(
+        ticks, "ts", col("user_id"), col("value"), bits = 15, nFiles = 320,
+        path = s"$dir/whz")
+      val q = spark.read.parquet(s"$dir/whz")
+        .filter(col("day") === "2024-01-10" && col("user_id") === 777L)
+      val got = q.count()
+      val scan = (q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).collectFirst { case f: FileSourceScanExec => f }.get
+      val filesRead = scan.metrics("numFiles").value
+      val surfaced = scan.metrics("numOutputRows").value
+      println(f"[scale]   rows=$got files_read=$filesRead/320 rows_surfaced=$surfaced/${5000000 / 20} (one day)")
+      assert(got > 0 && filesRead <= 33, s"partition pruning did not fire: $filesRead files")
+      assert(surfaced < 0.5 * 250000, s"row-group skip did not fire: $surfaced rows surfaced")
+    }
+
     // incremental dedup at the daily-ops scale: a 10k-doc new batch
     // against a 100k-doc store — candidates are new×store band
     // collisions only (the store is never self-joined). 300 plants

@@ -51,11 +51,11 @@ object ZOrder {
     * variants replace min/max with quantile ranks to absorb skew — same
     * plan, different normalizer.
     */
-  def writeZOrdered(df: DataFrame, x: Column, y: Column, bits: Int,
-                    nFiles: Int, path: String): Unit = {
-    // empty input: min/max come back NULL and getDouble NPEs with a
-    // useless message — write the empty frame (schema preserved) instead
-    if (df.isEmpty) { df.write.mode("overwrite").parquet(path); return }
+  /** The min/max-normalized curve value against `df`'s OWN key ranges —
+    * one tiny agg to the driver, then pure codegen'd bit arithmetic per
+    * row. Callers must guard the empty-frame case (min/max are NULL).
+    */
+  private[graft] def normalizedZ(df: DataFrame, x: Column, y: Column, bits: Int): Column = {
     val r = df.agg(
       min(x).cast("double"), max(x).cast("double"),
       min(y).cast("double"), max(y).cast("double")).head
@@ -64,9 +64,17 @@ object ZOrder {
       if (hi <= lo) lit(0L)
       else least(lit(top),
         floor((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(top + 1.0)).cast("long"))
-    df.withColumn("_z", zValue(
-        norm(x, r.getDouble(0), r.getDouble(1)),
-        norm(y, r.getDouble(2), r.getDouble(3)), bits))
+    zValue(
+      norm(x, r.getDouble(0), r.getDouble(1)),
+      norm(y, r.getDouble(2), r.getDouble(3)), bits)
+  }
+
+  def writeZOrdered(df: DataFrame, x: Column, y: Column, bits: Int,
+                    nFiles: Int, path: String): Unit = {
+    // empty input: min/max come back NULL and getDouble NPEs with a
+    // useless message — write the empty frame (schema preserved) instead
+    if (df.isEmpty) { df.write.mode("overwrite").parquet(path); return }
+    df.withColumn("_z", normalizedZ(df, x, y, bits))
       .repartitionByRange(nFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")

@@ -89,6 +89,37 @@ object Warehouse {
     }
   }
 
+  /** Day-partitioned Z-ORDERED warehouse write: the layout
+    * `Sources.writeDayPartitioned` establishes prunes perfectly on the
+    * date predicate and on nothing else — a selective predicate on a
+    * second key still reads every row group of the day. This variant
+    * lays each day's files along the (x, y) Morton curve instead, so
+    * after partition pruning picks the day, parquet row-group min/max
+    * skipping (driven by the PUSHED filter, visible as `PushedFilters`
+    * in the scan) drops the files whose (x, y) box misses the predicate.
+    *
+    * Plan shape: one tiny min/max agg for the curve normalizer, then a
+    * single `repartitionByRange(day, z)` — each output task holds a
+    * contiguous (day, curve-range) slice, so `partitionBy("day")` writes
+    * it as ONE file inside its day directory covering a small (x, y)
+    * box. Same single-shuffle cost as the plain sorted write.
+    */
+  def writeDayPartitionedZOrdered(
+      df: DataFrame, tsCol: String,
+      x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int, nFiles: Int, path: String): Unit = {
+    val dayed = df.withColumn("day", to_date(col(tsCol)))
+    if (df.isEmpty) { // min/max of nothing is NULL — write schema-only
+      dayed.write.mode("overwrite").partitionBy("day").parquet(path); return
+    }
+    dayed
+      .withColumn("_z", graft.operators.ZOrder.normalizedZ(df, x, y, bits))
+      .repartitionByRange(nFiles, col("day"), col("_z"))
+      .sortWithinPartitions(col("day"), col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+  }
+
   /** Compact day partitions that fragmented into more than
     * `maxFilesPerDay` parquet files (streaming micro-batches, repeated
     * upserts) back into one sorted file per day, restoring the

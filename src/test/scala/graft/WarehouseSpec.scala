@@ -84,6 +84,60 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.compactDayPartitions(spark, path, "user_id", "ts").isEmpty)
   }
 
+  test("z-ordered day-partitioned write: partition prune AND row-group skip fire on a real read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = java.nio.file.Files.createTempDirectory("graft-whz").toString
+    val nDays = 8
+    // 60k ticks over 8 days, x=user_id in [0,400), y=value in [0,1e5)
+    val ticks = spark.range(60000).select(
+      pmod(hash($"id" * 13), lit(400)).cast("long").as("user_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod($"id", lit(nDays)) * 86400000000L +
+        pmod(hash($"id"), lit(86400)) * 1000000L).as("ts"),
+      (abs(hash($"id" * 7)) % 100000).cast("double").as("value"))
+      .localCheckpoint()
+    Warehouse.writeDayPartitionedZOrdered(
+      ticks, "ts", $"user_id", $"value", bits = 11, nFiles = 64, path = path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 60000L) // a relayout, not a rewrite
+
+    // the warehouse's real read shape: day predicate + point key predicate
+    val q = back.filter($"day" === "2024-01-03" && $"user_id" === 123L)
+    val want = ticks.filter(to_date($"ts") === "2024-01-03" && $"user_id" === 123L).count()
+    assert(q.count() == want && want > 0) // executes — metrics below are real
+
+    val plan = q.queryExecution.executedPlan
+    val scan = (plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec in\n" + plan))
+    // (1) the day predicate prunes partitions at listing time
+    assert(!scan.toString.contains("PartitionFilters: []"),
+      "day predicate should be a partition filter")
+    // (2) the key predicate is PUSHED to parquet (drives row-group skip)
+    assert(scan.toString.contains("PushedFilters: [") &&
+      scan.toString.contains("EqualTo(user_id,123)"), scan.toString.take(800))
+    // (3) files READ (scan metric) = one day's slice of the 64 files,
+    // not the table; range boundaries can straddle a day, so allow 2x
+    val filesRead = scan.metrics("numFiles").value
+    val perDay = 64.0 / nDays
+    assert(filesRead <= 2 * perDay + 1,
+      s"scan read $filesRead files — partition pruning did not fire")
+    // (4) row-group min/max skipping fired: the scan SURFACED only the
+    // rows of the z-files whose (user_id, value) box contains the point,
+    // well under the day's full row count
+    val dayRows = 60000.0 / nDays
+    val surfaced = scan.metrics("numOutputRows").value
+    assert(surfaced < 0.7 * dayRows,
+      s"scan surfaced $surfaced of ~$dayRows day rows — no row-group skip")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty[java.io.File]).foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   test("staging lives on the warehouse filesystem under the table root, not driver tmp") {
     val path = freshWarehouse()
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
