@@ -441,6 +441,59 @@ class StreamingSpec extends SparkSpec {
     assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty)
   }
 
+  test("streaming decontamination: each micro-batch pays the persisted bloom prefilter") {
+    // the batch path persists the bench sketch once (`writeBenchBloom`);
+    // the ingest loop must READ it per micro-batch instead of re-running
+    // the full shingle join against re-shingled bench docs. Final corpus
+    // must equal the full-join batch decontamination — the prefilter is
+    // a plan change, never a result change.
+    import graft.textops.Decontaminate
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, sf)
+    val isBench = $"doc_id" % 10 === 0
+    val fresh = docs.filter(!isBench)
+    val base = java.nio.file.Files.createTempDirectory("graft-decon-stream")
+    val artDir = base.resolve("bench").toString
+    Decontaminate.writeBenchArtifacts(docs, isBench, artDir, n = 8)
+
+    val srcDir = base.resolve("src")
+    fresh.filter($"doc_id" < 250).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    fresh.filter($"doc_id" >= 250).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val t0 = System.currentTimeMillis() - 60000
+    val walked = java.nio.file.Files.walk(srcDir.resolve("b0"))
+    try walked.forEach(p => assert(p.toFile.setLastModified(t0), s"mtime pin failed for $p"))
+    finally walked.close()
+
+    // per-batch optimized plans, harvested for the prefilter assert
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val corpusA = base.resolve("corpus").toString
+    def decontamStep(batch: DataFrame): Unit = {
+      val hits = Decontaminate.contaminatedIncremental(batch, artDir, n = 8)
+      plans.add(hits.queryExecution.executedPlan.toString)
+      batch.join(hits.select("doc_id"), Seq("doc_id"), "left_anti")
+        .write.mode("append").parquet(corpusA)
+    }
+    val stream = spark.readStream.schema(fresh.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => decontamStep(batch)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // reference: the full-join batch decontamination over the whole corpus
+    val full = Decontaminate.contaminated(docs, isBench, n = 8)
+    val want = fresh.join(full.select("doc_id"), Seq("doc_id"), "left_anti")
+    val got = spark.read.parquet(corpusA).select(fresh.columns.map(col): _*)
+    assert(got.count() > 0 && got.count() < fresh.count(),
+      "decontamination should drop some but not all training docs")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // two micro-batches ran, and EACH one's plan carries the stored-
+    // sketch might-contain prefilter
+    assert(plans.size == 2, s"expected 2 micro-batches, saw ${plans.size}")
+    plans.forEach(p => assert(p.contains("might_contain"),
+      "micro-batch plan lost the bloom prefilter:\n" + p.take(600)))
+  }
+
   test("streaming heavy hitters: per-batch sketches merged into a store match one-shot") {
     // the sketch-store flow for vocabulary monitoring at ingest time:
     // each micro-batch builds its own Misra-Gries summary, merges it
