@@ -135,6 +135,49 @@ class TimeSeriesSpec extends SparkSpec {
     assert(stages == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
   }
 
+  test("hopping windows: boundary events land in exactly ceil(window/hop) windows (property)") {
+    // the off-by-one every hopping implementation gets wrong once: an
+    // event at an EXACT hop boundary t (t % hop == 0) belongs to the
+    // windows starting at t, t-hop, …, down to t-window EXCLUSIVE —
+    // that's ceil(window/hop) of them, because [s, s+window) is
+    // half-open. Off-boundary events may see one fewer when hop does
+    // not divide window. Checked against Spark's own window(ts, w, h)
+    // for generated (hop, window) shapes, divisible and ragged.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCfg = for {
+      hop <- Gen.choose(1, 12)
+      mult <- Gen.choose(1, 4)
+      extra <- Gen.choose(0, hop - 1)
+    } yield (hop, hop * mult + extra)
+    val prop = Prop.forAll(genCfg) { case (hop, win) =>
+      def ceilDiv(a: Int, b: Int) = (a + b - 1) / b
+      // battery: 4 boundary timestamps and their +1 s off-boundary
+      // shadows (when hop > 1), well past t=0 so every window exists
+      val ts = (10 to 13).flatMap { m =>
+        val t = (m + win / hop) * hop
+        Seq(t) ++ (if (hop > 1) Seq(t + 1) else Nil)
+      }.distinct
+      val df = ts.zipWithIndex.map { case (t, i) => (i.toLong, t.toLong) }
+        .toDF("id", "t")
+        .select($"id", $"t", timestamp_seconds($"t").as("ets"))
+      val counts = df
+        .select($"id", window($"ets", s"$win seconds", s"$hop seconds"))
+        .groupBy($"id").count()
+        .join(df, Seq("id"))
+        .select($"t", $"count").as[(Long, Long)].collect().toMap
+      ts.forall { t =>
+        // multiples of hop in the half-open (t-window, t]
+        val want = t / hop - (t - win) / hop
+        val bound = if (t % hop == 0)
+          want == ceilDiv(win, hop) else true
+        counts(t.toLong) == want && bound
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("drawdown: peak is running max, dd is fraction off peak") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:01"), 10.0),
