@@ -96,6 +96,37 @@ object CorpusQueries {
           .orderBy("doc_id")
       }),
 
+    // the INGEST-LOOP shape of decontamination, driver-checked through
+    // the PERSISTED artifacts: the bench sketch + shingle table round-
+    // trip through parquet (written fresh into a temp dir here — the
+    // artifact flow IS what's under test), then the batch checks itself
+    // against the store exactly like a streaming micro-batch. Same
+    // result set — and oracle — as `decontaminate`: the prefilter and
+    // the persistence must never change answers
+    QueryDef(
+      "decontaminate_incremental",
+      Some(s"""
+        WITH ${shinglesDuck(8)},
+        bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0),
+        train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0)
+        SELECT doc_id,
+               CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared,
+               CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+        FROM train JOIN bench USING (shingle)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val artDir = java.nio.file.Files
+          .createTempDirectory("graft-decon-art").toString
+        Decontaminate.writeBenchArtifacts(
+          docs, isBench = col("doc_id") % 10 === 0, artDir, n = 8)
+        Decontaminate.contaminatedIncremental(
+            docs.filter(col("doc_id") % 10 =!= 0), artDir, n = 8)
+          .orderBy("doc_id")
+      }),
+
     // duplicated-span statistics (substring-dedup at the token-8-gram
     // grain): fraction of each doc's n-gram POSITIONS whose n-gram occurs
     // in ≥1 other doc. Document frequency is one groupBy on the n-gram;

@@ -123,6 +123,23 @@ object SqlQueries {
       |SELECT query_id, cand_id, cos FROM ranked WHERE rn <= 5
       |ORDER BY query_id, rn""".stripMargin
 
+  // recursive CTE (Spark 4's WITH RECURSIVE, same text in DuckDB): an
+  // ancestor-chain walk over the implicit binary hierarchy node -> node/2
+  // — the org-chart/BOM traversal shape, variable depth per leaf, pure
+  // BIGINT output. Catalyst plans UnionLoop; depth here is ~log2(max
+  // custkey), far under the recursion limit
+  private val adhocRecursive =
+    """WITH RECURSIVE anc(leaf, node, depth) AS (
+      |  SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM customer WHERE c_custkey % 97 = 0
+      |  UNION ALL
+      |  SELECT leaf, CAST(floor(node / 2) AS BIGINT), depth + 1
+      |  FROM anc WHERE node > 1
+      |)
+      |SELECT leaf, CAST(max(depth) AS BIGINT) AS chain_len,
+      |       CAST(sum(node) AS BIGINT) AS path_sum
+      |FROM anc GROUP BY leaf ORDER BY leaf""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sql_adhoc_agg", Some(adhocAgg),
       (spark, dir) => Views.adhoc(spark, dir, adhocAgg)),
@@ -137,6 +154,8 @@ object SqlQueries {
     QueryDef("sql_adhoc_grouping_sets", Some(adhocGroupingSets),
       (spark, dir) => Views.adhoc(spark, dir, adhocGroupingSets)),
     QueryDef("sql_adhoc_similarity", Some(adhocSimilarityDuck),
-      (spark, dir) => Views.adhoc(spark, dir, adhocSimilaritySpark))
+      (spark, dir) => Views.adhoc(spark, dir, adhocSimilaritySpark)),
+    QueryDef("sql_adhoc_recursive", Some(adhocRecursive),
+      (spark, dir) => Views.adhoc(spark, dir, adhocRecursive))
   )
 }

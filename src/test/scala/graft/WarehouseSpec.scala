@@ -102,10 +102,13 @@ class WarehouseSpec extends SparkSpec {
     val back = spark.read.parquet(path)
     assert(back.count() == 60000L) // a relayout, not a rewrite
 
-    // the warehouse's real read shape: day predicate + point key predicate
+    // the warehouse's real read shape: day predicate + point key predicate.
+    // NOTE: collect(), not count() — count() builds a NEW QueryExecution,
+    // leaving q.queryExecution's metrics untouched (zeros, and every
+    // metric assert below passes vacuously)
     val q = back.filter($"day" === "2024-01-03" && $"user_id" === 123L)
     val want = ticks.filter(to_date($"ts") === "2024-01-03" && $"user_id" === 123L).count()
-    assert(q.count() == want && want > 0) // executes — metrics below are real
+    assert(q.collect().length == want && want > 0) // executes q's OWN plan
 
     val plan = q.queryExecution.executedPlan
     val scan = (plan match {
@@ -123,6 +126,7 @@ class WarehouseSpec extends SparkSpec {
     // not the table; range boundaries can straddle a day, so allow 2x
     val filesRead = scan.metrics("numFiles").value
     val perDay = 64.0 / nDays
+    assert(filesRead > 0, "scan metrics not populated — plan was never executed")
     assert(filesRead <= 2 * perDay + 1,
       s"scan read $filesRead files — partition pruning did not fire")
     // (4) row-group min/max skipping fired: the scan SURFACED only the
