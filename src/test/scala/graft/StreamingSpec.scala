@@ -1,7 +1,7 @@
 package graft
 
 import graft.etl.Candles
-import graft.streaming.StreamingCandles
+import graft.streaming.{StreamingCandles, StreamJoins}
 import org.apache.spark.sql.functions._
 
 /** Streaming semantics = batch semantics on the same data (SURVEY.md
@@ -555,6 +555,95 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       assert(spark.table("dedup_stream").count() == 200)
+    } finally q.stop()
+  }
+
+  // --- stream-stream joins (StreamJoins) -------------------------------
+
+  /** Slice a frame into chronological chunks staged as parquet files whose
+    * mtimes force the file source to replay them in time order.
+    */
+  private def stageChunks(df: org.apache.spark.sql.DataFrame, tsCol: String,
+                          cuts: Seq[String], tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag")
+    val bounds = ("0000-01-01" +: cuts) :+ "9999-12-31"
+    bounds.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      val f = dir.resolve(s"chunk$i")
+      df.filter(to_date(col(tsCol)) >= lo && to_date(col(tsCol)) < hi)
+        .coalesce(1).write.parquet(f.toString)
+      f.toFile.listFiles().foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    dir.toString + "/*"
+  }
+
+  test("stream-stream join: click attribution across micro-batches equals the batch join") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "event_type")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val cuts = Seq("2024-01-11", "2024-01-21")
+    val vStream = spark.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageChunks(views, "view_ts", cuts, "ssjv"))
+    val cStream = spark.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageChunks(clicks, "click_ts", cuts, "ssjc"))
+
+    val q = StreamJoins.attributeClicks(vStream, cStream)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("attr_stream")
+      val batch = views.join(clicks,
+        views("user_id") === clicks("user_id") &&
+          clicks("click_ts") >= views("view_ts") &&
+          clicks("click_ts") <= views("view_ts") + expr("INTERVAL 48 hours"))
+      assert(batch.count() > 50, "fixture too thin — the join proves nothing")
+      assert(emitted.count() == batch.count())
+      assert(emitted.select("view_id", "click_id")
+        .join(batch.select("view_id", "click_id"),
+          Seq("view_id", "click_id"), "left_anti").count() == 0)
+    } finally q.stop()
+  }
+
+  test("stream-stream outer join: unmatched views null-extend once the watermark passes") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "event_type")
+    // sentinel far-future rows push the watermark past every real view's
+    // (view_ts + lookback + delay) horizon so ALL outer results flush;
+    // without them the final views' verdicts stay pending forever
+    val sentinelTs = lit("2024-06-01 00:00:00").cast("timestamp")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+      .unionByName(spark.range(1).select(lit(-1L).as("user_id"),
+        lit(-1L).as("view_id"), sentinelTs.as("view_ts")))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      .unionByName(spark.range(1).select(lit(-1L).as("user_id"),
+        lit(-1L).as("click_id"), sentinelTs.as("click_ts")))
+    val cuts = Seq("2024-01-11", "2024-01-21", "2024-02-01")
+    val vStream = spark.readStream.schema(views.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageChunks(views, "view_ts", cuts, "ssov"))
+    val cStream = spark.readStream.schema(clicks.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stageChunks(clicks, "click_ts", cuts, "ssoc"))
+
+    val q = StreamJoins.attributeClicksOuter(vStream, cStream)
+      .writeStream.format("memory").queryName("attr_outer_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("attr_outer_stream").filter($"user_id" =!= -1L)
+      val batch = views.filter($"user_id" =!= -1L).join(
+        clicks.filter($"user_id" =!= -1L),
+        views("user_id") === clicks("user_id") &&
+          clicks("click_ts") >= views("view_ts") &&
+          clicks("click_ts") <= views("view_ts") + expr("INTERVAL 48 hours"),
+        "left_outer")
+      // matched pairs agree AND every clickless view surfaced exactly once
+      assert(emitted.count() == batch.count())
+      val unmatchedEmitted = emitted.filter($"click_id".isNull).select("view_id")
+      val unmatchedBatch = batch.filter(clicks("click_id").isNull).select("view_id")
+      assert(unmatchedEmitted.count() == unmatchedBatch.count() && unmatchedBatch.count() > 0)
+      assert(unmatchedEmitted.join(unmatchedBatch, Seq("view_id"), "left_anti").count() == 0)
     } finally q.stop()
   }
 
