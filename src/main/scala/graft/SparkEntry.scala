@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.entries ++
       graft.queries.ProfileQueries.entries ++
       graft.queries.TimeSeriesQueries.entries ++
-      graft.queries.CorpusQueries.entries
+      graft.queries.CorpusQueries.entries ++
+      graft.queries.GraphQueries.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full reference ETL as one DAG: filter → compress → candle →

@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.MassFlow
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgesDf(pairs: (Long, Long)*) =
+    pairs.toDF("src", "dst")
+
+  test("mass is conserved exactly every round, dead ends included") {
+    // 1 -> 2 -> 3, 3 is a dead end; 4 -> 2 as a second inbound
+    val e = edgesDf((1L, 2L), (2L, 3L), (4L, 2L))
+    for (k <- 1 to 5) {
+      val m = MassFlow.propagate(e, iters = k)
+      assert(m.agg(sum($"mass")).as[Long].head() == 4L * 1000000L,
+        s"mass leaked at iteration $k")
+    }
+  }
+
+  test("hand-computed star: center splits evenly, remainder stays put") {
+    // center 10 -> leaves 1,2,3 (leaves are dead ends)
+    val e = edgesDf((10L, 1L), (10L, 2L), (10L, 3L))
+    val m1 = MassFlow.propagate(e, iters = 1).as[(Long, Long)].collect().toMap
+    assert(m1(10L) == 1000000L % 3)       // keeps the remainder (1)
+    assert(m1(1L) == 1000000L + 1000000L / 3) // own mass + share
+    assert(m1(2L) == m1(1L) && m1(3L) == m1(1L))
+    // a second round changes nothing: every remaining holder is a dead
+    // end except the center, whose 1-unit remainder splits as 0
+    val m2 = MassFlow.propagate(e, iters = 2).as[(Long, Long)].collect().toMap
+    assert(m2 == m1)
+  }
+
+  test("parallel edges carry mass per-edge, not per-neighbor") {
+    // two parallel edges a->b and one a->c: b receives 2 shares
+    val e = edgesDf((1L, 2L), (1L, 2L), (1L, 3L))
+    val m = MassFlow.propagate(e, iters = 1).as[(Long, Long)].collect().toMap
+    val share = 1000000L / 3
+    assert(m(2L) == 1000000L + 2 * share)
+    assert(m(3L) == 1000000L + share)
+    assert(m(1L) == 1000000L % 3)
+  }
+
+  test("result is independent of input partitioning") {
+    val pairs = (1L to 400L).map(i => (i % 37, (i * 7) % 41))
+      .filter { case (a, b) => a != b }
+    val once = MassFlow.propagate(edgesDf(pairs: _*).repartition(1), iters = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val many = MassFlow.propagate(edgesDf(pairs: _*).repartition(13), iters = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(once == many)
+  }
+
+  test("propagate rejects a non-positive iteration count") {
+    intercept[IllegalArgumentException] {
+      MassFlow.propagate(edgesDf((1L, 2L)), iters = 0)
+    }
+  }
+}
