@@ -203,6 +203,40 @@ object ProfileQueries {
           .orderBy("user_id")
       }),
 
+    // tall→wide PIVOT — the inverse reshape of unpivot_quartiles: one
+    // column per event type, count + exact cent-sum per (day, type) cell.
+    // The pivot VALUES are declared explicitly, so Spark skips the
+    // driver-side distinct pass a bare pivot() needs (at 100 TB that pass
+    // is a full extra scan); absent cells coalesce to the 0 the oracle's
+    // FILTER aggregates produce
+    QueryDef(
+      "pivot_event_types",
+      Some("""
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+               CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) FILTER (event_type = 'click'), 0) AS BIGINT) AS cents_click,
+               CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) FILTER (event_type = 'purchase'), 0) AS BIGINT) AS cents_purchase,
+               CAST(COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) FILTER (event_type = 'view'), 0) AS BIGINT) AS cents_view
+        FROM events
+        GROUP BY CAST(ts AS DATE)
+        ORDER BY day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val types = Seq("click", "purchase", "view")
+        val wide = Tables.events(spark, dir)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("day")
+          .pivot("event_type", types)
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val cols = col("day") +:
+          (types.map(t => coalesce(col(s"${t}_n"), lit(0L)).as(s"n_$t")) ++
+            types.map(t => coalesce(col(s"${t}_cents"), lit(0L)).as(s"cents_$t")))
+        wide.select(cols: _*).orderBy("day")
+      }),
+
     // wide→tall UNPIVOT (stack) + ntile quartile binning — the reshape a
     // feature-distribution monitor runs over candle columns. ntile is
     // deterministic here because the window's ORDER BY is total
@@ -352,6 +386,57 @@ object ProfileQueries {
           .filter(abs(col("_z")) > 2.5)
           .select(col("user_id"), col("ts"), col("value"), round(col("_z"), 4).as("z"))
           .orderBy("user_id", "ts")
+      }),
+
+    // cohort retention triangle: users grouped by first-SIGNUP day, then
+    // for each (cohort, day-offset) cell the distinct users still active
+    // — the table every growth dashboard draws. Signup (not any-event)
+    // cohorts because the synthetic users are active from day one; only
+    // post-signup activity counts. Two user-keyed aggs + one join; the
+    // ratio divides two exact counts, so round(4) is deterministic (no
+    // summation drift)
+    QueryDef(
+      "cohort_retention",
+      Some("""
+        WITH f AS (
+          SELECT user_id, CAST(min(ts) AS DATE) AS cohort
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), a AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ), j AS (
+          SELECT f.cohort,
+                 CAST(date_diff('day', f.cohort, a.d) AS BIGINT) AS day_offset,
+                 a.user_id
+          FROM a JOIN f ON a.user_id = f.user_id
+          WHERE a.d >= f.cohort
+        ), cs AS (
+          SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM f GROUP BY cohort
+        )
+        SELECT j.cohort, j.day_offset,
+               CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+               round(CAST(count(DISTINCT j.user_id) AS DOUBLE) / any_value(cs.cohort_size), 4) AS retention
+        FROM j JOIN cs ON j.cohort = cs.cohort
+        GROUP BY j.cohort, j.day_offset
+        ORDER BY j.cohort, j.day_offset
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir).select("user_id", "ts", "event_type")
+        val first = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("t0"))
+          .select(col("user_id"), col("t0").cast("date").as("cohort"))
+        val act = ev.select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        val cs = first.groupBy("cohort").agg(countDistinct("user_id").as("cohort_size"))
+        act.join(first, "user_id")
+          .filter(col("d") >= col("cohort"))
+          .select(col("cohort"),
+            datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
+            col("user_id"))
+          .groupBy("cohort", "day_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+          .join(cs, "cohort")
+          .select(col("cohort"), col("day_offset"), col("n_active"),
+            round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+          .orderBy("cohort", "day_offset")
       }),
 
     // staged funnel analysis: first view → first click AFTER that view →

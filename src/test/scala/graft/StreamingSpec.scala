@@ -603,6 +603,15 @@ class StreamingSpec extends SparkSpec {
       assert(emitted.select("view_id", "click_id")
         .join(batch.select("view_id", "click_id"),
           Seq("view_id", "click_id"), "left_anti").count() == 0)
+      // the 100 TB property: join state is bounded by the lookback
+      // window, not stream history — by end of replay the watermark has
+      // evicted everything older than lookback+delay, so the state store
+      // retains a small tail of the month, not the whole month
+      val retained = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val total = views.count() + clicks.count()
+      assert(retained > 0, "no join state reported — the metric is dead")
+      assert(retained < total / 2,
+        s"state held $retained of $total rows — watermark eviction did not fire")
     } finally q.stop()
   }
 

@@ -142,6 +142,57 @@ class WarehouseSpec extends SparkSpec {
     rm(new java.io.File(path))
   }
 
+  test("dynamic partition pruning: a filtered dim join prunes fact days at runtime") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // 20-day fact; the interesting days come from a DIM FILTER, so static
+    // partition pruning cannot see them at plan time — only Spark's
+    // dynamic partition pruning (runtime subquery from the broadcast dim)
+    // can cut the scan to the named days
+    val ticks = spark.range(20000).select(
+      ($"id" % 50).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        ($"id" % 20) * 86400000000L + $"id" * 1000L).as("ts"),
+      ($"id" % 100).cast("double").as("value"))
+    Sources.writeDayPartitioned(ticks, "ts", "user_id", path)
+    val fact = spark.read.parquet(path)
+    // the dim must be a REAL datasource: over a LocalRelation the
+    // optimizer constant-folds the flag filter away (ConvertToLocal-
+    // Relation) and the pruning rule no longer sees a selective predicate
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("2024-01-05", 1), ("2024-01-11", 1), ("2024-01-18", 0))
+      .toDF("day_s", "flag")
+      .select($"day_s".cast("date").as("day"), $"flag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val q = fact.join(dim.filter($"flag" === 1), "day")
+    assert(q.collect().length == 2000) // 2 of 20 days x 1000 rows/day
+
+    // AQE materializes the join sides as QueryStageExec LEAVES — a plain
+    // collect never descends into them, so recurse explicitly
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec => Seq(f)
+      case s: QueryStageExec => scans(s.plan)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+    }.flatten
+    val scan = scans(q.queryExecution.executedPlan)
+      .find(_.schema.fieldNames.contains("user_id")).get
+    assert(scan.partitionFilters.mkString.contains("dynamicpruning"),
+      s"no runtime pruning filter on the fact scan: ${scan.partitionFilters}")
+    val totalFiles = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .count(_.getPath.getName.startsWith("day="))
+    }
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead <= totalFiles / 5,
+      s"DPP did not prune: read $filesRead files of a $totalFiles-day table")
+  }
+
   test("staging lives on the warehouse filesystem under the table root, not driver tmp") {
     val path = freshWarehouse()
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
