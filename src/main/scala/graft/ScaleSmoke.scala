@@ -538,6 +538,28 @@ object ScaleSmoke {
       assert(wrongChain + wrongPair == 0, s"CC mislabeled $wrongChain chain + $wrongPair pair nodes")
     }
 
+    // mass propagation at ~40× the sf0.1 graph: 4M directed edges over a
+    // 210k-node bipartite graph, 4 Pregel rounds. The invariant that
+    // makes the op auditable at ANY scale: total mass is conserved
+    // exactly (integer shares + remainders), so one BIGINT sum certifies
+    // every round's joins lost nothing
+    timed("mass propagation, 4M-edge bipartite graph (200k x 10k), 4 rounds") {
+      val pairs = spark.range(2000000L).select(
+        (col("id") % 200000L).as("p"),
+        (pmod(hash(col("id")), lit(10000)) + 1L).cast("long").as("s")).distinct()
+      val edges = pairs.select(col("p").as("src"), (-col("s")).as("dst"))
+        .unionByName(pairs.select((-col("s")).as("src"), col("p").as("dst")))
+        .localCheckpoint()
+      val nEdges = edges.count()
+      val nNodes = edges.select(col("src")).union(edges.select(col("dst")))
+        .distinct().count()
+      val m = graft.operators.MassFlow.propagate(edges, iters = 4)
+      val total = m.agg(sum($"mass")).head().getLong(0)
+      println(s"[scale]   edges=$nEdges nodes=$nNodes total_mass=$total (expect ${nNodes * 1000000L})")
+      assert(total == nNodes * 1000000L,
+        s"mass not conserved: $total != ${nNodes * 1000000L}")
+    }
+
     // multimodal codec at 1M docs (2000× the sf0.01 documents table):
     // build real four-format headers + parse them back in one
     // mapPartitions pass — pure per-row CPU, zero shuffles, the shape

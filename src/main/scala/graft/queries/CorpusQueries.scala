@@ -737,6 +737,72 @@ object CorpusQueries {
           .select("doc_id", "score")
       }),
 
+    // BM25 keyword search — the production ranking function TF-IDF
+    // approximates: same inverted-index shape (hits filtered before any
+    // shuffle, df + corpus stats broadcast) plus the doc-length
+    // normalization that stops long documents from winning on raw term
+    // count. k1=1.2, b=0.75 (the standard Robertson parameters); idf is
+    // the Lucene form ln(1 + (N-df+0.5)/(df+0.5)), positive for any df.
+    // avgdl is an exact BIGINT token-count sum over the corpus divided
+    // once — not a float avg() whose partial-sum order could drift.
+    // Scores sum ≤3 per-term doubles → round(4) then ORDER BY the
+    // ROUNDED score (same near-dup tie guard as tfidf_search)
+    QueryDef(
+      "bm25_search",
+      Some(s"""
+        WITH tok AS (
+          SELECT doc_id, $toksDuck AS toks FROM documents
+        ), dl AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok
+        ), hits AS (
+          SELECT doc_id, unnest(toks) AS t FROM tok
+        ), tf AS (
+          SELECT doc_id, t, COUNT(*) AS tf FROM hits
+          WHERE t IN ('data', 'spark', 'query') GROUP BY doc_id, t
+        ), df AS (
+          SELECT t, COUNT(DISTINCT doc_id) AS df FROM hits
+          WHERE t IN ('data', 'spark', 'query') GROUP BY t
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+          FROM dl
+        ), scored AS (
+          SELECT tf.doc_id,
+                 round(SUM(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+                   (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+                 ), 4) AS score
+          FROM tf JOIN df USING (t) JOIN dl ON tf.doc_id = dl.doc_id
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val terms = Seq("data", "spark", "query")
+        val toks = Tables.documents(spark, dir)
+          .select(col("doc_id"), expr(TextAnalysis.tokensExpr).as("toks"))
+        val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+        val hits = toks.select(col("doc_id"), explode(col("toks")).as("t"))
+          .filter(col("t").isin(terms: _*))
+        val tf = hits.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = hits.groupBy("t").agg(countDistinct(col("doc_id")).as("df"))
+        val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val w = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        tf.join(broadcast(dfreq), Seq("t"))
+          .join(dl, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .withColumn("w", w)
+          .groupBy("doc_id").agg(round(sum(col("w")), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(20)
+          .select("doc_id", "score")
+      }),
+
     // the whole curation pipeline as ONE DAG (the LLM analog of
     // etl_pipeline): quality gate → eval-shard removal → exact dedup
     // (keep-min doc id) → 8-gram decontamination → content-hash split

@@ -203,6 +203,98 @@ object ProfileQueries {
           .orderBy("user_id")
       }),
 
+    // event-transition matrix (first-order Markov over each user's
+    // clickstream): lag the previous event type per user, count global
+    // (prev → next) transitions + the probability given prev. The lag
+    // window's ORDER BY ts is total per user (event timestamps are
+    // globally unique), so the pairs are deterministic; probability is a
+    // ratio of two exact counts
+    QueryDef(
+      "event_transitions",
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, event_type AS next_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(count(*) AS DOUBLE) /
+                     sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, next_type
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"))
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n").cast("double") / sum(col("n")).over(wp), 4))
+          .orderBy("prev_type", "next_type")
+      }),
+
+    // data-expectations report — the dbt-tests / Great-Expectations
+    // analog run before ingesting a batch: each named check is one
+    // aggregate, unioned into a (check, n_violations, pass) report. The
+    // checks deliberately span the four families: completeness (nulls),
+    // validity (range), uniqueness (duplicate keys), and referential
+    // integrity (orphans via anti join)
+    QueryDef(
+      "expectations_report",
+      Some("""
+        SELECT * FROM (
+          SELECT 'orders_null_custkey' AS check_name,
+                 CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS n_violations
+          FROM orders
+          UNION ALL
+          SELECT 'orders_nonpositive_price',
+                 CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'orders_dup_orderkey',
+                 CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+          FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+          UNION ALL
+          SELECT 'lineitem_orphan_orderkey',
+                 CAST(count(*) AS BIGINT)
+          FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+          UNION ALL
+          SELECT 'lineitem_qty_out_of_range',
+                 CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+          FROM lineitem
+        )
+        ORDER BY check_name
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val orders = Tables.orders(spark, dir)
+        val lineitem = Tables.lineitem(spark, dir)
+        def report(name: String, n: org.apache.spark.sql.DataFrame) =
+          n.select(lit(name).as("check_name"), col("n_violations").cast("long"))
+        val checks = Seq(
+          report("orders_null_custkey",
+            orders.agg(count(when(col("o_custkey").isNull, 1)).as("n_violations"))),
+          report("orders_nonpositive_price",
+            orders.agg(count(when(col("o_totalprice") <= 0, 1)).as("n_violations"))),
+          report("orders_dup_orderkey",
+            orders.groupBy("o_orderkey").agg(count(lit(1)).as("cnt"))
+              .filter(col("cnt") > 1)
+              .agg(coalesce(sum(col("cnt") - 1), lit(0L)).as("n_violations"))),
+          report("lineitem_orphan_orderkey",
+            lineitem.join(orders, lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+              .agg(count(lit(1)).as("n_violations"))),
+          report("lineitem_qty_out_of_range",
+            lineitem.agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+              .as("n_violations"))))
+        checks.reduce(_ unionByName _).orderBy("check_name")
+      }),
+
     // tall→wide PIVOT — the inverse reshape of unpivot_quartiles: one
     // column per event type, count + exact cent-sum per (day, type) cell.
     // The pivot VALUES are declared explicitly, so Spark skips the

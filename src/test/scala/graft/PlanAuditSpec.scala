@@ -50,6 +50,7 @@ class PlanAuditSpec extends SparkSpec {
     "sql_adhoc_similarity",                                // ANN scoring from raw SQL (8-row query batch)
     "company_registration", "group_max_next_id",           // 1-row scalar attach
     "tfidf_search",                                        // 1-row corpus-size attach
+    "bm25_search",                                         // 1-row corpus-stats attach
     "perplexity_filter",                                   // 1-row corpus-total attach
     "mixture_temperature_sample")                          // 1-row total/max attaches
 

@@ -22,6 +22,51 @@ class ScaleOpsSpec extends SparkSpec {
     assert(direct.join(salted, Seq("user_id", "n", "total"), "left_anti").count() == 0)
   }
 
+  test("AQE splits the skewed partition of a shuffle join at runtime") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // SCALE.md's division of labor: Skew.saltedCountSum covers skewed
+    // AGGREGATION; skewed JOINS are AQE's job. This pins that claim: a
+    // join where half the left side shares one key must plan skew-split
+    // sort-merge-join stages, not stall one reducer on the hot key
+    val prev = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1" // force a shuffle join
+    ).map { case (k, v) =>
+      val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old
+    }
+    try {
+      // 90% of the left side shares k=0 — one reducer would carry ~25 MB
+      // while its siblings carry < 1 MB
+      val left = spark.range(2000000L).select(
+        when($"id" % 10 > 0, 0L).otherwise($"id").as("k"), $"id".as("v"))
+      val right = spark.range(200000L).select($"id".as("k"), ($"id" * 2).as("w"))
+      // sum(v) keeps the payload column in the shuffle — without it the
+      // join's column pruning ships only `k`, whose constant hot key
+      // compresses below any realistic skew threshold
+      val q = left.join(right, "k")
+        .groupBy().agg(count(lit(1)).as("n"), sum($"w").as("s"), sum($"v").as("sv"))
+      // 1.8M left rows share k=0 (one right match) + the 20k multiples
+      // of 10 below 200k match one-to-one
+      assert(q.collect()(0).getLong(0) == 1800000L + 20000L)
+      def smjs(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
+        case s: SortMergeJoinExec => Seq(s)
+        case st: QueryStageExec => smjs(st.plan)
+        case a: AdaptiveSparkPlanExec => smjs(a.executedPlan)
+      }.flatten
+      val joins = smjs(q.queryExecution.executedPlan)
+      assert(joins.nonEmpty, "expected a sort-merge join in the executed plan")
+      assert(joins.exists(_.isSkewJoin),
+        "AQE did not mark the join skew-split — the hot key ran on one reducer")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("distributed prefix sum is partitioning-invariant and equals the global window") {
     import graft.operators.PrefixSum
     import org.apache.spark.sql.expressions.Window

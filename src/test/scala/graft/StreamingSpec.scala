@@ -208,6 +208,58 @@ class StreamingSpec extends SparkSpec {
     assert(warehouse().groupBy("day", "user_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("checkpoint restart: a stopped query resumes exactly-once from its checkpoint") {
+    import org.apache.spark.sql.functions._
+    // the ops-grade property: kill the query after one chunk, deliver the
+    // rest, restart a NEW query object on the SAME checkpoint — the
+    // result must equal an uninterrupted run (offsets, watermark, and
+    // sink idempotence all restored from the checkpoint)
+    val n = 90000L
+    val ticks = spark.range(n).select(
+      pmod(hash(col("id") * 7), lit(20)).cast("long").as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 20000000L).as("ts"),
+      (abs(hash(col("id"))) % 20000 / 100.0 + 1.0).as("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src")
+    val third = n / 3
+    def chunk(i: Long) = ticks.filter(
+      col("ts") >= timestamp_micros(lit(1704067200000000L + i * third * 20000000L)) &&
+        col("ts") < timestamp_micros(lit(1704067200000000L + (i + 1) * third * 20000000L)))
+    def stage(i: Long): Unit = {
+      val f = srcDir.resolve(s"chunk$i")
+      chunk(i).coalesce(1).write.parquet(f.toString)
+      f.toFile.listFiles().foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    stage(0)
+    val out = java.nio.file.Files.createTempDirectory("graft-restart-out")
+    val warehousePath = out.resolve("daystocks").toString
+    val ckpt = out.resolve("ckpt").toString
+    def startQuery() = {
+      val stream = spark.readStream.schema(ticks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+      StreamingCandles.warehouseSink(
+        StreamingCandles.dailyCandles(stream, "user_id", "ts", "value"),
+        warehousePath, ckpt)
+    }
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop() // "crash" after chunk 0
+    val afterCrash = spark.read.parquet(warehousePath).count()
+    assert(afterCrash > 0, "first run emitted nothing — the fixture proves nothing")
+
+    stage(1); stage(2)
+    val q2 = startQuery() // new query object, same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+
+    val cutoff = ticks.agg(max($"ts")).collect()(0).getTimestamp(0).toInstant.minusSeconds(86400)
+    val expected = Candles.ohlcvDaily(ticks, "user_id", "ts", "value")
+      .filter(col("day").cast("timestamp") + expr("INTERVAL 1 DAY") <=
+        lit(java.sql.Timestamp.from(cutoff)))
+    val warehouse = spark.read.parquet(warehousePath).drop("batch")
+    assert(warehouse.count() == expected.count())
+    assert(warehouse.join(expected,
+      Seq("day", "user_id", "open", "high", "low", "close", "volume"), "left_anti").count() == 0)
+    assert(warehouse.groupBy("day", "user_id").count().filter($"count" > 1).count() == 0)
+  }
+
   test("stream-static join: each micro-batch enriched against a batch dimension") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
     val dim = ev.select($"user_id").distinct()
