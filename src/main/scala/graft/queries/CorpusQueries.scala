@@ -337,6 +337,44 @@ object CorpusQueries {
           .orderBy("source", "rank")
       }),
 
+    // class-balanced downsampling — cap_per_source's sibling where the
+    // cap is DATA-DEPENDENT: every class is cut to the size of the
+    // rarest class (the balanced-dataset builder for classifier
+    // training). The min class size is one scalar driver round-trip
+    // (bounded, like the prefix-sum totals), then the same
+    // hash-rank + bounded-state TopKAggregator selection as
+    // cap_per_source — no full-class window sort
+    QueryDef(
+      "class_balance",
+      Some(s"""
+        WITH s AS (
+          SELECT event_type, event_id,
+                 ${TextAnalysis.hashBucketSqlDuck("event_id", 1000000000L)} AS hv
+          FROM events
+        ), m AS (
+          SELECT CAST(min(n) AS BIGINT) AS m
+          FROM (SELECT count(*) AS n FROM events GROUP BY event_type)
+        ), r AS (
+          SELECT event_type, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv DESC, event_id) AS rank
+          FROM s
+        )
+        SELECT event_type, event_id, CAST(rank AS BIGINT) AS rank
+        FROM r CROSS JOIN m WHERE rank <= m
+        ORDER BY event_type, rank
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val scored = Tables.events(spark, dir).select(
+          col("event_type"), col("event_id"),
+          expr(TextAnalysis.hashBucketExpr("event_id", 1000000000L)).as("hv"))
+        val m = scored.groupBy("event_type").count()
+          .agg(min(col("count"))).head().getLong(0).toInt
+        graft.operators.TopKAggregator
+          .topKPerStringKey(scored, "event_type", "hv", "event_id", k = m)
+          .select(col("event_type"), col("event_id"), col("rank"))
+          .orderBy("event_type", "rank")
+      }),
+
     // URL parse + domain blocklist: synthesize a deterministic URL per
     // doc, extract host/path/query-param natively (parse_url — codegen'd
     // builtin), drop blocklisted domains via broadcast anti join. The

@@ -67,6 +67,45 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective non-partition join") {
+    // the row-group analog of the DPP warehouse test: when the join key
+    // is NOT a partition column, Spark can still cut the big side's scan
+    // by injecting a bloom filter built from the selective dim side
+    // (InjectRuntimeFilter). This pins that the engine-level machinery
+    // our manual decontamination prefilter mirrors also fires on plain
+    // joins — and documents the conf that gates it (the application-side
+    // scan threshold defaults to 10 GB, far above any test fixture)
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      // the rule targets shuffle joins (a broadcast probe is already
+      // cheap to filter at the join itself) — force the shuffle plan
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).map { case (k, v) =>
+      val old = spark.conf.getOption(k); spark.conf.set(k, v); k -> old
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-rbf")
+    try {
+      spark.range(2000000L).select(
+        ($"id" % 1000000L).as("k"), ($"id" * 3).as("payload"))
+        .write.parquet(dir.resolve("fact").toString)
+      spark.range(10000L).select(
+        $"id".as("k"), when($"id" % 100 === 0, 1).otherwise(0).as("flag"))
+        .write.parquet(dir.resolve("dim").toString)
+      val fact = spark.read.parquet(dir.resolve("fact").toString)
+      val dim = spark.read.parquet(dir.resolve("dim").toString).filter($"flag" === 1)
+      val q = fact.join(dim, "k").groupBy().agg(count(lit(1)).as("n"))
+      assert(q.collect()(0).getLong(0) == 200L) // 100 dim keys x 2 fact rows
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        "no runtime bloom filter on the probe side:\n" +
+          plan.linesIterator.take(30).mkString("\n"))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("distributed prefix sum is partitioning-invariant and equals the global window") {
     import graft.operators.PrefixSum
     import org.apache.spark.sql.expressions.Window
