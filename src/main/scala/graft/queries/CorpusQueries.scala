@@ -340,10 +340,14 @@ object CorpusQueries {
     // class-balanced downsampling — cap_per_source's sibling where the
     // cap is DATA-DEPENDENT: every class is cut to the size of the
     // rarest class (the balanced-dataset builder for classifier
-    // training). The min class size is one scalar driver round-trip
-    // (bounded, like the prefix-sum totals), then the same
-    // hash-rank + bounded-state TopKAggregator selection as
-    // cap_per_source — no full-class window sort
+    // training). Unlike cap_per_source's k=5, the cap here is
+    // COMPARABLE TO THE CLASS SIZE, which flips the right plan: the
+    // O(k)-state TopKAggregator degenerates (measured 73 s at sf0.1 —
+    // every row churns a ~200k-element buffer), while the per-class
+    // hash-rank window sort is one shuffle + sort (0.6 s). At corpus
+    // scale the sort-free variant is an approx_percentile threshold on
+    // hv per class + filter — kept out of the catalog because its kept-
+    // set is approximate at the boundary, so it cannot hash-match
     QueryDef(
       "class_balance",
       Some(s"""
@@ -368,9 +372,13 @@ object CorpusQueries {
           col("event_type"), col("event_id"),
           expr(TextAnalysis.hashBucketExpr("event_id", 1000000000L)).as("hv"))
         val m = scored.groupBy("event_type").count()
-          .agg(min(col("count"))).head().getLong(0).toInt
-        graft.operators.TopKAggregator
-          .topKPerStringKey(scored, "event_type", "hv", "event_id", k = m)
+          .agg(min(col("count"))).head().getLong(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("hv").desc, col("event_id"))
+        scored
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= m)
           .select(col("event_type"), col("event_id"), col("rank"))
           .orderBy("event_type", "rank")
       }),
