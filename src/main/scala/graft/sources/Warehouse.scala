@@ -78,10 +78,16 @@ object Warehouse {
     // never row data
     val days = up.select(col("day")).distinct().collect().map(_.get(0))
     require(days.nonEmpty, "upsert with no rows")
-    val current = spark.read.parquet(path).filter(col("day").isin(days: _*))
+    // mergeSchema + allowMissingColumns = schema evolution: an upsert may
+    // carry a column the table has never seen (new feed field) or miss
+    // one the table has (old producer) — either side's absent columns
+    // null-fill instead of throwing, and a mixed-schema table (old days
+    // without the column) still loads
+    val current = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("day").isin(days: _*))
     val survivors = current.join(up.select((keyCols :+ "day").map(col): _*),
       keyCols :+ "day", "left_anti")
-    val merged = survivors.unionByName(up)
+    val merged = survivors.unionByName(up, allowMissingColumns = true)
 
     withStaging(spark, path) { staging =>
       merged.write.mode("overwrite").parquet(staging)
@@ -145,7 +151,8 @@ object Warehouse {
       .map(_.getPath.getName.stripPrefix("day="))
     if (fragmented.isEmpty) return Nil
 
-    val current = spark.read.parquet(path).filter(col("day").isin(fragmented: _*))
+    val current = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("day").isin(fragmented: _*))
     withStaging(spark, path) { staging =>
       current.write.mode("overwrite").parquet(staging)
       swapStaged(spark, path, staging, Seq(keyCol, tsCol))

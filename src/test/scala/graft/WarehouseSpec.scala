@@ -142,6 +142,35 @@ class WarehouseSpec extends SparkSpec {
     rm(new java.io.File(path))
   }
 
+  test("schema evolution: upserts with new or missing columns null-fill instead of throwing") {
+    val path = freshWarehouse() // days jan 1-3, columns (user_id, ts, value)
+    // a new feed field arrives: replaces (1, day2), inserts (7, day4)
+    val withVenue = Seq(
+      (1L, ts("2024-01-02 15:00:00"), 99.0, "X"),
+      (7L, ts("2024-01-04 16:00:00"), 77.0, "Y")
+    ).toDF("user_id", "ts", "value", "venue")
+    Warehouse.upsertDayPartitioned(spark, path, withVenue, "ts", Seq("user_id"))
+    val back = spark.read.option("mergeSchema", "true").parquet(path)
+    val rows = back.select($"user_id", $"value", $"venue", $"day".cast("string"))
+      .as[(Long, Double, Option[String], String)].collect().toSet
+    assert(rows == Set(
+      (1L, 10.0, None, "2024-01-01"), (2L, 11.0, None, "2024-01-01"),
+      (1L, 99.0, Some("X"), "2024-01-02"), (2L, 21.0, None, "2024-01-02"),
+      (7L, 77.0, Some("Y"), "2024-01-04"),
+      (1L, 30.0, None, "2024-01-03")))
+
+    // an OLD producer still missing `value` replaces (2, day2): absent
+    // columns null-fill — last-writer-wins applies to the schema too
+    val oldProducer = Seq((2L, ts("2024-01-02 11:30:00"), "Z"))
+      .toDF("user_id", "ts", "venue")
+    Warehouse.upsertDayPartitioned(spark, path, oldProducer, "ts", Seq("user_id"))
+    val after = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter($"day" === "2024-01-02")
+      .select($"user_id", $"value".isNull, $"venue")
+      .as[(Long, Boolean, Option[String])].collect().toSet
+    assert(after == Set((1L, false, Some("X")), (2L, true, Some("Z"))))
+  }
+
   test("dynamic partition pruning: a filtered dim join prunes fact days at runtime") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
