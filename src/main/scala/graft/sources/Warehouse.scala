@@ -126,6 +126,63 @@ object Warehouse {
       .write.mode("overwrite").partitionBy("day").parquet(path)
   }
 
+  /** Delete every row of the named keys across the whole warehouse — the
+    * right-to-be-forgotten / bad-feed retraction maintenance op. Two
+    * phases, both partition-scoped:
+    *  1. DISCOVER the affected days with a key-pushed scan (the isin
+    *     predicate reaches the parquet row groups, so days whose min/max
+    *     exclude the keys are never decompressed) projecting only `day`;
+    *  2. copy-on-write REWRITE of exactly those days via the same
+    *     staged dynamic-partition-overwrite as upserts — days without
+    *     the keys keep their files byte-identical.
+    * Returns the rewritten days. Idempotent: a replay finds no affected
+    * days and rewrites nothing.
+    */
+  def deleteKeys(
+      spark: SparkSession,
+      path: String,
+      keyCol: String,
+      keys: Seq[Any],
+      tsCol: String): Seq[String] = {
+    require(keys.nonEmpty, "deleteKeys with no keys")
+    val table = spark.read.option("mergeSchema", "true").parquet(path)
+    val hit = col(keyCol).isin(keys: _*)
+    val days = table.filter(hit).select(col("day")).distinct()
+      .collect().map(_.get(0))
+    if (days.isEmpty) return Nil
+    val survivors = table.filter(col("day").isin(days: _*)).filter(!hit)
+    // a day can lose EVERY row: dynamic overwrite would leave its old
+    // files untouched (nothing staged for it), so those day dirs are
+    // removed explicitly — an absent partition is the correct state
+    val kept = survivors.select(col("day")).distinct().collect().map(_.get(0)).toSet
+    if (kept.nonEmpty) withStaging(spark, path) { staging =>
+      survivors.write.mode("overwrite").parquet(staging)
+      swapStaged(spark, path, staging, Seq(keyCol, tsCol))
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    days.filterNot(kept).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"day=$d"), true)
+    }
+    days.map(_.toString).sorted.toSeq
+  }
+
+  /** Remove `_staging-*` directories left by upserts/compactions/deletes
+    * that crashed between staging and swap. Safe while readers run —
+    * `_`-prefixed dirs are invisible to them — and safe against races
+    * with LIVE maintenance only when `olderThanMs` exceeds the longest
+    * plausible job duration (default 24 h). Returns the deleted names.
+    */
+  def vacuum(spark: SparkSession, path: String, olderThanMs: Long = 86400000L): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staging-")
+        && s.getModificationTime < cutoff)
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+  }
+
   /** Compact day partitions that fragmented into more than
     * `maxFilesPerDay` parquet files (streaming micro-batches, repeated
     * upserts) back into one sorted file per day, restoring the

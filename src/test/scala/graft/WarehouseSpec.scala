@@ -222,6 +222,49 @@ class WarehouseSpec extends SparkSpec {
       s"DPP did not prune: read $filesRead files of a $totalFiles-day table")
   }
 
+  test("deleteKeys scrubs a key everywhere, leaves clean days' files untouched, replays as a no-op") {
+    val path = freshWarehouse() // user 1 on days 1,2,3; user 2 on days 1,2
+    val day3Before = listFiles(path, "2024-01-03")
+    // day 3 holds only user 1 — deleting user 2 must not rewrite it
+    val rewritten = Warehouse.deleteKeys(spark, path, "user_id", Seq(2L), "ts")
+    assert(rewritten == Seq("2024-01-01", "2024-01-02"))
+    val rows = spark.read.parquet(path)
+      .select($"user_id", $"value", $"day".cast("string"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(rows == Set(
+      (1L, 10.0, "2024-01-01"), (1L, 20.0, "2024-01-02"), (1L, 30.0, "2024-01-03")))
+    assert(listFiles(path, "2024-01-03") == day3Before)
+    // replay: nothing left to find, nothing rewritten
+    assert(Warehouse.deleteKeys(spark, path, "user_id", Seq(2L), "ts").isEmpty)
+  }
+
+  test("deleteKeys drops a day partition entirely when every row of the day is deleted") {
+    val path = freshWarehouse()
+    // day 3 contains ONLY user 1 — deleting user 1 must remove the dir
+    Warehouse.deleteKeys(spark, path, "user_id", Seq(1L), "ts")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/day=2024-01-03")))
+    val rows = spark.read.parquet(path)
+      .select($"user_id", $"day".cast("string")).as[(Long, String)].collect().toSet
+    assert(rows == Set((2L, "2024-01-01"), (2L, "2024-01-02")))
+  }
+
+  test("vacuum removes only stale staging leftovers") {
+    val path = freshWarehouse()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = new org.apache.hadoop.fs.Path(s"$path/_staging-dead")
+    val fresh = new org.apache.hadoop.fs.Path(s"$path/_staging-live")
+    fs.mkdirs(stale); fs.mkdirs(fresh)
+    fs.setTimes(stale, System.currentTimeMillis() - 100000L, -1)
+    val deleted = Warehouse.vacuum(spark, path, olderThanMs = 50000L)
+    assert(deleted == Seq("_staging-dead"))
+    assert(!fs.exists(stale) && fs.exists(fresh))
+    // the table itself is untouched
+    assert(spark.read.parquet(path).count() == 5)
+  }
+
   test("staging lives on the warehouse filesystem under the table root, not driver tmp") {
     val path = freshWarehouse()
     val tmpRoot = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
