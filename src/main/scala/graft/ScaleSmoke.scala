@@ -629,6 +629,53 @@ object ScaleSmoke {
         (if (before == after) " (idempotent)" else " MISMATCH"))
       assert(before == after, s"replay duplicated rows: $before -> $after")
     }
+
+    // stream-stream attribution at 10M events: 5M views + 5M clicks over
+    // ~40 days, 4 chronological chunks per side. The volume claims under
+    // test: (1) the streaming join emits EXACTLY the batch join, and
+    // (2) the state store ends holding a lookback-sized tail, not the
+    // stream — the O(window) bound that lets this run forever
+    timed("stream-stream attribution, 5M views x 5M clicks, 4-chunk replay") {
+      import graft.streaming.StreamJoins
+      val n = 5000000L
+      def side(tag: String, salt: Int) = spark.range(n).select(
+        pmod(hash(col("id") * salt), lit(100000)).cast("long").as("user_id"),
+        col("id").as(s"${tag}_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 700000L).as(s"${tag}_ts"))
+      val views = side("view", 7).localCheckpoint()
+      val clicks = side("click", 13).localCheckpoint()
+      def stage(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+        val d = java.nio.file.Files.createTempDirectory(s"graft-ssj-$tag")
+        (0L until 4L).foreach { i =>
+          val f = d.resolve(s"chunk$i")
+          df.filter(col(s"${tag}_id") >= i * n / 4 && col(s"${tag}_id") < (i + 1) * n / 4)
+            .coalesce(4).write.parquet(f.toString)
+          f.toFile.listFiles().foreach(_.setLastModified(1700000000000L + i * 60000L))
+        }
+        d.toString + "/*"
+      }
+      val vStream = spark.readStream.schema(views.schema)
+        .option("maxFilesPerTrigger", 4).parquet(stage(views, "view"))
+      val cStream = spark.readStream.schema(clicks.schema)
+        .option("maxFilesPerTrigger", 4).parquet(stage(clicks, "click"))
+      val q = StreamJoins.attributeClicks(vStream, cStream,
+          lookback = "1 hour", delay = "1 hour")
+        .writeStream.format("memory").queryName("ssj_scale")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val emitted = spark.table("ssj_scale").count()
+        val expected = views.join(clicks,
+          views("user_id") === clicks("user_id") &&
+            clicks("click_ts") >= views("view_ts") &&
+            clicks("click_ts") <= views("view_ts") + expr("INTERVAL 1 hour")).count()
+        val retained = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        println(s"[scale]   matches: $emitted (batch: $expected), state rows at end: $retained / ${2 * n}")
+        assert(emitted == expected, s"streaming $emitted != batch $expected")
+        assert(retained > 0 && retained < (2 * n) / 20,
+          s"state held $retained of ${2 * n} — eviction did not bound the join")
+      } finally q.stop()
+    }
     spark.stop()
   }
 }

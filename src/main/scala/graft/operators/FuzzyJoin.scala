@@ -90,8 +90,12 @@ object FuzzyJoin {
     val scored = cands
       .join(left.select(col(leftKey), col(leftName)), Seq(leftKey))
       .join(right.select(col(rightKey), col(rightName)), Seq(rightKey))
-      .withColumn("dist", levenshtein(col(leftName), col(rightName)))
-      .filter(col("dist") <= maxDist)
+      // bounded form: banded O(len·d) DP that bails out at maxDist+1
+      // (returns -1 above the bound) instead of the full O(len²) matrix —
+      // the confirm step runs once per candidate pair, so the band is
+      // where the blocked join's verify cost lives
+      .withColumn("dist", levenshtein(col(leftName), col(rightName), maxDist))
+      .filter(col("dist") >= 0)
     val w = Window.partitionBy(col(leftKey)).orderBy(col("dist"), col(rightKey))
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
