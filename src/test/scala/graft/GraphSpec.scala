@@ -52,6 +52,46 @@ class GraphSpec extends SparkSpec {
     assert(once == many)
   }
 
+  test("property: distributed mass flow equals a local reference on random multigraphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // arbitrary shapes: self-loops, parallel edges, dead ends, isolated-
+    // by-direction nodes — the local fold is the ground truth the
+    // distributed joins must reproduce exactly
+    val genGraph = for {
+      nNodes <- Gen.choose(2, 12)
+      nEdges <- Gen.choose(1, 30)
+      edges <- Gen.listOfN(nEdges, for {
+        s <- Gen.choose(0, nNodes - 1)
+        d <- Gen.choose(0, nNodes - 1)
+      } yield (s.toLong, d.toLong))
+      iters <- Gen.choose(1, 3)
+    } yield (edges, iters)
+    val prop = Prop.forAll(genGraph) { case (edges, iters) =>
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val out = edges.groupBy(_._1)
+      var mass = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val next = scala.collection.mutable.Map(nodes.map(n => n -> 0L): _*)
+        for (n <- nodes) {
+          val m = mass(n)
+          out.get(n) match {
+            case None => next(n) += m
+            case Some(es) =>
+              next(n) += m % es.size
+              es.foreach { case (_, dst) => next(dst) += m / es.size }
+          }
+        }
+        mass = next.toMap
+      }
+      val got = MassFlow.propagate(edgesDf(edges: _*), iters)
+        .as[(Long, Long)].collect().toMap
+      got == mass
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("propagate rejects a non-positive iteration count") {
     intercept[IllegalArgumentException] {
       MassFlow.propagate(edgesDf((1L, 2L)), iters = 0)
