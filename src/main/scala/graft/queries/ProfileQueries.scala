@@ -203,6 +203,72 @@ object ProfileQueries {
           .orderBy("user_id")
       }),
 
+    // median absolute deviation — the robust dispersion estimate that
+    // survives the outliers stddev inflates on (winsorize's diagnostic
+    // sibling): per-key median, then the median of absolute deviations
+    // from it. Both engines interpolate percentile/quantile_cont
+    // identically (raw doubles are safe — the established parity)
+    QueryDef(
+      "mad_stats",
+      Some("""
+        WITH med AS (
+          SELECT user_id, quantile_cont(value, 0.5) AS med
+          FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events e JOIN med m ON e.user_id = m.user_id
+        GROUP BY e.user_id, m.med
+        ORDER BY e.user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir).select("user_id", "value")
+        val med = ev.groupBy("user_id")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        ev.join(med, "user_id")
+          .groupBy("user_id", "med")
+          .agg(
+            expr("percentile(abs(value - med), 0.5)").as("mad"),
+            count(lit(1)).as("n"))
+          .select("user_id", "med", "mad", "n")
+          .orderBy("user_id")
+      }),
+
+    // null-safe equi-join — the nullable-key trap: a plain `=` join
+    // silently DROPS every null-key row (null = null is null, not
+    // true), while <=> / IS NOT DISTINCT FROM matches them. Sector is
+    // null for users divisible by 7; the pair counts prove the null
+    // group joined (and Spark plans <=> as a hash join, not a BNLJ)
+    QueryDef(
+      "null_safe_join",
+      Some("""
+        WITH a AS (
+          SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 10 END AS sector,
+                 count(*) AS n_events
+          FROM events GROUP BY 1
+        ), b AS (
+          SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 10 END AS sector,
+                 CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY 1
+        )
+        SELECT a.sector, a.n_events, b.n_users
+        FROM a JOIN b ON a.sector IS NOT DISTINCT FROM b.sector
+        ORDER BY a.sector NULLS FIRST
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val sector = when(col("user_id") % 7 === 0, lit(null))
+          .otherwise(col("user_id") % 10).as("sector")
+        val ev = Tables.events(spark, dir)
+        val a = ev.select(sector).groupBy("sector")
+          .agg(count(lit(1)).as("n_events"))
+        val b = ev.select(col("user_id"), sector).groupBy("sector")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        a.join(b, a("sector") <=> b("sector"))
+          .select(a("sector"), col("n_events"), col("n_users"))
+          .orderBy(col("sector").asc_nulls_first)
+      }),
+
     // event-transition matrix (first-order Markov over each user's
     // clickstream): lag the previous event type per user, count global
     // (prev → next) transitions + the probability given prev. The lag
