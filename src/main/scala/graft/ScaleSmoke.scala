@@ -669,7 +669,9 @@ object ScaleSmoke {
           views("user_id") === clicks("user_id") &&
             clicks("click_ts") >= views("view_ts") &&
             clicks("click_ts") <= views("view_ts") + expr("INTERVAL 1 hour")).count()
-        val retained = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        val retained = q.recentProgress.reverse.collectFirst {
+          case p if p.stateOperators.nonEmpty => p.stateOperators.map(_.numRowsTotal).sum
+        }.getOrElse(0L)
         println(s"[scale]   matches: $emitted (batch: $expected), state rows at end: $retained / ${2 * n}")
         assert(emitted == expected, s"streaming $emitted != batch $expected")
         assert(retained > 0 && retained < (2 * n) / 20,

@@ -659,7 +659,11 @@ class StreamingSpec extends SparkSpec {
       // window, not stream history — by end of replay the watermark has
       // evicted everything older than lookback+delay, so the state store
       // retains a small tail of the month, not the whole month
-      val retained = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // lastProgress can be a no-data tick without state info — take the
+      // most recent progress event that carries state operators
+      val retained = q.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty => p.stateOperators.map(_.numRowsTotal).sum
+      }.getOrElse(0L)
       val total = views.count() + clicks.count()
       assert(retained > 0, "no join state reported — the metric is dead")
       assert(retained < total / 2,
