@@ -17,14 +17,26 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * natively; read nanos as long and floor-divide to micros — exactly the
-    * truncation DuckDB applies, so the oracle agrees bit-for-bit.
+  /** Canonicalize `events.ts` across testdata generations: older drops
+    * write parquet TIMESTAMP(NANOS) (Spark 4 reads it only as a nanos
+    * long under `nanosAsLong` — floor-divide to micros, exactly DuckDB's
+    * truncation), newer drops write TIMESTAMP(MICROS) which Spark reads
+    * as TIMESTAMP_NTZ (cast to the session-UTC instant type so every
+    * downstream window/date op sees the same values either way).
     */
+  def canonicalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    canonicalizeEventTs(load(spark, dir, "events"))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
@@ -44,13 +56,20 @@ object Tables {
     */
   def eventsInRange(spark: SparkSession, dir: String, startIso: String, endIso: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    def ns(iso: String): Long =
-      java.time.LocalDateTime.parse(iso.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+    import org.apache.spark.sql.types.LongType
+    def ldt(iso: String) = java.time.LocalDateTime.parse(iso.replace(' ', 'T'))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .filter(col("ts") >= ns(startIso) && col("ts") < ns(endIso))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, dir, "events")
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => // nanos epoch: floor(ns/1000) ∈ [s, e) ⇔ ns ∈ [s·1000, e·1000)
+        def ns(iso: String): Long =
+          ldt(iso).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+        raw.filter(col("ts") >= ns(startIso) && col("ts") < ns(endIso))
+      case _ => // native timestamp: NTZ literals keep the predicate on the
+        // scan column itself, so it still reaches PushedFilters
+        raw.filter(col("ts") >= lit(ldt(startIso)) && col("ts") < lit(ldt(endIso)))
+    }
+    canonicalizeEventTs(filtered)
   }
 
   /** Canonical read: like `load`, but with per-table fixups (events' nanos

@@ -20,7 +20,7 @@ class StreamingSpec extends SparkSpec {
       streamDir.resolve("events.parquet"))
     val stream = StreamingCandles.fileStream(
       spark, streamDir.toString, Tables.load(spark, sf, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.canonicalizeEventTs)
       .select("user_id", "ts", "value")
 
     val q = StreamingCandles.dailyCandles(stream, "user_id", "ts", "value")
@@ -86,7 +86,7 @@ class StreamingSpec extends SparkSpec {
       streamDir.resolve("events.parquet"))
     val stream = StreamingCandles.fileStream(
       spark, streamDir.toString, Tables.load(spark, sf, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.canonicalizeEventTs)
       .select("user_id", "ts", "value")
     def sessions(df: org.apache.spark.sql.DataFrame) = df
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
@@ -123,7 +123,7 @@ class StreamingSpec extends SparkSpec {
       streamDir.resolve("events.parquet"))
     val stream = StreamingCandles.fileStream(
       spark, streamDir.toString, Tables.load(spark, sf, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.canonicalizeEventTs)
       .select("user_id", "ts", "value")
     val out = java.nio.file.Files.createTempDirectory("graft-sink-out")
     val q = StreamingCandles.warehouseSink(
@@ -270,7 +270,7 @@ class StreamingSpec extends SparkSpec {
       streamDir.resolve("events.parquet"))
     val stream = StreamingCandles.fileStream(
       spark, streamDir.toString, Tables.load(spark, sf, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(Tables.canonicalizeEventTs)
       .select("event_id", "user_id", "ts", "value")
     // stateless stream-static equi-join: the static side is re-planned
     // per micro-batch (picking up dimension updates), the stream side
