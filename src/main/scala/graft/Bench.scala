@@ -7,13 +7,24 @@ import org.apache.spark.sql.SparkSession
   * trivial job first so JVM/codegen startup isn't attributed to whichever
   * query happens to run first.
   *
-  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 5) and reports
   * the MEDIAN — n=1 could not distinguish JIT/suite-order noise from a
   * real regression (round-2 finding: four queries drifted 0.5–1.2 s and
   * the signal was unreadable). Runs interleave whole passes over the
   * catalog (pass 1 all queries, pass 2 all queries, …) rather than
   * back-to-back repeats, so a query's repeats don't ride their own
   * just-warmed caches and the median stays an honest steady-state number.
+  *
+  * The bench ACTION is a `noop`-format write, not `count()`: count() lets
+  * Catalyst prune the final projection and drop result sorts, so queries
+  * whose tail is computed columns (the per-row-function entries like
+  * `string_functions_doc`, `char_entropy`) were under-measured — exactly
+  * the codegen'd-expression work those entries exist to exercise
+  * (round-8 judge finding). The noop sink materializes every output
+  * column through the full plan and discards rows executor-side, which is
+  * also how a real cluster pays for a query: results leave the plan, they
+  * are not collapsed into a cardinality. SCALE.md records the one-time
+  * count-vs-noop step change so r9's totals are attributable.
   *
   * The driver keeps only the LAST 2000 bytes of stdout (round-1 finding:
   * the full-precision 63-query line was 3 KB and got truncated →
@@ -36,7 +47,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // warm JVM + codegen
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
+    // dev-only escape hatch to reproduce the pre-r9 count() action for
+    // step-change attribution (see SCALE.md "Bench action fidelity")
+    val useCount = sys.env.get("SPARK_GRAFT_BENCH_ACTION").contains("count")
     // dev-only filter (mirrors Verify's third arg): comma-separated query
     // names for fast single-query iteration; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -51,7 +65,12 @@ object Bench {
     val samples = (1 to nRuns).map { _ =>
       catalog.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
+        val ok = try {
+          val df = fn(spark, sfDir)
+          if (useCount) df.count()
+          else df.write.format("noop").mode("overwrite").save()
+          true
+        } catch {
           case e: Throwable =>
             failed += name
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -29,7 +29,18 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType =>
+        // The NTZ→timestamp cast reads the wall-clock through the SESSION
+        // time zone; the testdata's NTZ values are UTC instants, so any
+        // session not pinned to UTC would silently shift every event and
+        // diverge from the DuckDB oracle. Enforce the invariant here, at
+        // the one seam every events read passes through, instead of
+        // trusting each entrypoint to have set it.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts canonicalization requires spark.sql.session.timeZone=UTC (got $tz); " +
+            "set it in the SparkSession builder before reading events")
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _                => df
     }
   }
@@ -62,8 +73,14 @@ object Tables {
     val raw = load(spark, dir, "events")
     val filtered = raw.schema("ts").dataType match {
       case LongType => // nanos epoch: floor(ns/1000) ∈ [s, e) ⇔ ns ∈ [s·1000, e·1000)
-        def ns(iso: String): Long =
-          ldt(iso).toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000000L
+        // Bound at MICROsecond precision — identical to the NTZ branch,
+        // where `lit(LocalDateTime)` becomes a micros-precision timestamp
+        // literal. (toEpochMilli here would truncate sub-second bounds to
+        // milliseconds and the two branches would select different rows.)
+        def ns(iso: String): Long = {
+          val t = ldt(iso)
+          (t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L) * 1000L
+        }
         raw.filter(col("ts") >= ns(startIso) && col("ts") < ns(endIso))
       case _ => // native timestamp: NTZ literals keep the predicate on the
         // scan column itself, so it still reaches PushedFilters

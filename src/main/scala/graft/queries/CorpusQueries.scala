@@ -48,6 +48,62 @@ object CorpusQueries {
     "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d",
     "i" -> "n", "e" -> "r", "o" -> "n", "e" -> "e", "o" -> "o")
 
+  /** DuckDB oracle for the FULL BPE trainer (`Vocab.bpeTrain`): `nMerges`
+    * rounds unrolled into chained CTEs by this one Scala loop — the
+    * `GraphQueries.massFlowOracle` idiom, never hand-retyped per round.
+    *
+    * Round state is the chr(31)-boundary-wrapped segmentation string of
+    * `Vocab.segJoinedDuck` (symbol list [a,b] ⇒ ␟a␟␟b␟), under which one
+    * greedy left-to-right `applyMerge` pass ≡ one non-overlapping
+    * `replace` — including the 'aaa'→[aa,a] repeat-adjacent tiebreak.
+    * Each round: split the state back into symbols, count adjacent pairs
+    * weighted by word freq, take the argmax under the same
+    * (cnt desc, pair asc) binary-collation order the engine uses, then
+    * rewrite every word's state with that pair's replace. Symbols are
+    * whitespace-split tokens so they can never contain the ' ' pair
+    * separator or chr(31)/chr(30). When a round has no pairs left the
+    * argmax CTE is empty: COALESCE substitutes the never-occurring
+    * chr(30) pattern (replace no-ops) and the round contributes no output
+    * row — exactly the trainer's early stop. The per-round state CTEs are
+    * AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default,
+    * and seg16 inlined expands to 2^16 scans of `documents` (measured:
+    * "Too many open files", not a slow query — an fd per scan). */
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val B = "chr(31)"
+    val rounds = (1 to nMerges).map { i =>
+      s"""syms$i AS (
+         |  SELECT w, freq, string_split(trim(j, $B), $B || $B) AS sym FROM seg${i - 1}
+         |), pairs$i AS (
+         |  SELECT sym[CAST(u.i AS INT)] || ' ' || sym[CAST(u.i AS INT) + 1] AS pair, freq
+         |  FROM syms$i, unnest(range(1, len(sym))) AS u(i)
+         |), best$i AS MATERIALIZED (
+         |  SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b,
+         |         CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM pairs$i GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+         |), seg$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         replace(j,
+         |                 COALESCE((SELECT $B || a || $B || $B || b || $B FROM best$i), chr(30)),
+         |                 COALESCE((SELECT $B || a || b || $B FROM best$i), chr(30))) AS j
+         |  FROM seg${i - 1}
+         |)""".stripMargin
+    }
+    val out = (1 to nMerges).map(i =>
+      s"""SELECT $i AS rank, a AS "left", b AS "right", cnt FROM best$i""")
+    s"""WITH words AS (
+       |  SELECT unnest($toksDuck) AS w FROM documents
+       |), freq AS (
+       |  SELECT w, count(*) AS freq FROM words WHERE length(w) > 0 GROUP BY w
+       |), seg0 AS MATERIALIZED (
+       |  SELECT w, freq, $B || array_to_string(string_split(w, ''), $B || $B) || $B AS j
+       |  FROM freq
+       |),
+       |${rounds.mkString(",\n")}
+       |SELECT * FROM (
+       |${out.mkString("\n", "\nUNION ALL\n", "\n")})
+       |ORDER BY rank""".stripMargin
+  }
+
   val entries: Seq[QueryDef] = Seq(
     // benchmark decontamination: every 10th doc is the held-out eval
     // shard; a training doc sharing any 8-gram with it is contaminated.
@@ -243,12 +299,15 @@ object CorpusQueries {
 
     // the full iterative trainer: 16 merge rounds; each round is one
     // pair-count agg over the vocab + a one-row argmax + a segmentation
-    // rewrite, lineage truncated per round. Not SQL-expressible (the
-    // spec verifies against an independent local trainer); deterministic
-    // via the (cnt desc, pair asc) tiebreak
+    // rewrite, lineage truncated per round. Driver-HARD since r9: the
+    // oracle unrolls the 16 rounds into chained CTEs generated by one
+    // Scala loop (the massFlowOracle idiom) — each round re-derives the
+    // pair counts, takes the same (cnt desc, pair asc) argmax, and
+    // applies the merge with segJoinedDuck's chr(31)-boundary replace,
+    // so engine and oracle run the SAME greedy fixed point
     QueryDef(
       "bpe_merges",
-      None,
+      Some(bpeMergesOracle(16)),
       (spark, dir) => {
         import spark.implicits._
         val (merges, _) = Vocab.bpeTrain(Tables.documents(spark, dir), nMerges = 16)
