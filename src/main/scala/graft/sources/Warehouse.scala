@@ -36,15 +36,30 @@ object Warehouse {
 
   /** Swap staged rows into `path` via dynamic partition overwrite:
     * replaces exactly the day partitions present in the staged data,
-    * restoring the sorted-within-day layout. */
+    * restoring the sorted-within-day layout.
+    *
+    * The shuffle is `repartitionByRange(nDays × filesPerDay, day, sortCols…)`,
+    * NOT `repartition(col("day"))`: hash-by-day caps parallelism at the
+    * day count and serializes a hot day (~50 GB at 100 TB scale) through
+    * ONE task producing one giant file. Range partitioning on
+    * (day, key, ts) keeps every output slice a contiguous key range
+    * within its day — each slice lands as one file under its day dir,
+    * still (key, ts)-sorted and row-group min/max-skippable — while the
+    * sampled range boundaries give data-proportional slicing: hot days
+    * naturally split into more files, quiet days may share a task (their
+    * rows still route to the right day dirs via `partitionBy`).
+    */
   private def swapStaged(
-      spark: SparkSession, path: String, staging: String, sortCols: Seq[String]): Unit = {
+      spark: SparkSession, path: String, staging: String, sortCols: Seq[String],
+      nDays: Int, filesPerDay: Int): Unit = {
+    require(filesPerDay >= 1, s"filesPerDay must be >= 1 (got $filesPerDay)")
     val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
+      val rangeCols = (Seq("day") ++ sortCols).map(col)
       spark.read.parquet(staging)
-        .repartition(col("day"))
-        .sortWithinPartitions(sortCols.map(col): _*)
+        .repartitionByRange(math.max(1, nDays * filesPerDay), rangeCols: _*)
+        .sortWithinPartitions(rangeCols: _*)
         .write.mode("overwrite").partitionBy("day").parquet(path)
     } finally {
       prevMode match {
@@ -72,7 +87,8 @@ object Warehouse {
       path: String,
       updates: DataFrame,
       tsCol: String,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String],
+      filesPerDay: Int = 1): Unit = {
     val up = updates.withColumn("day", to_date(col(tsCol)))
     // O(affected days) on the driver — the partition-pruning predicate,
     // never row data
@@ -91,7 +107,7 @@ object Warehouse {
 
     withStaging(spark, path) { staging =>
       merged.write.mode("overwrite").parquet(staging)
-      swapStaged(spark, path, staging, keyCols :+ tsCol)
+      swapStaged(spark, path, staging, keyCols :+ tsCol, days.length, filesPerDay)
     }
   }
 
@@ -157,7 +173,7 @@ object Warehouse {
     val kept = survivors.select(col("day")).distinct().collect().map(_.get(0)).toSet
     if (kept.nonEmpty) withStaging(spark, path) { staging =>
       survivors.write.mode("overwrite").parquet(staging)
-      swapStaged(spark, path, staging, Seq(keyCol, tsCol))
+      swapStaged(spark, path, staging, Seq(keyCol, tsCol), kept.size, 1)
     }
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -185,9 +201,14 @@ object Warehouse {
 
   /** Compact day partitions that fragmented into more than
     * `maxFilesPerDay` parquet files (streaming micro-batches, repeated
-    * upserts) back into one sorted file per day, restoring the
-    * (key, ts)-sorted layout `writeDayPartitioned` establishes (the
-    * composite-index analog — min/max row-group skipping needs the sort).
+    * upserts) back into at most `targetFilesPerDay` sorted files per
+    * day, restoring the (key, ts)-sorted layout `writeDayPartitioned`
+    * establishes (the composite-index analog — min/max row-group
+    * skipping needs the sort). `targetFilesPerDay > 1` is the 100 TB
+    * knob: a hot day (~50 GB) compacted to ONE file serializes on one
+    * task and produces a file no reader can parallelize over; N sorted
+    * files covering disjoint key ranges keep both the write and every
+    * later scan parallel while pruning identically.
     *
     * Candidate selection lists the filesystem — O(partitions + files) on
     * the driver, no row data — and partitions already at or under the
@@ -198,7 +219,11 @@ object Warehouse {
       path: String,
       keyCol: String,
       tsCol: String,
-      maxFilesPerDay: Int = 1): Seq[String] = {
+      maxFilesPerDay: Int = 1,
+      targetFilesPerDay: Int = 1): Seq[String] = {
+    require(targetFilesPerDay <= math.max(1, maxFilesPerDay),
+      s"compacting to $targetFilesPerDay files/day would immediately re-qualify " +
+        s"days as fragmented under maxFilesPerDay=$maxFilesPerDay")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val fragmented = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
@@ -212,7 +237,8 @@ object Warehouse {
       .filter(col("day").isin(fragmented: _*))
     withStaging(spark, path) { staging =>
       current.write.mode("overwrite").parquet(staging)
-      swapStaged(spark, path, staging, Seq(keyCol, tsCol))
+      swapStaged(spark, path, staging, Seq(keyCol, tsCol),
+        fragmented.length, targetFilesPerDay)
     }
     fragmented
   }

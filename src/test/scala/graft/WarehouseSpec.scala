@@ -84,6 +84,73 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.compactDayPartitions(spark, path, "user_id", "ts").isEmpty)
   }
 
+  test("upsert file fan-out: filesPerDay=4 yields sorted, disjoint-key-range files; pruning and replay survive") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = freshWarehouse()
+    // a hot day: 4000 distinct keys landing on 2024-01-02 (the 100 TB
+    // scenario in miniature — one day far bigger than its neighbors)
+    val hot = spark.range(4000).select(
+      $"id".cast("long").as("user_id"),
+      timestamp_seconds(lit(1704153600L) + $"id").as("ts"),
+      ($"id" * 1.0).as("value")).localCheckpoint()
+    Warehouse.upsertDayPartitioned(spark, path, hot, "ts", Seq("user_id"), filesPerDay = 4)
+
+    // the hot day fanned out into multiple files (range sampling may give
+    // 3–4 for a single staged day), each internally (key, ts)-sorted and
+    // covering a key range DISJOINT from its siblings — the layout that
+    // keeps reads parallel while row-group min/max skipping still prunes
+    val files = listFiles(path, "2024-01-02").toSeq.map(_._1).sorted
+    assert(files.size >= 2 && files.size <= 4, s"expected 2..4 files, got ${files.size}")
+    val ranges = files.map { f =>
+      val pairs = spark.read.parquet(s"$path/day=2024-01-02/$f")
+        .select($"user_id", $"ts".cast("long")).as[(Long, Long)].collect().toSeq
+      assert(pairs == pairs.sorted, s"$f is not (key, ts)-sorted")
+      (pairs.map(_._1).min, pairs.map(_._1).max)
+    }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"file key ranges overlap: $ranges")
+      case _ => ()
+    }
+
+    // lossless merge: day2 = the 4000 update keys (1, 2 replaced), other days intact
+    val day2 = spark.read.parquet(path).filter($"day".cast("string") === "2024-01-02")
+    assert(day2.count() == 4000L)
+    assert(spark.read.parquet(path).count() == 4003L)
+
+    // partition pruning over the fanned-out table: a day-filtered read
+    // touches only that day's files
+    val q = spark.read.parquet(path).filter($"day" === "2024-01-02" && $"user_id" === 10L)
+    assert(q.collect().length == 1)
+    val scan = (q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail("no FileSourceScanExec"))
+    assert(scan.metrics("numFiles").value == files.size.toLong,
+      s"scan read ${scan.metrics("numFiles").value} files, day has ${files.size}")
+
+    // replaying the identical fan-out upsert converges (idempotent)
+    Warehouse.upsertDayPartitioned(spark, path, hot, "ts", Seq("user_id"), filesPerDay = 4)
+    val replayed = spark.read.parquet(path).filter($"day".cast("string") === "2024-01-02")
+      .agg(count(lit(1)), sum($"value")).as[(Long, Double)].head()
+    assert(replayed == ((4000L, hot.agg(sum($"value")).as[Double].head())))
+
+    // compaction honors a >1 target: fragment the hot day well past the
+    // threshold, compact back to at most 4 sorted files — never one
+    (0 until 6).foreach { i =>
+      Seq((10000L + i, ts(s"2024-01-02 0$i:30:00"), 1.0)).toDF("user_id", "ts", "value")
+        .coalesce(1).write.mode("append").parquet(s"$path/day=2024-01-02")
+    }
+    val before = spark.read.parquet(path).count()
+    val compacted = Warehouse.compactDayPartitions(spark, path, "user_id", "ts",
+      maxFilesPerDay = 4, targetFilesPerDay = 4)
+    assert(compacted == Seq("2024-01-02"))
+    val nAfter = listFiles(path, "2024-01-02").size
+    assert(nAfter >= 2 && nAfter <= 4, s"expected 2..4 files after compaction, got $nAfter")
+    assert(spark.read.parquet(path).count() == before) // lossless
+  }
+
   test("z-ordered day-partitioned write: partition prune AND row-group skip fire on a real read") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
