@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage truncation for iterative loops (MassFlow's Pregel rounds,
+  * Dedup's star-contraction), with a choice the single-JVM default
+  * cannot make for the caller:
+  *
+  *  - `None` → `localCheckpoint` (eager): blocks live on executor local
+  *    storage. Fast, no filesystem dependency — but on a REAL cluster an
+  *    executor lost mid-loop takes its blocks with it and the job dies
+  *    (local checkpoints sever lineage, so there is nothing to recompute
+  *    from). Correct for local[N] and for clusters where a rare loop
+  *    retry is acceptable.
+  *  - `Some(dir)` → reliable `checkpoint()` under `dir` (HDFS/S3/DBFS on
+  *    a cluster): per-round state is persisted to fault-tolerant
+  *    storage, so executor loss costs one round's recompute, never the
+  *    job. The price is a filesystem round-trip per iteration — pay it
+  *    when the loop is long or the cluster is preemptible.
+  *
+  * Old rounds' checkpoint data is reclaimed by the ContextCleaner on GC
+  * (reliable checkpoints additionally honor
+  * `spark.cleaner.referenceTracking.cleanCheckpoints`).
+  */
+object Checkpoints {
+  def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        // setCheckpointDir is idempotent (qualify + mkdirs); always
+        // setting avoids comparing against the fs-qualified stored form
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case None => df.localCheckpoint(eager = true)
+    }
+}

@@ -17,33 +17,36 @@ import org.apache.spark.sql.functions._
   * Scale shape: the per-round state is one (node, mass) row per node —
   * O(V), tiny next to the edge set. Each round is two equi-joins (state ⋈
   * out-degree on node, edges ⋈ state on src) and one sum-by-dst — all
-  * shuffles on graph keys, the standard Pregel round. `localCheckpoint`
-  * truncates the O(V) state's lineage each round so the plan does not
-  * grow with iteration count; on a multi-node cluster with executor loss
-  * mid-loop, swap for reliable `checkpoint()` under a job dir (same note
-  * as `Dedup.connectedComponents`).
+  * shuffles on graph keys, the standard Pregel round. Per-round lineage
+  * is truncated so the plan does not grow with iteration count;
+  * `checkpointDir` picks the truncation's fault model — see
+  * [[Checkpoints.truncate]] (executor-local by default, reliable
+  * filesystem checkpoints for clusters that must survive executor loss
+  * mid-loop).
   */
 object MassFlow {
 
   /** @param edges (src: BIGINT, dst: BIGINT) directed edges; duplicates
     *              are meaningful (parallel edges carry mass twice)
+    * @param checkpointDir fault-tolerant dir for reliable per-round
+    *                      checkpoints; None = executor-local
     * @return (node, mass) for every node appearing as src or dst
     */
-  def propagate(edges: DataFrame, iters: Int, initMass: Long = 1000000L): DataFrame = {
+  def propagate(edges: DataFrame, iters: Int, initMass: Long = 1000000L,
+                checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    def ck(df: DataFrame) = Checkpoints.truncate(df, checkpointDir)
     // materialize the edge set once: every round joins it, and without
     // truncation each round would re-run the caller's upstream lineage
     // (scan + distinct + union) from scratch — measured 8.4 s → 4.8 s on
     // the sf0.1 catalog graph
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint()
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val deg = ck(e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d")))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
 
-    var m = nodes.withColumn("mass", lit(initMass)).localCheckpoint()
+    var m = ck(nodes.withColumn("mass", lit(initMass)))
     for (_ <- 1 to iters) {
       val md = m.join(deg, Seq("node"), "left")
       // dead ends (d null) keep everything; others keep mass mod d
@@ -55,10 +58,9 @@ object MassFlow {
       val inc = e.join(share, e("src") === share("node"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("got"))
-      m = keep.join(inc, Seq("node"), "left")
+      m = ck(keep.join(inc, Seq("node"), "left")
         .select(col("node"),
-          (col("keep") + coalesce(col("got"), lit(0L))).as("mass"))
-        .localCheckpoint()
+          (col("keep") + coalesce(col("got"), lit(0L))).as("mass")))
     }
     m
   }

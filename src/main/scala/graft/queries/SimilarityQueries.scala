@@ -81,7 +81,10 @@ object SimilarityQueries {
         ORDER BY vec_a, vec_b
       """.stripMargin.trim),
       (spark, dir) => {
-        Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4)
+        // oracle threshold 0.4 sits in the noise tail — needs the wide
+        // 128×4 config (NOT the production default; see SCALE.md)
+        Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
+            tables = 128, bandBits = 4)
           .orderBy("vec_a", "vec_b")
       }),
 
@@ -171,7 +174,8 @@ object SimilarityQueries {
       """.stripMargin.trim),
       (spark, dir) => {
         val emb = Tables.embeddings(spark, dir)
-        val pairs = Similarity.nearDupPairs(emb, threshold = 0.4)
+        val pairs = Similarity.nearDupPairs(emb, threshold = 0.4,
+            tables = 128, bandBits = 4) // oracle config, not the default
           .select("vec_a", "vec_b")
         val labels = graft.textops.Dedup.connectedComponents(pairs)
           .withColumnRenamed("doc_id", "vec_id")

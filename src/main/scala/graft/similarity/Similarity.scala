@@ -225,13 +225,23 @@ object Similarity {
     * equi-joins Spark auto-broadcasts when the corpus side fits. For a
     * FAT verify (full documents, long embeddings) flip the order: dedup
     * via `nearDupCandidates` first, then verify — same building blocks.
+    *
+    * Default knobs are the PRODUCTION configuration from SCALE.md's
+    * tables-vs-threshold table: 16 tables × 12-bit bands — perfect
+    * planted recall at realistic near-dup thresholds (≥0.8, measured at
+    * 50k vectors in single-digit seconds). Callers chasing a LOW
+    * threshold (the catalog's oracle runs at 0.4, down in the
+    * random-pair noise tail) must widen explicitly (128 tables × 4-bit
+    * bands there): 2^4 buckets ⇒ ~10B candidate instances at 50k
+    * vectors, which is why that config must never be a default anything
+    * inherits silently.
     */
   def nearDupPairs(
       embeddings: DataFrame,
       threshold: Double,
       sigBits: Int = 64,
-      tables: Int = 128,
-      bandBits: Int = 4,
+      tables: Int = 16,
+      bandBits: Int = 12,
       seed: Long = 12345L): DataFrame = {
     val e = quantized(embeddings)
     val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm2").as("na"))

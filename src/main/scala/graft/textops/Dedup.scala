@@ -357,8 +357,9 @@ object Dedup {
     * return wrong canonical ids; the O(log n) bound makes 50 generous for
     * any realistic graph (2^50 nodes).
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
-    connectedComponentsWithStats(pairs, maxRounds)._1
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame =
+    connectedComponentsWithStats(pairs, maxRounds, checkpointDir)._1
 
   /** Per-run convergence telemetry: rounds taken and the surviving edge
     * count after each star-contraction round. A production run alarms on
@@ -371,25 +372,27 @@ object Dedup {
     * per-round fixpoint checksum already counts the edge set.
     */
   def connectedComponentsWithStats(
-      pairs: DataFrame, maxRounds: Int = 50): (DataFrame, CcStats) = {
+      pairs: DataFrame, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): (DataFrame, CcStats) = {
     val cols = pairs.columns
-    // localCheckpoint (eager), NOT cache(): each round's plan must start
+    def ck(df: DataFrame) = graft.operators.Checkpoints.truncate(df, checkpointDir)
+    // eager checkpoint, NOT cache(): each round's plan must start
     // from MATERIALIZED edges with no lineage into the previous round.
     // With cache()+unpersist(), any cache miss on round N recomputes
     // round N-1's plan, whose ancestors were already unpersisted —
     // cascading all the way back through the (expensive) edge-build DAG:
     // measured 19 s/round vs 1.3 s/round on a 250-edge graph at sf0.1.
     // Lineage truncation per iteration is the standard fix (same reason
-    // GraphFrames' CC checkpoints); on a multi-node cluster swap
-    // localCheckpoint for reliable `checkpoint()` under a job dir if
-    // executor loss during the loop must be recoverable. Old rounds'
-    // checkpoint RDDs are reclaimed by the ContextCleaner on GC.
-    var e = pairs
+    // GraphFrames' CC checkpoints); `checkpointDir` switches it to
+    // reliable filesystem checkpoints for clusters where executor loss
+    // mid-loop must be recoverable (Checkpoints.truncate has the fault
+    // model). Old rounds' checkpoint data is reclaimed by the
+    // ContextCleaner on GC.
+    var e = ck(pairs
       .select(col(cols(0)).as("s"), col(cols(1)).as("d"))
       .filter(col("s") =!= col("d"))
       .select(greatest(col("s"), col("d")).as("u"), least(col("s"), col("d")).as("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // fixpoint ⇔ the edge SET is unchanged: (count, XOR xxhash64(u,v)) is a
     // deterministic set fingerprint — one aggregate per round. XOR (not
     // sum): edges are distinct, so XOR is order-independent AND cannot
@@ -430,7 +433,7 @@ object Dedup {
         .filter(col("nn") =!= col("m"))
         .select(col("nn").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(ck)
       val s = checksum(small)
       converged = s == prev
       prev = s

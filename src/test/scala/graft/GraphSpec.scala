@@ -97,4 +97,31 @@ class GraphSpec extends SparkSpec {
       MassFlow.propagate(edgesDf((1L, 2L)), iters = 0)
     }
   }
+
+  test("reliable-checkpoint mode: identical results, checkpoint data actually written") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 4L), (2L, 5L))
+    val local = MassFlow.propagate(edgesDf(edges: _*), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val reliable = MassFlow.propagate(edgesDf(edges: _*), iters = 4,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local)
+
+    // star-contraction CC under the same switch: identical labels
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 30L))
+      .toDF("a", "b")
+    val lLocal = graft.textops.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val lReliable = graft.textops.Dedup.connectedComponents(pairs,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(lReliable == lLocal)
+
+    // the mode is real: per-round state was persisted under dir (the
+    // property that survives executor loss on a cluster)
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles).getOrElse(Array.empty[java.io.File]).exists(anyFile)
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint data written under $dir")
+  }
 }

@@ -84,7 +84,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("nearDupPairs recall == 1 and precision == 1 vs exact cartesian at cos >= 0.4") {
-    val lsh = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4)
+    val lsh = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4,
+        tables = 128, bandBits = 4)
       .select("vec_a", "vec_b")
     val truth = exactPairs(0.4)
     val nTruth = truth.count()
@@ -95,7 +96,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("dedup_embedding physical plan contains no cartesian product") {
-    val plan = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4)
+    val plan = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4,
+        tables = 128, bandBits = 4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(30).mkString("\n"))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(30).mkString("\n"))
