@@ -1,6 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, to_date}
 
 /** UPDATE/DELETE for the ad-hoc SQL surface (S7 completion — reference
   * `dashboard/tabs/tab3.py:41-100` forwards arbitrary DML to Postgres and
@@ -36,6 +37,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Dml {
 
+  private val MergeRe =
+    ("""(?is)\s*MERGE\s+INTO\s+(?:parquet\s*\.\s*)?`([^`]+)`(?:\s+AS\s+(\w+))?""" +
+      """\s+USING\s+([\w.]+)(?:\s+AS\s+(\w+))?\s+ON\s+(.+?)""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  private val StartsMergeRe = """(?is)\s*MERGE\b.*""".r
+
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val UpdateRe =
@@ -54,6 +62,17 @@ object Dml {
       "Dml.execute takes exactly one statement; split multi-statement " +
         "strings at ';' and execute each separately")
     sql match {
+      case MergeRe(path, tAlias, source, sAlias, cond) =>
+        val (matched, inserted) =
+          merge(spark, path, source, cond, Option(tAlias), Option(sAlias))
+        matched + inserted
+      case StartsMergeRe() =>
+        throw new IllegalArgumentException(
+          "unsupported MERGE shape — supported grammar: " +
+            "MERGE INTO `<warehouse path>` [AS t] USING <view> [AS s] " +
+            "ON t.k1 = s.k1 [AND ...] " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * " +
+            s"(got: ${sql.trim.take(80)})")
       case DeleteRe(table, cond) =>
         rewrite(spark, table, cond,
           selectList = "*",
@@ -95,6 +114,76 @@ object Dml {
       case other =>
         spark.sql(other).count()
     }
+  }
+
+  /** MERGE-INTO for the day-partitioned parquet warehouse: routes the
+    * standard row-level MERGE statement to
+    * `Warehouse.upsertDayPartitioned` (last-writer-wins by key within
+    * day, copy-on-write over exactly the affected day partitions).
+    *
+    * Grammar is the whole-row form — `UPDATE SET * / INSERT *` — because
+    * that is the upsert's semantics: a matched key's row is REPLACED by
+    * the source row, an unmatched one INSERTED. The ON condition must be
+    * a conjunction of same-name equality predicates (`t.k = s.k`); those
+    * columns become the merge identity. `day` in the ON list is accepted
+    * and ignored — the warehouse derives it from the source's timestamp
+    * column, which must be unique in the source schema (two timestamp
+    * columns would make the day derivation ambiguous — name the intent
+    * by dropping one).
+    *
+    * Returns (matched, inserted): matched = source rows that replaced an
+    * existing (key, day) row, inserted = the rest — summed, the Postgres
+    * MERGE rowcount `tab3` would display.
+    */
+  def merge(
+      spark: SparkSession,
+      path: String,
+      sourceView: String,
+      onCond: String,
+      targetAlias: Option[String] = None,
+      sourceAlias: Option[String] = None): (Long, Long) = {
+    val EqRe = """(?s)\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?:(\w+)\s*\.\s*)?(\w+)\s*""".r
+    val aliases = Set(targetAlias, sourceAlias).flatten.map(_.toLowerCase)
+    val keyCols = topLevelOnly(onCond).split("(?i)\\s+AND\\s+").toSeq.map {
+      case EqRe(a1, c1, a2, c2) =>
+        require(c1.equalsIgnoreCase(c2),
+          s"MERGE ON predicates must equate the SAME column on both sides " +
+            s"(the upsert key identity); got '$c1 = $c2'")
+        Seq(a1, a2).filter(_ != null).foreach(a =>
+          require(aliases.contains(a.toLowerCase) || aliases.isEmpty,
+            s"unknown alias '$a' in MERGE ON condition"))
+        c1
+      case other =>
+        throw new IllegalArgumentException(
+          "MERGE ON must be a conjunction of equality predicates " +
+            s"(t.k = s.k AND ...); got '${other.trim}'")
+    }.filterNot(_.equalsIgnoreCase("day")).distinct
+    require(keyCols.nonEmpty,
+      "MERGE ON names only the derived 'day' column — at least one real key is required")
+
+    val updates = spark.table(sourceView)
+    val tsCols = updates.schema.fields
+      .filter(f => f.dataType.typeName.startsWith("timestamp")).map(_.name)
+    require(tsCols.length == 1,
+      s"warehouse MERGE derives the day partition from THE timestamp column of " +
+        s"'$sourceView', which must be unique (found: ${tsCols.mkString(", ")})")
+    val tsCol = tsCols.head
+    keyCols.foreach(k => require(updates.columns.map(_.toLowerCase).contains(k.toLowerCase),
+      s"MERGE key '$k' is not a column of '$sourceView'"))
+
+    // matched/inserted split BEFORE the rewrite (the post-state can't
+    // distinguish them): key-semi-join against only the affected days —
+    // the same partition-pruned read the upsert itself performs
+    val up = updates.withColumn("day", to_date(col(tsCol)))
+    val days = up.select(col("day")).distinct().collect().map(_.get(0))
+    val current = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("day").isin(days: _*))
+    val matched = up.join(current.select((keyCols :+ "day").map(col): _*),
+      keyCols :+ "day", "left_semi").count()
+    val inserted = updates.count() - matched
+
+    graft.sources.Warehouse.upsertDayPartitioned(spark, path, updates, tsCol, keyCols)
+    (matched, inserted)
   }
 
   /** `s` with parenthesized groups and quoted literals blanked out — what

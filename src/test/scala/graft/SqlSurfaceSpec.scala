@@ -108,6 +108,63 @@ class SqlSurfaceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE dml_neg")
   }
 
+  test("MERGE INTO reaches the warehouse upsert: SQL == direct call, rowcounts returned") {
+    import graft.sql.Dml
+    import graft.sources.{Sources, Warehouse}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def mkWarehouse(): String = {
+      val path = java.nio.file.Files.createTempDirectory("graft-merge-wh").toString
+      val ticks = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 10.0),
+        (2L, ts("2024-01-01 11:00:00"), 11.0),
+        (1L, ts("2024-01-02 10:00:00"), 20.0),
+        (2L, ts("2024-01-02 11:00:00"), 21.0)
+      ).toDF("user_id", "ts", "value")
+      Sources.writeDayPartitioned(ticks, "ts", "user_id", path)
+      path
+    }
+    val updates = Seq(
+      (1L, ts("2024-01-02 15:00:00"), 99.0), // replaces (1, day2)
+      (7L, ts("2024-01-02 16:00:00"), 77.0) // new key on day2
+    ).toDF("user_id", "ts", "value")
+    updates.createOrReplaceTempView("merge_upd")
+
+    val viaSql = mkWarehouse()
+    val n = Dml.execute(spark,
+      s"""MERGE INTO `$viaSql` AS t USING merge_upd AS s
+          ON t.user_id = s.user_id AND t.day = s.day
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(n == 2) // 1 matched + 1 inserted — the tab3 rowcount contract
+    assert(Dml.merge(spark, mkWarehouse(), "merge_upd", "t.user_id = s.user_id",
+      Some("t"), Some("s")) == ((1L, 1L)))
+
+    val viaCall = mkWarehouse()
+    Warehouse.upsertDayPartitioned(spark, viaCall, updates, "ts", Seq("user_id"))
+    def state(p: String) = spark.read.parquet(p)
+      .select($"user_id", $"value", $"day".cast("string"))
+      .as[(Long, Double, String)].collect().toSet
+    assert(state(viaSql) == state(viaCall))
+    assert(state(viaSql).contains((1L, 99.0, "2024-01-02")))
+
+    // shape rejections name the problem, not a Spark parse error
+    def rejects(stmt: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](Dml.execute(spark, stmt))
+      assert(e.getMessage.contains(fragment), s"$stmt -> ${e.getMessage}")
+    }
+    rejects(s"MERGE INTO `$viaSql` USING merge_upd ON t.user_id < s.user_id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "conjunction of equality")
+    rejects(s"MERGE INTO `$viaSql` USING merge_upd ON t.user_id = s.other_key " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "SAME column")
+    rejects(s"MERGE INTO `$viaSql` USING merge_upd ON t.day = s.day " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "at least one real key")
+    rejects(s"MERGE INTO `$viaSql` USING merge_upd ON t.user_id = s.user_id " +
+      "WHEN MATCHED THEN UPDATE SET value = s.value",
+      "unsupported MERGE shape")
+  }
+
   test("ad-hoc surface rejects nothing the engine supports: aggregate over view") {
     val out = Views.adhoc(spark, sf,
       "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 0")
