@@ -591,6 +591,88 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming exact content dedup == batch exact dedup for watermark-delivered duplicates") {
+    // the ingest loop's FIRST stage (StreamingDedup): replay-storm
+    // duplicates are dropped by watermark-scoped state before any
+    // signature join runs. Reference = batch dropDuplicates on the same
+    // content identity over the same rows.
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.DataFrame
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .limit(100)
+      .withColumn("ts", timestamp_seconds(lit(1704103200L) + $"doc_id" * 60))
+      .localCheckpoint(true)
+    // b0 = all originals + replay of 30; b1 = replay of another 30 ten
+    // minutes later — every duplicate well inside the 2-day watermark
+    val b0 = docs.unionByName(docs.filter($"doc_id" % 3 === 0).limit(30))
+    val b1 = docs.filter($"doc_id" % 3 === 1).limit(30)
+      .withColumn("ts", $"ts" + expr("INTERVAL 10 minutes"))
+    val base = java.nio.file.Files.createTempDirectory("graft-exact-dedup")
+    val srcDir = base.resolve("src")
+    b0.coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    b1.coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    Seq("b0", "b1").zipWithIndex.foreach { case (d, i) =>
+      srcDir.resolve(d).toFile.listFiles().foreach(f =>
+        assert(f.setLastModified(1700000000000L + i * 60000L), s"mtime pin failed for $f"))
+    }
+    val outDir = base.resolve("out").toString
+    val stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = StreamingDedup.exactDedupWithinWatermark(stream, "ts", "2 days")
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+    val want = StreamingDedup.withContentHash(b0.unionByName(b1), Seq("text"))
+      .dropDuplicates("content_hash")
+    assert(got.count() == 100L && want.count() == 100L)
+    assert(got.select("text").distinct().exceptAll(
+      want.select("text").distinct()).isEmpty)
+  }
+
+  test("accepted divergence: a re-crawl AFTER state eviction is emitted again") {
+    // same content, fresh event time, watermark already past the
+    // original's ts + delay: the hash state was evicted, so the copy
+    // passes — by design; deep history is the signature store's job.
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.DataFrame
+    def row(id: Long, tsSec: Long, text: String) = (id, text, tsSec)
+    val mk = (rows: Seq[(Long, String, Long)]) => rows.toDF("doc_id", "text", "s")
+      .select($"doc_id", $"text", timestamp_seconds($"s").as("ts"))
+    val b0 = mk(Seq(row(1L, 36000L, "the quick brown fox"), // 10:00
+      row(2L, 36030L, "the quick brown fox"))) //  + an in-batch replay: deduped
+    val b1 = mk(Seq(row(3L, 46800L, "filler advancing the watermark"))) // 13:00 → wm 12:00
+    // the eviction pass runs at the END of the batch that already holds
+    // the advanced watermark — one more batch before the re-crawl so the
+    // 10:00 state row (expired 11:00 < wm 12:00) is really gone
+    val b2 = mk(Seq(row(9L, 47400L, "second filler, eviction pass runs"))) // 13:10
+    val b3 = mk(Seq(row(4L, 48600L, "the quick brown fox"))) // 13:30, state evicted
+    val base = java.nio.file.Files.createTempDirectory("graft-late-dup")
+    val srcDir = base.resolve("src")
+    Seq(b0 -> "b0", b1 -> "b1", b2 -> "b2", b3 -> "b3").zipWithIndex.foreach { case ((df, d), i) =>
+      df.coalesce(1).write.parquet(srcDir.resolve(d).toString)
+      srcDir.resolve(d).toFile.listFiles().foreach(f =>
+        assert(f.setLastModified(1700000000000L + i * 60000L), s"mtime pin failed for $f"))
+    }
+    val outDir = base.resolve("out").toString
+    val stream = spark.readStream.schema(b0.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = StreamingDedup.exactDedupWithinWatermark(stream, "ts", "1 hour")
+      .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir); ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val foxes = spark.read.parquet(outDir)
+      .filter($"text" === "the quick brown fox")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    // in-batch replay (doc 2) deduped; post-eviction re-crawl (doc 4) NOT
+    assert(foxes == Seq(1L, 4L),
+      s"expected the original and the post-eviction re-crawl, got $foxes")
+  }
+
   test("streaming dedup within watermark drops replayed events") {
     import org.apache.spark.sql.functions._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-dup-src")
