@@ -579,21 +579,7 @@ object ProfileQueries {
       """.stripMargin.trim),
       (spark, dir) => {
         val ev = Tables.events(spark, dir).select("user_id", "ts", "event_type")
-        val first = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min(col("ts")).as("t0"))
-          .select(col("user_id"), col("t0").cast("date").as("cohort"))
-        val act = ev.select(col("user_id"), col("ts").cast("date").as("d")).distinct()
-        val cs = first.groupBy("cohort").agg(countDistinct("user_id").as("cohort_size"))
-        act.join(first, "user_id")
-          .filter(col("d") >= col("cohort"))
-          .select(col("cohort"),
-            datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
-            col("user_id"))
-          .groupBy("cohort", "day_offset")
-          .agg(countDistinct("user_id").as("n_active"))
-          .join(cs, "cohort")
-          .select(col("cohort"), col("day_offset"), col("n_active"),
-            round(col("n_active").cast("double") / col("cohort_size"), 4).as("retention"))
+        graft.analytics.Funnels.cohortRetention(ev)
           .orderBy("cohort", "day_offset")
       }),
 
@@ -627,20 +613,7 @@ object ProfileQueries {
       """.stripMargin.trim),
       (spark, dir) => {
         val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
-        val v = ev.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
-        val c = ev.filter(col("event_type") === "click").join(v, Seq("user_id"))
-          .filter(col("ts") > col("t_view"))
-          .groupBy("user_id").agg(min(col("ts")).as("t_click"))
-        val p = ev.filter(col("event_type") === "purchase").join(c, Seq("user_id"))
-          .filter(col("ts") > col("t_click"))
-          .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
-        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-          .withColumn("stages",
-            (lit(1) + col("t_click").isNotNull.cast("int") + col("t_purchase").isNotNull.cast("int"))
-              .cast("long"))
-          .select("user_id", "t_view", "t_click", "t_purchase", "stages")
-          .orderBy("user_id")
+        graft.analytics.Funnels.funnelStages(ev).orderBy("user_id")
       }),
 
     // order-insensitive table checksum — row-level parity validation for
