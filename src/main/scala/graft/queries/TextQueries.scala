@@ -85,6 +85,65 @@ object TextQueries {
           .orderBy("lang", "rank")
       }),
 
+    // collocation mining: bigrams whose joint frequency beats the
+    // independence assumption — ranked by pointwise mutual information
+    // over EXACT integer counts (unigram/bigram totals are BIGINTs; the
+    // only float is the final ln of an exact rational, absorbed by the
+    // round-4 convention). The count floor prunes the hapax noise that
+    // dominates raw PMI BEFORE the unigram joins, so the expensive part
+    // of the plan runs on the tiny surviving set; the two scalar totals
+    // ride broadcast cross joins, never a shuffle
+    QueryDef(
+      "collocation_pmi",
+      Some(s"""
+        WITH toks AS (
+          SELECT list_filter($toksDuck, x -> length(x) > 0) AS t FROM documents
+        ), uni AS (
+          SELECT u.w, COUNT(*) AS cw FROM toks, unnest(t) AS u(w) GROUP BY u.w
+        ), nu AS (
+          SELECT CAST(SUM(cw) AS DOUBLE) AS nuni FROM uni
+        ), bgc AS (
+          SELECT t[CAST(u.i AS INT)] AS a, t[CAST(u.i AS INT) + 1] AS b, COUNT(*) AS cab
+          FROM toks, unnest(range(1, len(t))) AS u(i)
+          GROUP BY 1, 2
+        ), nb AS (
+          SELECT CAST(SUM(cab) AS DOUBLE) AS nbg FROM bgc
+        )
+        SELECT a, b, CAST(cab AS BIGINT) AS cab,
+               round(ln((CAST(cab AS DOUBLE) * nuni * nuni) /
+                        (nbg * CAST(ua.cw AS DOUBLE) * CAST(ub.cw AS DOUBLE))), 4) AS pmi
+        FROM bgc
+        JOIN uni ua ON bgc.a = ua.w
+        JOIN uni ub ON bgc.b = ub.w
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE cab >= 10
+        ORDER BY pmi DESC, a, b
+        LIMIT 40
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val toks = Tables.documents(spark, dir)
+          .withColumn("t", expr(s"filter(${TextAnalysis.tokensExpr}, x -> length(x) > 0)"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cw"))
+        val nuni = uni.agg(sum("cw").cast("double").as("nuni"))
+        val bgc = toks.select(explode(expr(
+          """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+                      slice(t, 2, greatest(size(t) - 1, 0)),
+                      (x, y) -> struct(x AS a, y AS b))""")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+        val nbg = bgc.agg(sum("cab").cast("double").as("nbg"))
+        bgc.filter(col("cab") >= 10)
+          .join(uni.select(col("w").as("a"), col("cw").as("ca")), "a")
+          .join(uni.select(col("w").as("b"), col("cw").as("cb")), "b")
+          .crossJoin(broadcast(nuni)).crossJoin(broadcast(nbg))
+          .select(col("a"), col("b"), col("cab").cast("long").as("cab"),
+            round(expr("ln((cast(cab as double) * nuni * nuni) / " +
+              "(nbg * cast(ca as double) * cast(cb as double)))"), 4).as("pmi"))
+          .orderBy(col("pmi").desc, col("a"), col("b"))
+          .limit(40)
+      }),
+
     // document chunking: fixed 64-token non-overlapping chunks — the
     // split step before tokenize-and-pack. One explode per doc over a
     // computed chunk-index range; only chunk metadata is emitted

@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpec {
     "tfidf_search",                                        // 1-row corpus-size attach
     "bm25_search",                                         // 1-row corpus-stats attach
     "perplexity_filter",                                   // 1-row corpus-total attach
-    "mixture_temperature_sample")                          // 1-row total/max attaches
+    "mixture_temperature_sample",                          // 1-row total/max attaches
+    "collocation_pmi")                                     // 1-row unigram/bigram-total attaches
 
   test("prefix_search pushes StringStartsWith to the parquet scan") {
     val plan = SparkEntry.queries("prefix_search")(spark, sf)
