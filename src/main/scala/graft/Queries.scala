@@ -21,3 +21,29 @@ final case class QueryDef(
     name: String,
     oracle: Option[String],
     run: (SparkSession, String) => DataFrame)
+
+/** Tail idioms for the determinism ORDER BY every catalog query carries.
+  *
+  * A bare `orderBy` on a computed tail plans Exchange(rangepartitioning),
+  * and the range boundaries come from a SAMPLING JOB over the child —
+  * which re-executes the child's FINAL stage (shuffle outputs below it
+  * are reused across the two jobs; the result-stage computation is not).
+  * For a query whose last stage is the expensive part that doubles the
+  * whole query: measured 5.9 s → 2.2 s on price_parse (fat projection)
+  * and ~2× on fuzzy_join_rule / dedup_scrub_spans (post-shuffle
+  * join/agg tails) at sf0.1.
+  *
+  * Two fixes, by result size:
+  *  - SMALL (oracle-sized) result → [[Tails.orderedSmall]]: one
+  *    round-robin shuffle of the already-small output into a single
+  *    sorted partition — no sampling job, total order preserved. NOT for
+  *    fat outputs (a single partition would serialize them).
+  *  - FAT row-level result → sort the NARROW input first, project the
+  *    expensive columns AFTER the sort (projection is order-preserving,
+  *    and Catalyst does not push projects below sorts) — the sampling
+  *    job then only re-reads the cheap scan. See `price_parse`.
+  */
+object Tails {
+  def orderedSmall(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+}

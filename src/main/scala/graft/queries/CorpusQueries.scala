@@ -235,8 +235,9 @@ object CorpusQueries {
         ORDER BY doc_id
       """.stripMargin.trim),
       (spark, dir) => {
-        Decontaminate.scrubDupSpans(Tables.documents(spark, dir), n = 8)
-          .orderBy("doc_id")
+        graft.Tails.orderedSmall(
+          Decontaminate.scrubDupSpans(Tables.documents(spark, dir), n = 8),
+          col("doc_id"))
       }),
 
     // BPE vocabulary induction, round 1: adjacent-character-pair counts

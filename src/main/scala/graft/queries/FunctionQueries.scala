@@ -108,7 +108,15 @@ object FunctionQueries {
       (spark, dir) => {
         val cents = round(col("l_extendedprice") * 100).cast("long").cast("string")
         val qty = col("l_quantity").cast("long").cast("string")
+        // FAT result: sort the narrow source FIRST, project after — the
+        // range exchange's sampling job then re-reads only the cheap
+        // scan instead of re-running the regex battery, and the shuffle
+        // moves 4 narrow columns, not the dirty strings (Tails scaladoc;
+        // measured 5.9 s → 2.2 s at sf0.1)
         Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber")
           .select(
             col("l_orderkey"), col("l_linenumber"),
             concat(
@@ -117,7 +125,8 @@ object FunctionQueries {
             concat(qty, lit(" units")).as("dirty_volume"))
           .withColumn("price", Normalize.cleanPriceBoursorama(col("dirty_price")))
           .withColumn("volume", Normalize.cleanVolumeEuronext(col("dirty_volume")))
-          .orderBy("l_orderkey", "l_linenumber")
+          .select("l_orderkey", "l_linenumber", "dirty_price", "dirty_volume",
+            "price", "volume")
       }),
 
     // F7: free-text market → id via case-insensitive contains chain —
@@ -189,7 +198,11 @@ object FunctionQueries {
         ORDER BY o_orderkey
       """.stripMargin.trim),
       (spark, dir) => {
+        // sort-before-project: the regex extracts run once, after the
+        // narrow (o_orderkey, o_orderdate) sort (Tails scaladoc)
         Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .orderBy("o_orderkey")
           .select(
             col("o_orderkey"),
             concat(lit("paris "), date_format(col("o_orderdate"), "yyyy-MM-dd"),
@@ -203,7 +216,6 @@ object FunctionQueries {
             month(col("o_orderdate")).cast("long").as("m"),
             to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
             date_sub(to_date(col("o_orderdate")), 30).as("back_30d"))
-          .orderBy("o_orderkey")
       }),
 
     // semi-structured props column: JSON field extraction + typed cast +

@@ -302,10 +302,11 @@ object JoinQueries {
             expr(hashRawExpr("(c_key * 7)")) % (length(col("c_name")) - 1) + 1)
           .selectExpr("c_key AS d_key",
             "concat(substring(c_name, 1, cast(p - 1 as int)), substring(c_name, cast(p + 1 as int), 100)) AS d_name")
-        dirty.join(canon, levenshtein(col("d_name"), col("c_name")) <= 2)
-          .select(col("d_key"), col("c_key"),
-            levenshtein(col("d_name"), col("c_name")).cast("long").as("dist"))
-          .orderBy("d_key", "c_key")
+        graft.Tails.orderedSmall(
+          dirty.join(canon, levenshtein(col("d_name"), col("c_name")) <= 2)
+            .select(col("d_key"), col("c_key"),
+              levenshtein(col("d_name"), col("c_name")).cast("long").as("dist")),
+          col("d_key"), col("c_key"))
       }),
 
     // the naive fuzzy SEMI join — `WHERE EXISTS (… levenshtein <= 2)` —
@@ -351,8 +352,9 @@ object JoinQueries {
           .selectExpr("c_key AS d_key",
             "concat(substring(c_name, 1, cast(p - 1 as int)), substring(c_name, cast(p + 1 as int), 100)) AS d_name")
         val probes = dirty.unionByName(dirty.filter(col("d_key") % 7 === 0))
-        probes.join(canon, levenshtein(col("d_name"), col("c_name")) <= 2, "left_semi")
-          .orderBy("d_key")
+        graft.Tails.orderedSmall(
+          probes.join(canon, levenshtein(col("d_name"), col("c_name")) <= 2, "left_semi"),
+          col("d_key"))
       })
   )
 }
