@@ -46,4 +46,12 @@ final case class QueryDef(
 object Tails {
   def orderedSmall(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Curried form for `.transform(Tails.ordSmall("a", "b"))` tails. */
+  def ordSmall(cols: String*): DataFrame => DataFrame =
+    df => orderedSmall(df, cols.map(org.apache.spark.sql.functions.col): _*)
+
+  /** Same, for Column sort keys (desc orders etc.). */
+  def ordSmallBy(cols: org.apache.spark.sql.Column*): DataFrame => DataFrame =
+    df => orderedSmall(df, cols: _*)
 }

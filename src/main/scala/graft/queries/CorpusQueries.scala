@@ -125,7 +125,7 @@ object CorpusQueries {
       (spark, dir) => {
         Decontaminate.contaminated(
             Tables.documents(spark, dir), isBench = col("doc_id") % 10 === 0, n = 8)
-          .orderBy("doc_id")
+          .transform(graft.Tails.ordSmall("doc_id"))
       }),
 
     // the 100 TB shape of the same decontamination: a Bloom filter over
@@ -149,7 +149,7 @@ object CorpusQueries {
       (spark, dir) => {
         Decontaminate.contaminatedBloom(
             Tables.documents(spark, dir), isBench = col("doc_id") % 10 === 0, n = 8)
-          .orderBy("doc_id")
+          .transform(graft.Tails.ordSmall("doc_id"))
       }),
 
     // the INGEST-LOOP shape of decontamination, driver-checked through
@@ -180,7 +180,7 @@ object CorpusQueries {
           docs, isBench = col("doc_id") % 10 === 0, artDir, n = 8)
         Decontaminate.contaminatedIncremental(
             docs.filter(col("doc_id") % 10 =!= 0), artDir, n = 8)
-          .orderBy("doc_id")
+          .transform(graft.Tails.ordSmall("doc_id"))
       }),
 
     // duplicated-span statistics (substring-dedup at the token-8-gram
@@ -202,7 +202,7 @@ object CorpusQueries {
       """.stripMargin.trim),
       (spark, dir) => {
         Decontaminate.dupSpanStats(Tables.documents(spark, dir), n = 8)
-          .orderBy("doc_id")
+          .transform(graft.Tails.ordSmall("doc_id"))
       }),
 
     // duplicated-span SCRUBBING (substring-dedup removal): tokens covered
@@ -327,7 +327,7 @@ object CorpusQueries {
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         val (_, seg) = Vocab.bpeTrain(docs, nMerges = 16)
-        Vocab.encode(docs, seg).orderBy("doc_id")
+        Vocab.encode(docs, seg).transform(graft.Tails.ordSmall("doc_id"))
       }),
 
     // the encode path with a FIXED published merge list — the common
@@ -750,7 +750,7 @@ object CorpusQueries {
             newDocs = docs.filter(col("doc_id") >= 250),
             store = docs.filter(col("doc_id") < 250),
             n = 5, minJaccard = 0.7)
-          .orderBy("doc_new", "doc_store")
+          .transform(graft.Tails.ordSmall("doc_new", "doc_store"))
       }),
 
     // incremental dedup against the PERSISTED signature table: the store
@@ -790,7 +790,7 @@ object CorpusQueries {
             newDocs = docs.filter(col("doc_id") >= 250),
             storeSignatures = sigStore,
             n = 5, minEstJaccard = 0.7)
-          .orderBy("doc_new", "doc_store")
+          .transform(graft.Tails.ordSmall("doc_new", "doc_store"))
       }),
 
     // TF-IDF keyword search: the inverted-index shape — tokens filtered
@@ -951,7 +951,7 @@ object CorpusQueries {
             Tables.documents(spark, dir),
             isBench = col("doc_id") % 10 === 0,
             qualityMin = 0.535, n = 8)
-          .orderBy("doc_id")
+          .transform(graft.Tails.ordSmall("doc_id"))
       })
   )
 }

@@ -85,7 +85,7 @@ object SimilarityQueries {
         // 128×4 config (NOT the production default; see SCALE.md)
         Similarity.nearDupPairs(Tables.embeddings(spark, dir), threshold = 0.4,
             tables = 128, bandBits = 4)
-          .orderBy("vec_a", "vec_b")
+          .transform(graft.Tails.ordSmall("vec_a", "vec_b"))
       }),
 
     // the PRODUCTION configuration of the same operator: at a realistic
@@ -137,7 +137,7 @@ object SimilarityQueries {
               .as("embedding"))
         Similarity.nearDupPairs(base.unionByName(planted),
             threshold = 0.9, sigBits = 64, tables = 16, bandBits = 12)
-          .orderBy("vec_a", "vec_b")
+          .transform(graft.Tails.ordSmall("vec_a", "vec_b"))
       }),
 
     // connected components over the embedding near-dup graph (the modality
@@ -186,7 +186,7 @@ object SimilarityQueries {
           .select(col("vec_id"),
             coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
           .withColumn("cluster_size", count(lit(1)).over(w))
-          .orderBy("vec_id")
+          .transform(graft.Tails.ordSmall("vec_id"))
       }),
 
     // INCREMENTAL embedding near-dup: a new batch (200 planted perturbed
@@ -304,7 +304,7 @@ object SimilarityQueries {
           .select(col("vec_id"),
             coalesce(col("canonical_id"), col("vec_id")).as("canonical_id"))
           .withColumn("cluster_size", count(lit(1)).over(w))
-          .orderBy("vec_id")
+          .transform(graft.Tails.ordSmall("vec_id"))
       }),
 
     // array-column surface over embeddings: length, positional access

@@ -474,7 +474,7 @@ object TextQueries {
       """.stripMargin.trim),
       (spark, dir) =>
         Dedup.jaccardPairs(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
-          .orderBy("doc_a", "doc_b")),
+          .transform(graft.Tails.ordSmall("doc_a", "doc_b"))),
 
     // asymmetric containment |A∩B|/|A|: catches subset-duplication
     // (quote-and-extend) that symmetric Jaccard misses
@@ -497,7 +497,7 @@ object TextQueries {
       """.stripMargin.trim),
       (spark, dir) =>
         Dedup.containmentPairs(Tables.documents(spark, dir), n = 5, minContainment = 0.8)
-          .orderBy("doc_a", "doc_b")),
+          .transform(graft.Tails.ordSmall("doc_a", "doc_b"))),
 
     // connected components of the near-dup graph: every doc → minimum
     // doc_id in its cluster. Spark: star-contraction CC over MinHash-LSH
@@ -545,7 +545,7 @@ object TextQueries {
       """.stripMargin.trim),
       (spark, dir) =>
         Dedup.nearDupClusters(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
-          .orderBy("doc_id")),
+          .transform(graft.Tails.ordSmall("doc_id"))),
 
     // keep-BEST-per-cluster: the curation op a training pipeline actually
     // runs over the cluster labels — keep the highest-quality member of
@@ -607,7 +607,7 @@ object TextQueries {
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         val labels = Dedup.nearDupClusters(docs, n = 5, minJaccard = 0.8)
-        Dedup.keepBestPerCluster(docs, labels).orderBy("canonical_id")
+        Dedup.keepBestPerCluster(docs, labels).transform(graft.Tails.ordSmall("canonical_id"))
       }),
 
     // near-dup-aware curation composite: the cluster labels (the
@@ -706,7 +706,7 @@ object TextQueries {
         graft.textops.Curate
           .curateNearDup(docs, labels, isBench = col("doc_id") % 10 === 0,
             qualityMin = 0.535, n = 8)
-          .orderBy("doc_id")
+          .transform(graft.Tails.ordSmall("doc_id"))
       }),
 
     // LM-perplexity quality filter (CCNet/Gopher style), approximated by
@@ -783,7 +783,7 @@ object TextQueries {
       """.stripMargin.trim),
       (spark, dir) =>
         Dedup.minhashLshPairs(Tables.documents(spark, dir), n = 5, minJaccard = 0.7)
-          .orderBy("doc_a", "doc_b")),
+          .transform(graft.Tails.ordSmall("doc_a", "doc_b"))),
 
     QueryDef(
       "dedup_simhash",
@@ -802,6 +802,6 @@ object TextQueries {
         ORDER BY doc_id
       """.stripMargin.trim),
       (spark, dir) =>
-        Dedup.simhash(Tables.documents(spark, dir)).orderBy("doc_id"))
+        Dedup.simhash(Tables.documents(spark, dir)).transform(graft.Tails.ordSmall("doc_id")))
   )
 }
