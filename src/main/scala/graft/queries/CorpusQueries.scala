@@ -68,7 +68,7 @@ object CorpusQueries {
     * AS MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default,
     * and seg16 inlined expands to 2^16 scans of `documents` (measured:
     * "Too many open files", not a slow query — an fd per scan). */
-  private def bpeMergesOracle(nMerges: Int): String = {
+  private def bpeTrainCtesDuck(nMerges: Int): String = {
     val B = "chr(31)"
     val rounds = (1 to nMerges).map { i =>
       s"""syms$i AS (
@@ -88,9 +88,7 @@ object CorpusQueries {
          |  FROM seg${i - 1}
          |)""".stripMargin
     }
-    val out = (1 to nMerges).map(i =>
-      s"""SELECT $i AS rank, a AS "left", b AS "right", cnt FROM best$i""")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT unnest($toksDuck) AS w FROM documents
        |), freq AS (
        |  SELECT w, count(*) AS freq FROM words WHERE length(w) > 0 GROUP BY w
@@ -98,10 +96,44 @@ object CorpusQueries {
        |  SELECT w, freq, $B || array_to_string(string_split(w, ''), $B || $B) || $B AS j
        |  FROM freq
        |),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeMergesOracle(nMerges: Int): String = {
+    val out = (1 to nMerges).map(i =>
+      s"""SELECT $i AS rank, a AS "left", b AS "right", cnt FROM best$i""")
+    s"""WITH ${bpeTrainCtesDuck(nMerges)}
        |SELECT * FROM (
        |${out.mkString("\n", "\nUNION ALL\n", "\n")})
        |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB oracle for the encode-with-TRAINED-merges path: the trainer
+    * chain above yields seg`nMerges` (every corpus word's final
+    * segmentation — the corpus trains the vocab, so the encode join can
+    * never miss and the char-fallback branch provably never fires), and
+    * the encode replays `bpe_encode_fixed`'s join + fingerprint over it.
+    * The boundary-wrapped state converts to the space-joined form with
+    * the same trim/replace as `Vocab.segJoinedDuck`'s final step. */
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val B = "chr(31)"
+    s"""WITH ${bpeTrainCtesDuck(nMerges)},
+       |segf AS (
+       |  SELECT w, trim(replace(j, $B || $B, ' '), $B) AS sp FROM seg$nMerges
+       |), tok AS (
+       |  SELECT doc_id, $toksDuck AS t FROM documents
+       |), toks AS (
+       |  SELECT doc_id, u.i AS tpos, t[CAST(u.i AS INT)] AS w
+       |  FROM tok, unnest(range(1, len(t) + 1)) AS u(i)
+       |)
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(len(string_split(sp, ' '))) AS BIGINT) AS n_subwords,
+       |       md5(string_agg(sp, ' ' ORDER BY tpos)) AS subword_fp
+       |FROM toks JOIN segf USING (w)
+       |WHERE length(w) > 0
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   val entries: Seq[QueryDef] = Seq(
@@ -317,13 +349,13 @@ object CorpusQueries {
 
     // the ENCODE step of the trained tokenizer: corpus joins the compact
     // vocab segmentation (broadcast), OOV words fall back to chars.
-    // Not SQL-expressible (depends on the trained merges); deterministic
-    // given bpeTrain's (cnt desc, pair asc) tiebreak, spec-verified.
-    // The oracle-HARD variant of the same encode path is
-    // `bpe_encode_fixed` below — identical code, frozen merge list
+    // Driver-HARD since r9: the oracle re-runs the trainer's unrolled
+    // CTE chain to seg16 and replays the `bpe_encode_fixed` join +
+    // fingerprint over it — counts AND the md5 subword stream of every
+    // document must match the engine's trained encode
     QueryDef(
       "bpe_encode",
-      None,
+      Some(bpeEncodeOracle(16)),
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         val (_, seg) = Vocab.bpeTrain(docs, nMerges = 16)
