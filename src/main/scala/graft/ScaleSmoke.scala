@@ -681,3 +681,71 @@ object ScaleSmoke {
     spark.stop()
   }
 }
+
+/** Hot-day fan-out smoke (round 9): the maintenance scenario the
+  * `filesPerDay` knob exists for — one day carrying most of an upsert.
+  * Measures the upsert wall time and the hot day's file count at
+  * filesPerDay = 1 (the pre-r9 behavior: the whole day serializes
+  * through one task) vs 8, plus a key-filtered read against each
+  * layout to show pruning survives the fan-out.
+  * Usage: runMain graft.WarehouseFanoutSmoke [nRows]
+  */
+object WarehouseFanoutSmoke {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-fanout").toString
+    // a thin 3-day warehouse, then an update batch where 90% of rows land
+    // on day 2 — the late-feed-for-one-hot-day shape
+    val seed = spark.range(n / 50).select(
+      col("id").as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + pmod(col("id"), lit(3)) * 86400000000L +
+        pmod(hash(col("id")), lit(86400)).cast("long") * 1000000L).as("ts"),
+      (col("id") % 1000 / 10.0).as("value"))
+    val updates = spark.range(n).select(
+      (col("id") + 1000000000L).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        when(pmod(col("id"), lit(10)) < 9, lit(1L)).otherwise(lit(2L)) * 86400000000L +
+        pmod(hash(col("id") * 3), lit(86400)).cast("long") * 1000000L).as("ts"),
+      (col("id") % 1000 / 10.0).as("value"))
+      .repartition(64).localCheckpoint()
+
+    def hotDayFiles(path: String): Int = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, "day=2024-01-02"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+    }
+    Seq(1, 8).foreach { fpd =>
+      val path = s"$base/wh$fpd"
+      graft.sources.Sources.writeDayPartitioned(seed, "ts", "user_id", path)
+      timed(s"hot-day upsert of $n rows, filesPerDay=$fpd") {
+        graft.sources.Warehouse.upsertDayPartitioned(
+          spark, path, updates, "ts", Seq("user_id"), filesPerDay = fpd)
+      }
+      println(s"[scale]   hot-day files: ${hotDayFiles(path)}")
+      timed(s"point read (day + key range), filesPerDay=$fpd") {
+        val got = spark.read.parquet(path)
+          .filter(col("day") === "2024-01-02" &&
+            col("user_id").between(1002000000L, 1002050000L))
+          .count()
+        println(s"[scale]   rows: $got")
+      }
+    }
+    spark.stop()
+  }
+}
