@@ -39,8 +39,13 @@ object MassFlow {
     // materialize the edge set once: every round joins it, and without
     // truncation each round would re-run the caller's upstream lineage
     // (scan + distinct + union) from scratch — measured 8.4 s → 4.8 s on
-    // the sf0.1 catalog graph
-    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long")))
+    // the sf0.1 catalog graph. PRE-PARTITIONED on the join key before the
+    // checkpoint: the checkpointed relation keeps its outputPartitioning,
+    // so every round's `edges ⋈ share ON src = node` reuses the edge
+    // side's layout instead of re-exchanging the (large) edge set per
+    // round — on a cluster that is iters× fewer full-edge shuffles
+    val e = ck(edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(col("src")))
     val deg = ck(e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("d")))
     val nodes = e.select(col("src").as("node"))
