@@ -633,6 +633,17 @@ class StreamingSpec extends SparkSpec {
       want.select("text").distinct()).isEmpty)
   }
 
+  test("content hash: NULL and empty string are distinct identities; all-NULL rows dedup") {
+    import graft.streaming.StreamingDedup
+    val df = Seq((1L, Some("")), (2L, None: Option[String]), (3L, None: Option[String]))
+      .toDF("id", "text")
+    val hashed = StreamingDedup.withContentHash(df, Seq("text"))
+      .select($"id", $"content_hash").as[(Long, String)].collect().toMap
+    assert(hashed(1L) != hashed(2L), "NULL and '' must not collide")
+    assert(hashed(2L) == hashed(3L), "all-NULL rows must dedup against each other")
+    assert(hashed.values.forall(_ != null), "hash must never be NULL or rows pass unchecked")
+  }
+
   test("accepted divergence: a re-crawl AFTER state eviction is emitted again") {
     // same content, fresh event time, watermark already past the
     // original's ts + delay: the hash state was evicted, so the copy
