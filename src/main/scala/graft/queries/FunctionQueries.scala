@@ -129,6 +129,64 @@ object FunctionQueries {
             "price", "volume")
       }),
 
+    // structured PII redaction — the training-data scrub pass that
+    // replaces entities (emails, phone numbers, IBANs) with type tags
+    // before text enters a corpus, complementing pii_scrub's digit
+    // masking. PII is PLANTED deterministically from customer keys (the
+    // price_parse idiom: the fixture has no organic PII, so the dirty
+    // input is synthesized identically in both engines) and the regexes
+    // stay in the Java/RE2 common subset. Counts come from
+    // regexp_count / len(regexp_extract_all) so both engines must agree
+    // on match SEMANTICS, not just the replacement. Fat row-level
+    // output → sort-before-project (Tails scaladoc)
+    QueryDef(
+      "pii_redact",
+      Some("""
+        WITH s AS (
+          SELECT c_custkey,
+                 'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR) ||
+                 '@mail.example or call +33 61 ' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') ||
+                 ' 11 ' || lpad(CAST((c_custkey * 7) % 100 AS VARCHAR), 2, '0') ||
+                 ' account FR76 ' || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0') ||
+                 ' 3000 1234 thanks' AS raw
+          FROM customer
+        )
+        SELECT c_custkey, raw,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                 '\+33( [0-9]{2}){4}', '<PHONE>', 'g'),
+                 'FR[0-9]{2}( [0-9]{4}){3}', '<IBAN>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '\+33( [0-9]{2}){4}')) AS BIGINT) AS n_phones,
+               CAST(len(regexp_extract_all(raw, 'FR[0-9]{2}( [0-9]{4}){3}')) AS BIGINT) AS n_ibans
+        FROM s
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val raw = concat(
+          lit("contact "), col("c_name"), lit(" at user"), col("c_custkey").cast("string"),
+          lit("@mail.example or call +33 61 "),
+          lpad(pmod(col("c_custkey"), lit(100)).cast("string"), 2, "0"),
+          lit(" 11 "),
+          lpad(pmod(col("c_custkey") * 7, lit(100)).cast("string"), 2, "0"),
+          lit(" account FR76 "),
+          lpad(pmod(col("c_custkey") * 13, lit(10000)).cast("string"), 4, "0"),
+          lit(" 3000 1234 thanks"))
+        val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+        val phone = "\\+33( [0-9]{2}){4}"
+        val iban = "FR[0-9]{2}( [0-9]{4}){3}"
+        Tables.customer(spark, dir)
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey")
+          .select(col("c_custkey"), raw.as("raw"))
+          .select(col("c_custkey"), col("raw"),
+            regexp_replace(regexp_replace(regexp_replace(col("raw"),
+              email, "<EMAIL>"), phone, "<PHONE>"), iban, "<IBAN>").as("redacted"),
+            regexp_count(col("raw"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("raw"), lit(phone)).cast("long").as("n_phones"),
+            regexp_count(col("raw"), lit(iban)).cast("long").as("n_ibans"))
+      }),
+
     // F7: free-text market → id via case-insensitive contains chain —
     // replaces the reference's only per-row Python UDF (`etl/etl.py:546-564`).
     QueryDef(
