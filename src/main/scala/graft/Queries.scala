@@ -50,8 +50,4 @@ object Tails {
   /** Curried form for `.transform(Tails.ordSmall("a", "b"))` tails. */
   def ordSmall(cols: String*): DataFrame => DataFrame =
     df => orderedSmall(df, cols.map(org.apache.spark.sql.functions.col): _*)
-
-  /** Same, for Column sort keys (desc orders etc.). */
-  def ordSmallBy(cols: org.apache.spark.sql.Column*): DataFrame => DataFrame =
-    df => orderedSmall(df, cols: _*)
 }

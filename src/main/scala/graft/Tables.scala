@@ -27,20 +27,20 @@ object Tables {
   def canonicalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    // Every branch is session-timezone-sensitive somewhere downstream
+    // (the NTZ→timestamp cast reads wall-clock through the session zone
+    // directly; the others feed date/window extractions that do), and the
+    // testdata's instants are UTC — a session not pinned to UTC would
+    // silently shift events and diverge from the DuckDB oracle. Enforce
+    // the invariant here, at the one seam every events read passes
+    // through, instead of trusting each entrypoint to have set it.
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events.ts canonicalization requires spark.sql.session.timeZone=UTC (got $tz); " +
+        "set it in the SparkSession builder before reading events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType =>
-        // The NTZ→timestamp cast reads the wall-clock through the SESSION
-        // time zone; the testdata's NTZ values are UTC instants, so any
-        // session not pinned to UTC would silently shift every event and
-        // diverge from the DuckDB oracle. Enforce the invariant here, at
-        // the one seam every events read passes through, instead of
-        // trusting each entrypoint to have set it.
-        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        require(tz == "UTC",
-          s"events.ts canonicalization requires spark.sql.session.timeZone=UTC (got $tz); " +
-            "set it in the SparkSession builder before reading events")
-        df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
       case _                => df
     }
   }

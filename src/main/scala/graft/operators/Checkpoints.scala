@@ -23,12 +23,20 @@ import org.apache.spark.sql.DataFrame
   * `spark.cleaner.referenceTracking.cleanCheckpoints`).
   */
 object Checkpoints {
+  // setCheckpointDir is NOT idempotent: each call mkdirs a fresh UUID
+  // subdirectory under the given path and points the context at it, so
+  // calling it per round would scatter a 16-round loop across 16
+  // directories and pay a remote mkdirs RPC each time. Set once per
+  // (context, dir) — the stored form is dir/<uuid>, so it cannot be
+  // compared against the caller's raw path directly.
+  private val configured =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+
   def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
-        // setCheckpointDir is idempotent (qualify + mkdirs); always
-        // setting avoids comparing against the fs-qualified stored form
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        val sc = df.sparkSession.sparkContext
+        if (configured.put(sc, dir) != dir) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -38,16 +38,22 @@ object Warehouse {
     * replaces exactly the day partitions present in the staged data,
     * restoring the sorted-within-day layout.
     *
-    * The shuffle is `repartitionByRange(nDays × filesPerDay, day, sortCols…)`,
-    * NOT `repartition(col("day"))`: hash-by-day caps parallelism at the
-    * day count and serializes a hot day (~50 GB at 100 TB scale) through
-    * ONE task producing one giant file. Range partitioning on
-    * (day, key, ts) keeps every output slice a contiguous key range
-    * within its day — each slice lands as one file under its day dir,
-    * still (key, ts)-sorted and row-group min/max-skippable — while the
-    * sampled range boundaries give data-proportional slicing: hot days
-    * naturally split into more files, quiet days may share a task (their
-    * rows still route to the right day dirs via `partitionBy`).
+    * `filesPerDay = 1` keeps the EXACT one-file-per-day contract via
+    * `repartition(col("day"))` — a range shuffle's sampled boundary can
+    * land mid-day and split a day into two files, which the default
+    * `compactDayPartitions(maxFilesPerDay = 1)` would then re-flag as
+    * fragmented and spuriously rewrite after every multi-day upsert. The
+    * price (a hot day serializes through one task) is inherent to
+    * requesting one file per day.
+    *
+    * `filesPerDay > 1` switches to
+    * `repartitionByRange(nDays × filesPerDay, day, sortCols…)`: every
+    * output slice is a contiguous key range within its day — one file
+    * under its day dir, still (key, ts)-sorted and row-group
+    * min/max-skippable — and the sampled boundaries give
+    * data-proportional slicing: hot days naturally split into more
+    * files, quiet days may share a task (their rows still route to the
+    * right day dirs via `partitionBy`).
     */
   private def swapStaged(
       spark: SparkSession, path: String, staging: String, sortCols: Seq[String],
@@ -57,8 +63,11 @@ object Warehouse {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val rangeCols = (Seq("day") ++ sortCols).map(col)
-      spark.read.parquet(staging)
-        .repartitionByRange(math.max(1, nDays * filesPerDay), rangeCols: _*)
+      val staged = spark.read.parquet(staging)
+      val arranged =
+        if (filesPerDay == 1) staged.repartition(col("day"))
+        else staged.repartitionByRange(math.max(1, nDays * filesPerDay), rangeCols: _*)
+      arranged
         .sortWithinPartitions(rangeCols: _*)
         .write.mode("overwrite").partitionBy("day").parquet(path)
     } finally {
@@ -221,6 +230,8 @@ object Warehouse {
       tsCol: String,
       maxFilesPerDay: Int = 1,
       targetFilesPerDay: Int = 1): Seq[String] = {
+    require(targetFilesPerDay >= 1,
+      s"targetFilesPerDay must be >= 1 (got $targetFilesPerDay)")
     require(targetFilesPerDay <= math.max(1, maxFilesPerDay),
       s"compacting to $targetFilesPerDay files/day would immediately re-qualify " +
         s"days as fragmented under maxFilesPerDay=$maxFilesPerDay")

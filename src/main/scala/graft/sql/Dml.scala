@@ -143,15 +143,21 @@ object Dml {
       targetAlias: Option[String] = None,
       sourceAlias: Option[String] = None): (Long, Long) = {
     val EqRe = """(?s)\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?:(\w+)\s*\.\s*)?(\w+)\s*""".r
-    val aliases = Set(targetAlias, sourceAlias).flatten.map(_.toLowerCase)
+    // legal qualifiers: the declared aliases, or (when the source is not
+    // aliased) the source view's own name — standard SQL scoping. A
+    // qualifier naming neither (a typo'd table) must fail, not silently
+    // key the merge.
+    val aliases = Set(targetAlias, sourceAlias).flatten.map(_.toLowerCase) ++
+      (if (sourceAlias.isEmpty) Set(sourceView.toLowerCase) else Set.empty[String])
     val keyCols = topLevelOnly(onCond).split("(?i)\\s+AND\\s+").toSeq.map {
       case EqRe(a1, c1, a2, c2) =>
         require(c1.equalsIgnoreCase(c2),
           s"MERGE ON predicates must equate the SAME column on both sides " +
             s"(the upsert key identity); got '$c1 = $c2'")
         Seq(a1, a2).filter(_ != null).foreach(a =>
-          require(aliases.contains(a.toLowerCase) || aliases.isEmpty,
-            s"unknown alias '$a' in MERGE ON condition"))
+          require(aliases.contains(a.toLowerCase),
+            s"unknown alias '$a' in MERGE ON condition " +
+              s"(known: ${if (aliases.isEmpty) "none — use unqualified columns" else aliases.mkString(", ")})"))
         c1
       case other =>
         throw new IllegalArgumentException(
@@ -161,7 +167,13 @@ object Dml {
     require(keyCols.nonEmpty,
       "MERGE ON names only the derived 'day' column — at least one real key is required")
 
-    val updates = spark.table(sourceView)
+    // materialize the source ONCE: the matched/inserted split takes two
+    // actions and the upsert a third — re-evaluating an expensive (or
+    // nondeterministic) view per action could report counts that disagree
+    // with the rows actually written
+    val updates = spark.table(sourceView).localCheckpoint()
+    val total = updates.count()
+    if (total == 0L) return (0L, 0L) // empty incremental batch: MERGE affects 0 rows, never throws
     val tsCols = updates.schema.fields
       .filter(f => f.dataType.typeName.startsWith("timestamp")).map(_.name)
     require(tsCols.length == 1,
@@ -180,7 +192,7 @@ object Dml {
       .filter(col("day").isin(days: _*))
     val matched = up.join(current.select((keyCols :+ "day").map(col): _*),
       keyCols :+ "day", "left_semi").count()
-    val inserted = updates.count() - matched
+    val inserted = total - matched
 
     graft.sources.Warehouse.upsertDayPartitioned(spark, path, updates, tsCol, keyCols)
     (matched, inserted)

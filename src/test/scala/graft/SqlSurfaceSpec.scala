@@ -157,12 +157,28 @@ class SqlSurfaceSpec extends SparkSpec {
     rejects(s"MERGE INTO `$viaSql` USING merge_upd ON t.user_id = s.other_key " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
       "SAME column")
-    rejects(s"MERGE INTO `$viaSql` USING merge_upd ON t.day = s.day " +
+    rejects(s"MERGE INTO `$viaSql` AS t USING merge_upd AS s ON t.day = s.day " +
       "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
       "at least one real key")
     rejects(s"MERGE INTO `$viaSql` USING merge_upd ON t.user_id = s.user_id " +
       "WHEN MATCHED THEN UPDATE SET value = s.value",
       "unsupported MERGE shape")
+    // a qualifier naming neither alias nor the source view is a typo'd
+    // table, not a merge key
+    rejects(s"MERGE INTO `$viaSql` USING merge_upd ON foo.user_id = bar.user_id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "unknown alias")
+    // unaliased source: its own view name is the legal qualifier
+    assert(Dml.merge(spark, mkWarehouse(), "merge_upd",
+      "merge_upd.user_id = merge_upd.user_id") == ((1L, 1L)))
+
+    // empty incremental batch: MERGE affects 0 rows, never throws
+    updates.limit(0).createOrReplaceTempView("merge_empty")
+    val before = state(viaSql)
+    assert(Dml.execute(spark,
+      s"""MERGE INTO `$viaSql` AS t USING merge_empty AS s ON t.user_id = s.user_id
+          WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""") == 0)
+    assert(state(viaSql) == before)
   }
 
   test("ad-hoc surface rejects nothing the engine supports: aggregate over view") {

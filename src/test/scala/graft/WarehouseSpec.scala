@@ -84,6 +84,24 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.compactDayPartitions(spark, path, "user_id", "ts").isEmpty)
   }
 
+  test("filesPerDay=1 keeps the exact one-file-per-day contract on multi-day upserts") {
+    // a range shuffle's sampled boundary can land mid-day and split a
+    // day into two files — which default compaction would then re-flag
+    // as fragmented after EVERY multi-day upsert. fpd=1 must use the
+    // hash-by-day path so the contract is exact, not probabilistic.
+    val path = freshWarehouse()
+    val updates = Seq(
+      (50L, ts("2024-01-01 12:00:00"), 1.0),
+      (51L, ts("2024-01-02 12:00:00"), 2.0),
+      (52L, ts("2024-01-02 13:00:00"), 3.0)
+    ).toDF("user_id", "ts", "value")
+    Warehouse.upsertDayPartitioned(spark, path, updates, "ts", Seq("user_id"))
+    assert(listFiles(path, "2024-01-01").size == 1)
+    assert(listFiles(path, "2024-01-02").size == 1)
+    // so a default-config compaction right after an upsert is a no-op
+    assert(Warehouse.compactDayPartitions(spark, path, "user_id", "ts").isEmpty)
+  }
+
   test("upsert file fan-out: filesPerDay=4 yields sorted, disjoint-key-range files; pruning and replay survive") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
