@@ -191,16 +191,30 @@ class WarehouseSpec extends SparkSpec {
     // NOTE: collect(), not count() — count() builds a NEW QueryExecution,
     // leaving q.queryExecution's metrics untouched (zeros, and every
     // metric assert below passes vacuously)
-    val q = back.filter($"day" === "2024-01-03" && $"user_id" === 123L)
     val want = ticks.filter(to_date($"ts") === "2024-01-03" && $"user_id" === 123L).count()
-    assert(q.collect().length == want && want > 0) // executes q's OWN plan
-
-    val plan = q.queryExecution.executedPlan
-    val scan = (plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }).collectFirst { case f: FileSourceScanExec => f }
-      .getOrElse(fail("no FileSourceScanExec in\n" + plan))
+    assert(want > 0, "fixture must select rows or the audit is vacuous")
+    // scan metrics flow back through accumulators; under a loaded suite
+    // one execution can be read before its updates land — re-executing a
+    // fresh QueryExecution (bounded) absorbs that race without weakening
+    // any assertion (the final attempt's values are still hard-asserted)
+    def readOnce(): (FileSourceScanExec, Long, Long) = {
+      val q = back.filter($"day" === "2024-01-03" && $"user_id" === 123L)
+      assert(q.collect().length == want) // executes q's OWN plan
+      val plan = q.queryExecution.executedPlan
+      val scan = (plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).collectFirst { case f: FileSourceScanExec => f }
+        .getOrElse(fail("no FileSourceScanExec in\n" + plan))
+      (scan, scan.metrics("numFiles").value, scan.metrics("numOutputRows").value)
+    }
+    val perDay = 64.0 / nDays
+    val dayRows = 60000.0 / nDays
+    def metricsLanded(t: (FileSourceScanExec, Long, Long)) =
+      t._2 > 0 && t._3 > 0
+    val (scan, filesRead, surfaced) =
+      Iterator.continually(readOnce()).take(3).find(metricsLanded)
+        .getOrElse(readOnce())
     // (1) the day predicate prunes partitions at listing time
     assert(!scan.toString.contains("PartitionFilters: []"),
       "day predicate should be a partition filter")
@@ -209,16 +223,12 @@ class WarehouseSpec extends SparkSpec {
       scan.toString.contains("EqualTo(user_id,123)"), scan.toString.take(800))
     // (3) files READ (scan metric) = one day's slice of the 64 files,
     // not the table; range boundaries can straddle a day, so allow 2x
-    val filesRead = scan.metrics("numFiles").value
-    val perDay = 64.0 / nDays
     assert(filesRead > 0, "scan metrics not populated — plan was never executed")
     assert(filesRead <= 2 * perDay + 1,
       s"scan read $filesRead files — partition pruning did not fire")
     // (4) row-group min/max skipping fired: the scan SURFACED only the
     // rows of the z-files whose (user_id, value) box contains the point,
     // well under the day's full row count
-    val dayRows = 60000.0 / nDays
-    val surfaced = scan.metrics("numOutputRows").value
     assert(surfaced < 0.7 * dayRows,
       s"scan surfaced $surfaced of ~$dayRows day rows — no row-group skip")
     def rm(f: java.io.File): Unit = {
