@@ -397,6 +397,51 @@ object CorpusQueries {
         Vocab.encode(docs, Vocab.fixedSeg(docs, fixedMerges)).orderBy("doc_id")
       }),
 
+    // tokenizer fertility report: subwords-per-word by language under the
+    // frozen tokenizer — the standard tokenizer-evaluation metric a
+    // multilingual pipeline tracks per release (high fertility for a
+    // language = its text costs more tokens per word). Composes the
+    // fixed-merge segmentation (broadcast vocab join, corpus touched
+    // once); counts exact BIGINT, two round-4 ratios of exact counts
+    QueryDef(
+      "tokenizer_fertility",
+      Some(s"""
+        WITH tok AS (
+          SELECT lang, $toksDuck AS t FROM documents
+        ), toks AS (
+          SELECT lang, t[CAST(u.i AS INT)] AS w
+          FROM tok, unnest(range(1, len(t) + 1)) AS u(i)
+        ), seg AS (
+          SELECT lang, len(string_split(${Vocab.segJoinedDuck("w", fixedMerges)}, ' ')) AS ns
+          FROM toks WHERE length(w) > 0
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(ns) AS BIGINT) AS n_subwords,
+               round(CAST(sum(ns) AS DOUBLE) / count(*), 4) AS fertility,
+               round(CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS single_token_frac
+        FROM seg
+        GROUP BY lang
+        ORDER BY lang
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val docs = Tables.documents(spark, dir)
+        val seg = Vocab.fixedSeg(docs, fixedMerges).select(col("w"), col("sym"))
+        docs.select(col("lang"), explode(expr(TextAnalysis.tokensExpr)).as("w"))
+          .filter(length(col("w")) > 0)
+          .join(broadcast(seg), Seq("w"), "left")
+          .withColumn("ns",
+            when(col("sym").isNull, length(col("w"))).otherwise(size(col("sym"))))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(col("ns")).cast("long").as("n_subwords"),
+            round(sum(col("ns")).cast("double") / count(lit(1)), 4).as("fertility"),
+            round(sum(when(col("ns") === 1, 1).otherwise(0)).cast("double") / count(lit(1)), 4)
+              .as("single_token_frac"))
+          .orderBy("lang")
+      }),
+
     // per-source document cap — the curation step that bounds any one
     // domain's contribution to the training mix. Selection is by
     // deterministic hash rank (the shared md5 idiom), k kept per source
