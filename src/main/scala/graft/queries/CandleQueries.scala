@@ -34,6 +34,40 @@ object CandleQueries {
           .withColumn("mean", round(col("mean"), 4))
           .orderBy("user_id", "day")
       }),
+    // the CONTINUOUS-AGGREGATE maintenance path, driver-hard: the engine
+    // folds three disjoint tick chunks through the mergeable candle
+    // state (candleState + mergeCandleStates — what an incremental
+    // refresh runs when a new batch lands, history never rescanned),
+    // and the result must hash-match the ORACLE'S one-shot batch
+    // aggregation over all ticks. Incremental ≡ batch is the entire
+    // correctness contract of a materialized rollup
+    QueryDef(
+      "candles_incremental",
+      Some("""
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               min_by(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max_by(value, ts) AS close,
+               COUNT(*) AS volume,
+               ROUND(SUM(value), 4) AS turnover,
+               ROUND((min_by(value, ts) + max(value) + min(value) + max_by(value, ts)) / 4, 4) AS mean
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+        ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val chunks = (0 to 2).map(i =>
+          Candles.candleState(ev.filter(pmod(col("event_id"), lit(3)) === i),
+            "user_id", "ts", "value"))
+        val merged = chunks.reduce(Candles.mergeCandleStates(_, _, "user_id"))
+        Candles.finishCandles(merged)
+          .withColumn("turnover", round(col("turnover"), 4))
+          .withColumn("mean", round(col("mean"), 4))
+          .orderBy("user_id", "day")
+      }),
+
     // same oracle as ohlcv_daily, computed through the typed single-pass
     // Aggregator instead of six aggregate expressions — two independent
     // execution paths checked against one oracle
