@@ -185,4 +185,39 @@ class EtlSpec extends SparkSpec {
     val resolved = Companies.lastWriterWins(incoming, "symbol", "version", Seq("name"))
     assert(resolved.filter($"symbol" === "AAA").select("name").as[String].head() == "Alpha")
   }
+
+  test("candle-state merge: any chunking, any fold order == one-shot batch (property)") {
+    // the materialized-rollup contract behind candles_incremental: the
+    // mergeable state must be insensitive to HOW ticks were chunked and
+    // in WHICH order partial states fold — else a refresh schedule could
+    // change the candles it maintains
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(8, 40)
+      nChunks <- Gen.choose(2, 4)
+      assign <- Gen.listOfN(n, Gen.choose(0, nChunks - 1))
+      order <- Gen.const(new scala.util.Random(assign.hashCode.toLong)
+        .shuffle((0 until nChunks).toList))
+    } yield (n, nChunks, assign, order)
+    val prop = Prop.forAll(gen) { case (n, nChunks, assign, order) =>
+      // distinct second-resolution timestamps over 3 days, 2 keys
+      val rows = (0 until n).map { i =>
+        (i % 2 + 1L, java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(i * 9000L)),
+          (i * 37 % 100) / 10.0, assign(i))
+      }
+      val df = rows.toDF("user_id", "ts", "value", "chunk").localCheckpoint(true)
+      val chunks = order.map(c =>
+        Candles.candleState(df.filter($"chunk" === c), "user_id", "ts", "value"))
+      val folded = Candles.finishCandles(
+        chunks.reduce(Candles.mergeCandleStates(_, _, "user_id")))
+      val batch = Candles.ohlcvDaily(df, "user_id", "ts", "value")
+      val key = Seq("user_id", "day", "open", "high", "low", "close", "volume")
+      folded.select(key.map(col): _*).exceptAll(batch.select(key.map(col): _*)).isEmpty &&
+        batch.select(key.map(col): _*).exceptAll(folded.select(key.map(col): _*)).isEmpty
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
