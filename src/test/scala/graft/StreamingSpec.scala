@@ -721,6 +721,65 @@ class StreamingSpec extends SparkSpec {
     dir.toString + "/*"
   }
 
+  test("streaming continuous aggregate: per-micro-batch candle-store maintenance equals batch candles") {
+    // the TimescaleDB continuous-aggregate loop end-to-end: a persisted
+    // day-partitioned candle-STATE store, seeded from history, then
+    // maintained per micro-batch by merge-and-upsert — only the (key,
+    // day) groups a batch touches are read or rewritten; days the stream
+    // never touches keep their files byte-identical
+    import graft.etl.Candles
+    import graft.sources.{Sources, Warehouse}
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(spark, sf).select($"user_id", $"ts", $"value")
+    val cut = "2024-01-11"
+    val history = ev.filter(to_date($"ts") < cut)
+    val live = ev.filter(to_date($"ts") >= cut)
+    assert(history.count() > 0 && live.count() > 0, "fixture must span the cut")
+
+    val storePath = java.nio.file.Files.createTempDirectory("graft-ca-store").toString
+    Sources.writeDayPartitioned(
+      Candles.candleState(history, "user_id", "ts", "value"), "first_ts", "user_id", storePath)
+    def fileSet(day: String) = {
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$storePath/day=$day"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+    }
+    val firstHistDay = spark.read.parquet(storePath)
+      .agg(min($"day".cast("string"))).as[String].head()
+    val untouchedBefore = fileSet(firstHistDay)
+
+    // one refresh step, shared shape with candles_incremental's fold:
+    // batch state ⊕ the store's AFFECTED days, upserted back
+    def mergeStep(batch: DataFrame): Unit = {
+      val bState = Candles.candleState(batch, "user_id", "ts", "value").localCheckpoint(true)
+      val days = bState.select($"day").distinct().collect().map(_.get(0))
+      val affected = spark.read.parquet(storePath).filter($"day".isin(days: _*))
+      val merged = Candles.mergeCandleStates(affected, bState, "user_id")
+      Warehouse.upsertDayPartitioned(spark, storePath, merged, "first_ts", Seq("user_id"))
+    }
+    val srcDir = stageChunks(live, "ts", Seq("2024-01-18", "2024-01-25"), "castream")
+    val stream = spark.readStream.schema(live.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = stream.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) => mergeStep(batch)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the maintained store == the one-shot batch candles over everything
+    val got = Candles.finishCandles(spark.read.parquet(storePath)
+      .select(ev.columns.head, "day", "first_ts", "open", "high", "low",
+        "last_ts", "close", "volume", "turnover"))
+      .select($"user_id", $"day".cast("string"), $"open", $"high", $"low", $"close", $"volume")
+    val want = Candles.ohlcvDaily(ev, "user_id", "ts", "value")
+      .select($"user_id", $"day".cast("string"), $"open", $"high", $"low", $"close", $"volume")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // partition-scoped maintenance: a history day no batch touched keeps
+    // its exact files (same names, sizes, mtimes)
+    assert(fileSet(firstHistDay) == untouchedBefore)
+  }
+
   test("stream-stream join: click attribution across micro-batches equals the batch join") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "event_type")
     val views = ev.filter($"event_type" === "view")
