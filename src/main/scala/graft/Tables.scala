@@ -35,7 +35,13 @@ object Tables {
     // the invariant here, at the one seam every events read passes
     // through, instead of trusting each entrypoint to have set it.
     val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
+    // normalize before comparing: "Etc/UTC", "GMT", "+00:00" are all the
+    // UTC instant line — rejecting them would break sessions that were
+    // always correct
+    val isUtc =
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
       s"events.ts canonicalization requires spark.sql.session.timeZone=UTC (got $tz); " +
         "set it in the SparkSession builder before reading events")
     df.schema("ts").dataType match {

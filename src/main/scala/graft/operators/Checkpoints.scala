@@ -36,7 +36,13 @@ object Checkpoints {
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        if (configured.put(sc, dir) != dir) sc.setCheckpointDir(dir)
+        // record AFTER the set succeeds: caching first would latch a
+        // failed configuration (transient FS error on the first call)
+        // and every later call would skip the retry, failing forever
+        if (configured.get(sc) != dir) {
+          sc.setCheckpointDir(dir)
+          configured.put(sc, dir)
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(eager = true)
     }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object CandleQueries {
 
-  val entries: Seq[QueryDef] = Seq(
-    QueryDef(
-      "ohlcv_daily",
-      Some("""
+  /** ONE oracle text for the three independent daily-candle execution
+    * paths (expressions, typed Aggregator, incremental merge) — shared so
+    * a rounding tweak cannot silently leave them checking different
+    * oracles. */
+  private val dailyOracle = """
         SELECT user_id, CAST(ts AS DATE) AS day,
                min_by(value, ts) AS open,
                max(value) AS high,
@@ -26,7 +27,12 @@ object CandleQueries {
         FROM events
         GROUP BY user_id, CAST(ts AS DATE)
         ORDER BY user_id, day
-      """.stripMargin.trim),
+      """.stripMargin.trim
+
+  val entries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ohlcv_daily",
+      Some(dailyOracle),
       (spark, dir) => {
         val candles = Candles.ohlcvDaily(Tables.events(spark, dir), "user_id", "ts", "value")
         candles
@@ -43,19 +49,7 @@ object CandleQueries {
     // correctness contract of a materialized rollup
     QueryDef(
       "candles_incremental",
-      Some("""
-        SELECT user_id, CAST(ts AS DATE) AS day,
-               min_by(value, ts) AS open,
-               max(value) AS high,
-               min(value) AS low,
-               max_by(value, ts) AS close,
-               COUNT(*) AS volume,
-               ROUND(SUM(value), 4) AS turnover,
-               ROUND((min_by(value, ts) + max(value) + min(value) + max_by(value, ts)) / 4, 4) AS mean
-        FROM events
-        GROUP BY user_id, CAST(ts AS DATE)
-        ORDER BY user_id, day
-      """.stripMargin.trim),
+      Some(dailyOracle),
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
         val chunks = (0 to 2).map(i =>
@@ -73,19 +67,7 @@ object CandleQueries {
     // execution paths checked against one oracle
     QueryDef(
       "ohlcv_typed",
-      Some("""
-        SELECT user_id, CAST(ts AS DATE) AS day,
-               min_by(value, ts) AS open,
-               max(value) AS high,
-               min(value) AS low,
-               max_by(value, ts) AS close,
-               COUNT(*) AS volume,
-               ROUND(SUM(value), 4) AS turnover,
-               ROUND((min_by(value, ts) + max(value) + min(value) + max_by(value, ts)) / 4, 4) AS mean
-        FROM events
-        GROUP BY user_id, CAST(ts AS DATE)
-        ORDER BY user_id, day
-      """.stripMargin.trim),
+      Some(dailyOracle),
       (spark, dir) => {
         graft.operators.OhlcAggregator.dailyCandles(
           Tables.events(spark, dir), "user_id", "ts", "value")

@@ -427,11 +427,14 @@ object CorpusQueries {
       (spark, dir) => {
         val docs = Tables.documents(spark, dir)
         val seg = Vocab.fixedSeg(docs, fixedMerges).select(col("w"), col("sym"))
+        // INNER join, deliberately: the vocab is trained on this exact
+        // word set so a miss is impossible, and the oracle has no OOV
+        // branch — a left-join char fallback here would be dead code
+        // that silently diverges from the oracle the day it fires
         docs.select(col("lang"), explode(expr(TextAnalysis.tokensExpr)).as("w"))
           .filter(length(col("w")) > 0)
-          .join(broadcast(seg), Seq("w"), "left")
-          .withColumn("ns",
-            when(col("sym").isNull, length(col("w"))).otherwise(size(col("sym"))))
+          .join(broadcast(seg), Seq("w"))
+          .withColumn("ns", size(col("sym")))
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_words"),

@@ -156,8 +156,7 @@ object Dml {
             s"(the upsert key identity); got '$c1 = $c2'")
         Seq(a1, a2).filter(_ != null).foreach(a =>
           require(aliases.contains(a.toLowerCase),
-            s"unknown alias '$a' in MERGE ON condition " +
-              s"(known: ${if (aliases.isEmpty) "none — use unqualified columns" else aliases.mkString(", ")})"))
+            s"unknown alias '$a' in MERGE ON condition (known: ${aliases.mkString(", ")})"))
         c1
       case other =>
         throw new IllegalArgumentException(
@@ -167,35 +166,48 @@ object Dml {
     require(keyCols.nonEmpty,
       "MERGE ON names only the derived 'day' column — at least one real key is required")
 
-    // materialize the source ONCE: the matched/inserted split takes two
-    // actions and the upsert a third — re-evaluating an expensive (or
-    // nondeterministic) view per action could report counts that disagree
-    // with the rows actually written
-    val updates = spark.table(sourceView).localCheckpoint()
-    val total = updates.count()
-    if (total == 0L) return (0L, 0L) // empty incremental batch: MERGE affects 0 rows, never throws
-    val tsCols = updates.schema.fields
+    // SCHEMA validation runs before any action: a structurally invalid
+    // statement (two timestamp columns, a key that is not a source
+    // column) must fail on a quiet day too, not first in production
+    // when rows finally arrive
+    val source = spark.table(sourceView)
+    val tsCols = source.schema.fields
       .filter(f => f.dataType.typeName.startsWith("timestamp")).map(_.name)
     require(tsCols.length == 1,
       s"warehouse MERGE derives the day partition from THE timestamp column of " +
         s"'$sourceView', which must be unique (found: ${tsCols.mkString(", ")})")
     val tsCol = tsCols.head
-    keyCols.foreach(k => require(updates.columns.map(_.toLowerCase).contains(k.toLowerCase),
+    keyCols.foreach(k => require(source.columns.map(_.toLowerCase).contains(k.toLowerCase),
       s"MERGE key '$k' is not a column of '$sourceView'"))
 
-    // matched/inserted split BEFORE the rewrite (the post-state can't
-    // distinguish them): key-semi-join against only the affected days —
-    // the same partition-pruned read the upsert itself performs
-    val up = updates.withColumn("day", to_date(col(tsCol)))
-    val days = up.select(col("day")).distinct().collect().map(_.get(0))
-    val current = spark.read.option("mergeSchema", "true").parquet(path)
-      .filter(col("day").isin(days: _*))
-    val matched = up.join(current.select((keyCols :+ "day").map(col): _*),
-      keyCols :+ "day", "left_semi").count()
-    val inserted = total - matched
+    // materialize the source ONCE: the matched/inserted split takes two
+    // actions and the upsert a third — re-evaluating an expensive (or
+    // nondeterministic) view per action could report counts that disagree
+    // with the rows actually written. persist + unpersist (not
+    // localCheckpoint): repeated MERGEs in a long session must not
+    // accumulate unreclaimable executor blocks
+    val updates = source.persist()
+    try {
+      val total = updates.count()
+      if (total == 0L) return (0L, 0L) // empty batch: MERGE affects 0 rows, never throws
 
-    graft.sources.Warehouse.upsertDayPartitioned(spark, path, updates, tsCol, keyCols)
-    (matched, inserted)
+      // matched/inserted split BEFORE the rewrite (the post-state can't
+      // distinguish them): key-semi-join against only the affected days —
+      // the same partition-pruned read the upsert itself performs
+      val up = updates.withColumn("day", to_date(col(tsCol)))
+      val days = up.select(col("day")).distinct().collect().map(_.get(0))
+      val current = spark.read.option("mergeSchema", "true").parquet(path)
+        .filter(col("day").isin(days: _*))
+      val matched = up.join(current.select((keyCols :+ "day").map(col): _*),
+        keyCols :+ "day", "left_semi").count()
+      val inserted = total - matched
+
+      graft.sources.Warehouse.upsertDayPartitioned(spark, path, updates, tsCol, keyCols)
+      (matched, inserted)
+    } finally {
+      updates.unpersist()
+      ()
+    }
   }
 
   /** `s` with parenthesized groups and quoted literals blanked out — what
