@@ -11,6 +11,43 @@ import org.apache.spark.sql.functions._
 object ProfileQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // DAU / WAU / stickiness — the engagement triple every product
+    // dashboard draws. WAU (distinct users in the trailing 7 days) is
+    // computed WITHOUT a per-day range self-join: each distinct
+    // (day, user) pair explodes to the ≤7 window-END days it belongs to,
+    // then one distinct-count per end day — shuffle keys are
+    // (day, user), work ∝ active-pairs × 7, never days × corpus. Early
+    // days carry partial windows by the standard convention
+    QueryDef(
+      "dau_wau_stickiness",
+      Some("""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ), dau AS (
+          SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day
+        ), wau AS (
+          SELECT d.day, count(DISTINCT du.user_id) AS wau
+          FROM dau d JOIN du ON du.day BETWEEN d.day - 6 AND d.day
+          GROUP BY d.day
+        )
+        SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+               round(CAST(d.dau AS DOUBLE) / w.wau, 4) AS stickiness
+        FROM dau d JOIN wau w USING (day)
+        ORDER BY day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val du = Tables.events(spark, dir)
+          .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+        val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        val wau = du
+          .withColumn("day", explode(expr("sequence(day, date_add(day, 6))")))
+          .groupBy("day").agg(countDistinct("user_id").as("wau"))
+        dau.join(wau, "day") // inner: windows ending past the data range drop out
+          .select(col("day"), col("dau"), col("wau"),
+            round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+          .orderBy("day")
+      }),
+
     // ROLLUP hierarchy: (year, month) → year subtotals → grand total in
     // one pass (Spark expands grouping sets; partial agg still applies)
     QueryDef(
