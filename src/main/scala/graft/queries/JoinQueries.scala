@@ -355,6 +355,92 @@ object JoinQueries {
         graft.Tails.orderedSmall(
           probes.join(canon, levenshtein(col("d_name"), col("c_name")) <= 2, "left_semi"),
           col("d_key"))
+      }),
+
+    // The classic warehouse star join (TPC-H Q5 shape): one fact-fact
+    // shuffle join (lineitem ⋈ orders on the orderkey both sides already
+    // hash to) and THREE broadcast dimension joins stacked on top — the
+    // canonical 100 TB plan, where the fact table is exchanged exactly
+    // once and every dimension rides along as a broadcast. The
+    // local-supplier predicate (c_nationkey = s_nationkey) is a second
+    // equi-key on the supplier broadcast, not an extra join. Revenue in
+    // exact integer cents (order-independent summation).
+    QueryDef(
+      "star_join_q5",
+      Some("""
+        SELECT n.n_name,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue_cents DESC, n_name
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val o = Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00")) &&
+            col("o_orderdate") < lit(java.time.LocalDateTime.parse("1999-01-01T00:00")))
+        val c = Tables.customer(spark, dir)
+        val s = Tables.supplier(spark, dir)
+        val n = Tables.nation(spark, dir)
+        val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+        graft.Tails.orderedSmall(
+          li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+            .join(broadcast(s),
+              li("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+            .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+            .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+            .groupBy(col("n_name"))
+            .agg(
+              count(lit(1)).as("n_items"),
+              sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+                .cast("long")).as("revenue_cents")),
+          col("revenue_cents").desc, col("n_name"))
+      }),
+
+    // Salted skew join: fact rows joined to a PER-KEY aggregate of the
+    // same fact table ("events above this user's own mean"). At 100 TB
+    // neither side broadcasts and one hot key would pin the shuffle join
+    // on a single task — so the aggregate side is replicated ×SALT and
+    // the fact side routes by (key, event_id % SALT), spreading a hot
+    // key over SALT tasks. (The per-key aggregate itself is safe
+    // unsalted: partial aggregation combines map-side, so the hot key
+    // arrives at one reducer as ~n_partitions pre-combined rows, not raw
+    // rows.) Salt choice is routing-only — the oracle is the PLAIN join,
+    // proving salting never changes results.
+    QueryDef(
+      "skew_join_salted",
+      Some("""
+        WITH ua AS (
+          SELECT user_id, AVG(value) AS mu FROM events GROUP BY user_id
+        )
+        SELECT e.user_id, COUNT(*) AS n_above
+        FROM events e JOIN ua ON e.user_id = ua.user_id
+        WHERE e.value > ua.mu
+        GROUP BY e.user_id
+        ORDER BY e.user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val Salt = 8
+        val ev = Tables.events(spark, dir)
+        val ua = ev.groupBy("user_id").agg(avg(col("value")).as("mu"))
+          .withColumn("salt", explode(lit((0 until Salt).toArray)))
+        val fact = ev.withColumn("salt", pmod(col("event_id"), lit(Salt)).cast("int"))
+        graft.Tails.orderedSmall(
+          fact.join(ua, Seq("user_id", "salt"))
+            .filter(col("value") > col("mu"))
+            .groupBy("user_id")
+            .agg(count(lit(1)).as("n_above")),
+          col("user_id"))
       })
   )
 }

@@ -792,6 +792,109 @@ object ProfileQueries {
             round(min(col("value")), 4).as("lo"),
             round(max(col("value")), 4).as("hi"))
           .orderBy("bucket")
+      }),
+
+    // Per-key OLS trend: regression slope/intercept of value over time
+    // for every user, via the SQL-standard regr_* aggregates — one
+    // shuffle on the group key, partial-aggregated map-side (the five
+    // running sums regr needs are all combinable), so a hot user costs
+    // O(partitions) reducer rows at any scale. x is rebased to days
+    // since 2024-01-01 with identical double arithmetic in both engines
+    // (epoch-seconds double minus exact integer origin, / 86400.0);
+    // round(,4) absorbs the engines' accumulation-order ulps.
+    QueryDef(
+      "trend_slope",
+      Some("""
+        WITH t AS (
+          SELECT user_id, value,
+                 (epoch(ts) - 1704067200.0) / 86400.0 AS x
+          FROM events
+        )
+        SELECT user_id,
+               CAST(regr_count(value, x) AS BIGINT) AS n,
+               round(regr_slope(value, x), 4) AS slope,
+               round(regr_intercept(value, x), 4) AS intercept
+        FROM t
+        GROUP BY user_id
+        ORDER BY user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val t = Tables.events(spark, dir)
+          .withColumn("x", (col("ts").cast("double") - lit(1704067200.0)) / 86400.0)
+        graft.Tails.orderedSmall(
+          t.groupBy("user_id").agg(
+            regr_count(col("value"), col("x")).cast("long").as("n"),
+            round(regr_slope(col("value"), col("x")), 4).as("slope"),
+            round(regr_intercept(col("value"), col("x")), 4).as("intercept")),
+          col("user_id"))
+      }),
+
+    // k-anonymity audit before a quasi-identifier release: any
+    // (lang, source, size-bucket) combination identifying fewer than k
+    // documents must be suppressed or generalized. One hash-agg on the
+    // quasi-identifier tuple + a HAVING — the suppression list is
+    // group-sized, never row-sized, so it collects safely at any corpus
+    // scale.
+    QueryDef(
+      "k_anonymity",
+      Some("""
+        SELECT lang, source,
+               CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+               COUNT(*) AS group_size
+        FROM documents
+        GROUP BY lang, source, CAST(n_chars // 100 AS BIGINT)
+        HAVING COUNT(*) < 5
+        ORDER BY lang, source, size_bucket
+      """.stripMargin.trim),
+      (spark, dir) => {
+        graft.Tails.orderedSmall(
+          Tables.documents(spark, dir)
+            .groupBy(col("lang"), col("source"),
+              floor(col("n_chars") / 100).cast("long").as("size_bucket"))
+            .agg(count(lit(1)).as("group_size"))
+            .filter(col("group_size") < 5),
+          col("lang"), col("source"), col("size_bucket"))
+      }),
+
+    // Equi-width feature binning with DATA-DERIVED bounds: one scalar
+    // min/max aggregate broadcast back over the fact scan (two passes
+    // total — the bounds row is a broadcast nested-loop join against a
+    // 1-row side, never a shuffle). The bin formula is written with
+    // identical double ops in both engines instead of width_bucket, so
+    // edge placement is bit-identical; max lands in the top bin by the
+    // explicit hi-clamp, the one case the open upper edge would miss.
+    QueryDef(
+      "feature_binning",
+      Some("""
+        WITH b AS (
+          SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+        )
+        SELECT CASE WHEN l_extendedprice = b.hi THEN CAST(20 AS BIGINT)
+                    ELSE CAST(floor((l_extendedprice - b.lo) * 20.0 / (b.hi - b.lo)) AS BIGINT) + 1 END AS bin,
+               COUNT(*) AS n,
+               round(min(l_extendedprice), 4) AS lo_v,
+               round(max(l_extendedprice), 4) AS hi_v
+        FROM lineitem, b
+        GROUP BY 1
+        ORDER BY bin
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val li = Tables.lineitem(spark, dir)
+        val b = li.agg(
+          min(col("l_extendedprice")).as("lo"),
+          max(col("l_extendedprice")).as("hi"))
+        graft.Tails.orderedSmall(
+          li.crossJoin(broadcast(b))
+            .withColumn("bin",
+              when(col("l_extendedprice") === col("hi"), lit(20L))
+                .otherwise(floor((col("l_extendedprice") - col("lo")) * 20.0 /
+                  (col("hi") - col("lo"))).cast("long") + 1))
+            .groupBy("bin")
+            .agg(
+              count(lit(1)).as("n"),
+              round(min(col("l_extendedprice")), 4).as("lo_v"),
+              round(max(col("l_extendedprice")), 4).as("hi_v")),
+          col("bin"))
       })
   )
 }
