@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting by degree-ordered wedge enumeration
+  * (the MapReduce-classic orientation trick: direct every undirected
+  * edge toward its higher-degree endpoint, enumerate wedges only at the
+  * LOW end of each edge, and close them against the directed edge set).
+  *
+  * Why the orientation matters at 100 TB: a naive id-ordered wedge join
+  * fans out quadratically in the max NODE degree — one celebrity node
+  * with 10M neighbors makes 5·10¹³ wedges on a single join key. Under
+  * degree orientation every node's OUT-degree is bounded by O(√E)
+  * (a node keeps only edges toward nodes of equal-or-larger degree, and
+  * there can be at most 2√E nodes of degree ≥ √E), so the wedge join's
+  * per-key fan-out — and with it the shuffle volume — is bounded by
+  * arboricity, not by the skewed degree distribution. Every shuffle here
+  * is an equi-join; there is no cartesian anywhere.
+  *
+  * Total-order tie-break is (degree, id), making the orientation — and
+  * the enumerated triangle set — deterministic.
+  */
+object Triangles {
+
+  /** Per-node triangle membership counts.
+    *
+    * @param edges two columns `u`, `v` (BIGINT) — undirected, may
+    *              contain duplicates / reversed duplicates / self-loops;
+    *              canonicalized and deduplicated here.
+    * @return (node, n_triangles), one row per node in ≥1 triangle.
+    */
+  def perNodeCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: u < v, no self-loops, distinct
+    val und = edges
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+    // orient toward the (deg, id)-larger endpoint; carry the head's
+    // rank pair so the wedge join can order heads without a re-join
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val dir = withDeg.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("a"),
+      when(uFirst, col("v")).otherwise(col("u")).as("b"),
+      when(uFirst, col("dv")).otherwise(col("du")).as("db"))
+
+    // wedges at the low endpoint: unordered head pairs {b, c}, emitted
+    // once with b preceding c in the same (deg, id) total order
+    val p = dir.select(col("a"), col("b").as("x"), col("db").as("dx"))
+    val q = dir.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val wedges = p.join(q,
+      p("a") === q("a") &&
+        (p("dx") < q("dy") || (p("dx") === q("dy") && p("x") < q("y"))))
+      .select(p("a").as("a"), p("x").as("b"), q("y").as("c"))
+
+    // close the wedge: (b, c) must be a directed edge (edges are
+    // distinct, so inner join multiplicity is exactly 0 or 1)
+    val tri = wedges.join(dir.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+}

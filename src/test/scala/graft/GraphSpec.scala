@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.MassFlow
+import graft.operators.{MassFlow, Triangles}
 import org.apache.spark.sql.functions._
 
 class GraphSpec extends SparkSpec {
@@ -123,5 +123,57 @@ class GraphSpec extends SparkSpec {
     def anyFile(f: java.io.File): Boolean =
       f.isFile || Option(f.listFiles).getOrElse(Array.empty[java.io.File]).exists(anyFile)
     assert(anyFile(new java.io.File(dir)), s"no checkpoint data written under $dir")
+  }
+
+  // ---- Triangles ----
+
+  private def triDf(pairs: (Long, Long)*) = pairs.toDF("u", "v")
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- und
+      c <- nodes if c > b && adj(a).contains(c) && adj(b).contains(c)
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  test("triangles: hand case — K4 gives every node 3 triangles") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got = Triangles.perNodeCounts(triDf(k4: _*))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangles: duplicates, reversals, and self-loops do not change counts") {
+    val messy = triDf((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L), (1L, 2L))
+    val clean = triDf((1L, 2L), (2L, 3L), (1L, 3L))
+    val g1 = Triangles.perNodeCounts(messy).as[(Long, Long)].collect().toMap
+    val g2 = Triangles.perNodeCounts(clean).as[(Long, Long)].collect().toMap
+    assert(g1 == g2 && g1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("property: degree-ordered triangle counts equal brute force on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph = for {
+      nNodes <- Gen.choose(3, 14)
+      nEdges <- Gen.choose(1, 40)
+      edges <- Gen.listOfN(nEdges, for {
+        s <- Gen.choose(0, nNodes - 1)
+        d <- Gen.choose(0, nNodes - 1)
+      } yield (s.toLong, d.toLong))
+    } yield edges
+    val prop = Prop.forAll(genGraph) { edges =>
+      val got = Triangles.perNodeCounts(triDf(edges: _*))
+        .as[(Long, Long)].collect().toMap
+      got == bruteTriangles(edges)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
   }
 }
