@@ -107,6 +107,8 @@ object GraftFunctions {
         "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_might_contain", mightContainBuilder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
     }
   }
 
@@ -150,6 +152,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
         "graft_might_contain"),
       GraftFunctions.mightContainBuilder _))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jaro_winkler"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
     // pure range joins (inequality-only conditions) rewrite to the
     // bucketed equi-join plan instead of a nested loop / cartesian
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

@@ -71,9 +71,14 @@ object FuzzyJoin {
     * the distance are absent (inner semantics — the caller left-joins
     * back if unmatched rows must surface).
     */
-  def bestMatch(left: DataFrame, leftKey: String, leftName: String,
-                right: DataFrame, rightKey: String, rightName: String,
-                maxDist: Int = 2, q: Int = 3, maxGramDf: Long = 1000L): DataFrame = {
+  /** Blocked candidate pairs CONFIRMED at `levenshtein ≤ maxDist`, with
+    * both name columns and `dist` kept — the seam re-ranking passes
+    * (e.g. Jaro-Winkler scoring) build on, so the expensive
+    * block-and-verify stage is shared, never re-derived.
+    */
+  def scoredCandidates(left: DataFrame, leftKey: String, leftName: String,
+                       right: DataFrame, rightKey: String, rightName: String,
+                       maxDist: Int = 2, q: Int = 3, maxGramDf: Long = 1000L): DataFrame = {
     val lg = keys(left, leftKey, leftName, q, maxDist, isLeft = true)
     val rg0 = keys(right, rightKey, rightName, q, maxDist, isLeft = false)
     val rg =
@@ -87,7 +92,7 @@ object FuzzyJoin {
       }
     val cands = lg.join(rg, Seq("bkey"))
       .select(col(leftKey), col(rightKey)).distinct()
-    val scored = cands
+    cands
       .join(left.select(col(leftKey), col(leftName)), Seq(leftKey))
       .join(right.select(col(rightKey), col(rightName)), Seq(rightKey))
       // bounded form: banded O(len·d) DP that bails out at maxDist+1
@@ -96,6 +101,13 @@ object FuzzyJoin {
       // where the blocked join's verify cost lives
       .withColumn("dist", levenshtein(col(leftName), col(rightName), maxDist))
       .filter(col("dist") >= 0)
+  }
+
+  def bestMatch(left: DataFrame, leftKey: String, leftName: String,
+                right: DataFrame, rightKey: String, rightName: String,
+                maxDist: Int = 2, q: Int = 3, maxGramDf: Long = 1000L): DataFrame = {
+    val scored = scoredCandidates(left, leftKey, leftName,
+      right, rightKey, rightName, maxDist, q, maxGramDf)
     val w = Window.partitionBy(col(leftKey)).orderBy(col("dist"), col(rightKey))
     scored.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)

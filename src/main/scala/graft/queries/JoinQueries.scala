@@ -441,6 +441,68 @@ object JoinQueries {
             .groupBy("user_id")
             .agg(count(lit(1)).as("n_above")),
           col("user_id"))
+      }),
+
+    // Jaro-Winkler re-ranking on top of the blocked fuzzy candidates:
+    // the entity-resolution two-phase shape — a cheap COMPLETE blocker
+    // (the proven trigram/length machinery, levenshtein ≤ 2) generates
+    // candidates, then the finer edit-position-sensitive score picks the
+    // winner. graft_jaro_winkler is the native codegen'd expression,
+    // bit-compatible with DuckDB's jaro_winkler_similarity (floored
+    // half-transpositions, 0.7 boost threshold — see JaroWinkler.scala),
+    // so the 4-dp-rounded scores hash-match. Ranking uses the ROUNDED
+    // score so both engines order ties identically.
+    QueryDef(
+      "jaro_winkler_rank",
+      Some(s"""
+        WITH canon AS (
+          SELECT s_suppkey AS c_key,
+                 'w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3)", 500L)} AS VARCHAR) ||
+                 '-w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3 + 1)", 500L)} AS VARCHAR) ||
+                 '-w' || CAST(${graft.textops.TextAnalysis.hashBucketSqlDuck("(s_suppkey * 3 + 2)", 500L)} AS VARCHAR) AS c_name
+          FROM supplier
+        ), dirty AS (
+          SELECT c_key AS d_key,
+                 substring(c_name, 1, CAST(p - 1 AS INT)) || substring(c_name, CAST(p + 1 AS INT), 100) AS d_name
+          FROM (SELECT c_key, c_name,
+                       ${graft.textops.TextAnalysis.hashRawSqlDuck("(c_key * 7)")} % (length(c_name) - 1) + 1 AS p
+                FROM canon) t
+        ), scored AS (
+          SELECT d_key, c_key,
+                 round(jaro_winkler_similarity(d_name, c_name), 4) AS jw
+          FROM dirty JOIN canon ON levenshtein(d_name, c_name) <= 2
+        ), best AS (
+          SELECT d_key, c_key, jw,
+                 ROW_NUMBER() OVER (PARTITION BY d_key ORDER BY jw DESC, c_key) AS rn
+          FROM scored
+        )
+        SELECT d_key, c_key, jw FROM best WHERE rn = 1
+        ORDER BY d_key
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import graft.textops.TextAnalysis.{hashBucketExpr, hashRawExpr}
+        graft.functions.GraftFunctions.register(spark)
+        val canon = Tables.supplier(spark, dir).selectExpr(
+          "s_suppkey AS c_key",
+          s"""concat('w', cast(${hashBucketExpr("(s_suppkey * 3)", 500L)} as string),
+                     '-w', cast(${hashBucketExpr("(s_suppkey * 3 + 1)", 500L)} as string),
+                     '-w', cast(${hashBucketExpr("(s_suppkey * 3 + 2)", 500L)} as string)) AS c_name""")
+        val dirty = canon
+          .withColumn("p",
+            expr(hashRawExpr("(c_key * 7)")) % (length(col("c_name")) - 1) + 1)
+          .selectExpr("c_key AS d_key",
+            "concat(substring(c_name, 1, cast(p - 1 as int)), substring(c_name, cast(p + 1 as int), 100)) AS d_name")
+        val scored = graft.operators.FuzzyJoin
+          .scoredCandidates(dirty, "d_key", "d_name", canon, "c_key", "c_name",
+            maxDist = 2, q = 3, maxGramDf = 0L)
+          .withColumn("jw", round(expr("graft_jaro_winkler(d_name, c_name)"), 4))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d_key")).orderBy(col("jw").desc, col("c_key"))
+        graft.Tails.orderedSmall(
+          scored.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .select(col("d_key"), col("c_key"), col("jw")),
+          col("d_key"))
       })
   )
 }
