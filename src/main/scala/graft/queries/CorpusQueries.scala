@@ -757,6 +757,67 @@ object CorpusQueries {
           .orderBy("dim")
       }),
 
+    // int8 scalar quantization of the embedding store — the 4×
+    // compression serving stacks apply before ANN (PQ's scalar cousin).
+    // Per-dim min/max bounds from ONE posexplode pass, broadcast back
+    // (64 rows) for the code assignment; codes are exact integers so
+    // SUM(code) is an order-independent hash-strength check, and the
+    // reconstruction error ships as avg ppm. round()-then-cast keeps the
+    // code integral in double space before the cast, sidestepping the
+    // trunc-vs-round cast asymmetry between engines.
+    QueryDef(
+      "embedding_quantize_int8",
+      Some("""
+        WITH e AS (
+          SELECT vec_id, u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+          FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ), b AS (
+          SELECT dim, min(v) AS lo, max(v) AS hi FROM e GROUP BY dim
+        ), q AS (
+          SELECT e.dim, e.v, b.lo, b.hi,
+                 CASE WHEN b.hi = b.lo THEN CAST(0 AS BIGINT)
+                      ELSE CAST(round((e.v - b.lo) * 255.0 / (b.hi - b.lo), 0) AS BIGINT) END AS code
+          FROM e JOIN b ON e.dim = b.dim
+        ), r AS (
+          SELECT dim, lo, hi, code,
+                 v - (lo + code * (hi - lo) / 255.0) AS err
+          FROM q
+        )
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(code) AS BIGINT) AS code_sum,
+               round(lo, 4) AS lo_r,
+               round(hi, 4) AS hi_r,
+               round(avg(err * err) * 1000000, 4) AS mse_ppm
+        FROM r
+        GROUP BY dim, lo, hi
+        ORDER BY dim
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val e = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v0")))
+          .select(col("vec_id"), col("dim0").cast("long").as("dim"),
+            col("v0").cast("double").as("v"))
+        val b = e.groupBy("dim").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val q = e.join(broadcast(b), Seq("dim"))
+          .withColumn("code",
+            when(col("hi") === col("lo"), lit(0L))
+              .otherwise(round((col("v") - col("lo")) * 255.0 / (col("hi") - col("lo")), 0)
+                .cast("long")))
+        val r = q.withColumn("err",
+          col("v") - (col("lo") + col("code") * (col("hi") - col("lo")) / 255.0))
+        graft.Tails.orderedSmall(
+          r.groupBy("dim", "lo", "hi")
+            .agg(
+              count(lit(1)).as("n"),
+              sum(col("code")).as("code_sum"),
+              round(col("lo"), 4).as("lo_r"),
+              round(col("hi"), 4).as("hi_r"),
+              round(avg(col("err") * col("err")) * 1000000, 4).as("mse_ppm"))
+            .select("dim", "n", "code_sum", "lo_r", "hi_r", "mse_ppm"),
+          col("dim"))
+      }),
+
     // cumulative-sum window over a deterministic total order (quality
     // desc, doc_id). quality_score doubles are bit-identical across
     // engines (text_quality hash-passes), so the order and the cut

@@ -372,6 +372,71 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // MOSS-style winnowing (Schleimer et al. 2003): hash every k-gram
+    // (k=5) of the normalized text, slide a w=4 window over the hash
+    // sequence, keep each window's minimum — the fingerprint set that
+    // guarantees any match of length ≥ k+w−1 shares a selected hash,
+    // which is what makes it the standard plagiarism/near-dup sketch.
+    // Per-doc output is order-independent aggregates of the selected
+    // set (distinct count, SUM(DISTINCT), min), so the hash compare
+    // never depends on selection order. Work is linear per document and
+    // fully data-parallel; the md5-based gram hash is the engine's
+    // deterministic cross-engine idiom — production would swap in a
+    // cheaper true rolling hash, same plan shape.
+    QueryDef(
+      "winnow_fingerprints",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, u.i AS i,
+                 ${TextAnalysis.hashRawSqlDuck("substring(t, CAST(u.i AS INT), 5)")} % 1000000007 AS h
+          FROM d, unnest(range(1, length(t) - 3)) AS u(i)
+          WHERE length(t) >= 8
+        ), win AS (
+          SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 count(*) OVER (PARTITION BY doc_id) AS np
+          FROM pos
+        ), sel AS (
+          SELECT doc_id, fp FROM win WHERE i <= np - 3
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(DISTINCT fp) AS n_fps,
+               CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_checksum,
+               CAST(MIN(fp) AS BIGINT) AS min_fp
+        FROM sel GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+          .filter(length(col("t")) >= 8)
+        val pos = d
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(1L), (length(col("t")) - 4).cast("long"))).as("i"))
+          .withColumn("h",
+            expr(TextAnalysis.hashRawExpr("substring(t, cast(i as int), 5)")) % 1000000007L)
+          .drop("t")
+        val frame = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+        val per = Window.partitionBy("doc_id")
+        val sel = pos
+          .withColumn("fp", min(col("h")).over(frame))
+          .withColumn("np", count(lit(1)).over(per))
+          .filter(col("i") <= col("np") - 3)
+        graft.Tails.orderedSmall(
+          sel.groupBy("doc_id").agg(
+            count(lit(1)).as("n_windows"),
+            countDistinct(col("fp")).as("n_fps"),
+            sum_distinct(col("fp")).cast("long").as("fp_checksum"),
+            min(col("fp")).cast("long").as("min_fp")),
+          col("doc_id"))
+      }),
+
     // top-quality docs per language via the bounded top-k Aggregator
     // (second domain for TopKAggregator; oracle = row_number window)
     QueryDef(
