@@ -598,6 +598,78 @@ object SimilarityQueries {
           .withColumn("bucket", col("bucket").cast("long"))
           .withColumn("rank", col("rank").cast("long"))
           .orderBy("query_id", "rank")
+      }),
+
+    // recall@10 of the sign-LSH path against brute-force ground truth —
+    // the evaluation loop an ANN deployment runs before trusting the
+    // sublinear path at corpus scale. Both rankings are the engine's own
+    // deterministic exact-int64 scorers, so the oracle can restate them
+    // and the recall fractions (n_hit / 10) are identical rationals in
+    // both engines. Per-query rows keep the tail visible (a macro
+    // average would hide empty-bucket queries, which surface here as
+    // n_approx = 0).
+    QueryDef(
+      "ann_recall_eval",
+      Some(s"""
+        WITH $quantDuck, b AS (
+          SELECT vec_id, CAST($bucketDuck AS BIGINT) AS bucket FROM embeddings
+        ), nb AS (
+          SELECT n.vec_id, n.q, n.norm2, b.bucket FROM n JOIN b USING (vec_id)
+        ), tpairs AS (
+          SELECT qa.vec_id AS query_id, cb.vec_id AS cand_id,
+                 ${cosOf(dotDuck, "qa.norm2", "cb.norm2")} AS cos
+          FROM n qa JOIN n cb ON qa.vec_id < 64 AND qa.vec_id <> cb.vec_id
+        ), tp AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+            FROM tpairs) z
+          WHERE rank <= 10
+        ), apairs AS (
+          SELECT qa.vec_id AS query_id, cb.vec_id AS cand_id,
+                 ${cosOf(dotDuck, "qa.norm2", "cb.norm2")} AS cos
+          FROM nb qa JOIN nb cb
+            ON qa.bucket = cb.bucket AND qa.vec_id < 64 AND qa.vec_id <> cb.vec_id
+        ), ap AS (
+          SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS rank
+            FROM apairs) z
+          WHERE rank <= 10
+        ), qs AS (
+          SELECT DISTINCT query_id FROM tp
+        ), ac AS (
+          SELECT query_id, COUNT(*) AS c FROM ap GROUP BY query_id
+        ), hit AS (
+          SELECT ap.query_id, COUNT(*) AS h
+          FROM ap JOIN tp ON ap.query_id = tp.query_id AND ap.cand_id = tp.cand_id
+          GROUP BY ap.query_id
+        )
+        SELECT qs.query_id,
+               CAST(COALESCE(ac.c, 0) AS BIGINT) AS n_approx,
+               CAST(COALESCE(hit.h, 0) AS BIGINT) AS n_hit,
+               round(COALESCE(hit.h, 0) / 10.0, 4) AS recall
+        FROM qs LEFT JOIN ac USING (query_id) LEFT JOIN hit USING (query_id)
+        ORDER BY query_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val emb = Tables.embeddings(spark, dir)
+        val tp = Similarity.bruteForceTopK(emb, k = 10, maxQueryId = 64)
+          .select(col("query_id"), col("cand_id"))
+        val ap = Similarity.lshBucketTopK(emb, k = 10, maxQueryId = 64, bits = 6)
+          .select(col("query_id"), col("cand_id"))
+        val qs = tp.select("query_id").distinct()
+        val ac = ap.groupBy("query_id").agg(count(lit(1)).as("c"))
+        val hit = ap.join(tp, Seq("query_id", "cand_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("h"))
+        graft.Tails.orderedSmall(
+          qs.join(ac, Seq("query_id"), "left").join(hit, Seq("query_id"), "left")
+            .select(
+              col("query_id"),
+              coalesce(col("c"), lit(0L)).as("n_approx"),
+              coalesce(col("h"), lit(0L)).as("n_hit"),
+              round(coalesce(col("h"), lit(0L)) / 10.0, 4).as("recall")),
+          col("query_id"))
       })
   )
 }

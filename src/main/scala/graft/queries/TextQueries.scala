@@ -820,6 +820,68 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // the bigram upgrade of perplexity_filter: an add-1-smoothed bigram
+    // LM trained on the corpus itself, scored per doc. Context counts
+    // derive from the bigram table (ctx(w1) = Σ_w2 c(w1,w2)) so the
+    // model is self-consistent; V is the corpus vocabulary. Counts and
+    // the +1/+V smoothing are exact integers; the ln/exp tail is rounded
+    // at 4 decimals like perplexity_filter. Docs under two tokens have
+    // no bigrams and drop out in both engines. Scale shape: the bigram
+    // table is O(distinct bigrams), joins are equi-joins on (w1, w2) and
+    // w1, V attaches as a broadcast 1-row frame.
+    QueryDef(
+      "bigram_lm_perplexity",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, $toksDuck AS t FROM documents
+        ), p AS (
+          SELECT doc_id, t[u.i] AS w1, t[u.i + 1] AS w2
+          FROM d, unnest(range(1, len(t))) AS u(i)
+        ), pc AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM p GROUP BY doc_id, w1, w2
+        ), big AS (
+          SELECT w1, w2, SUM(cnt) AS cb FROM pc GROUP BY w1, w2
+        ), ctx AS (
+          SELECT w1, SUM(cb) AS cw FROM big GROUP BY w1
+        ), v AS (
+          SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+          FROM (SELECT unnest($toksDuck) AS w FROM documents) z
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+               round(SUM(cnt * (ln(CAST(cw + v AS DOUBLE)) - ln(CAST(cb + 1 AS DOUBLE)))) / SUM(cnt), 4) AS avg_nll,
+               round(exp(SUM(cnt * (ln(CAST(cw + v AS DOUBLE)) - ln(CAST(cb + 1 AS DOUBLE)))) / SUM(cnt)), 4) AS ppl
+        FROM pc JOIN big USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+          .withColumn("t", expr(TextAnalysis.tokensExpr))
+          .filter(size(col("t")) >= 2) // sequence(1, 0) would step backward
+        val pc = d
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("pr"))
+          .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+          .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+        val big = pc.groupBy("w1", "w2").agg(sum(col("cnt")).as("cb"))
+        val ctx = big.groupBy("w1").agg(sum(col("cb")).as("cw"))
+        val v = Tables.documents(spark, dir)
+          .select(explode(expr(TextAnalysis.tokensExpr)).as("w"))
+          .agg(countDistinct(col("w")).as("v"))
+        val nll = sum(col("cnt") *
+          (log((col("cw") + col("v")).cast("double")) - log((col("cb") + 1).cast("double"))))
+        graft.Tails.orderedSmall(
+          pc.join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+            .crossJoin(broadcast(v))
+            .groupBy("doc_id")
+            .agg(
+              sum(col("cnt")).cast("long").as("n_pairs"),
+              round(nll / sum(col("cnt")), 4).as("avg_nll"),
+              round(exp(nll / sum(col("cnt"))), 4).as("ppl")),
+          col("doc_id"))
+      }),
+
     QueryDef(
       "dedup_minhash_lsh",
       Some(s"""
