@@ -34,8 +34,16 @@ object SparkEntry {
     queries("etl_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // toMap keeps the LAST duplicate key — a name collision would
+    // silently drop an entry from the correctness run (it happened:
+    // two rounds independently added a pivot_event_types and one was
+    // shadowed unverified for a round). Fail loudly instead.
+    val names = catalog.map(_.name)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, s"duplicate catalog query names: ${dups.mkString(", ")}")
     catalog.map(q => q.name -> q.run).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -97,6 +97,46 @@ object AggQueries {
           .orderBy("y", "m")
       }),
 
+    // the TPC-H Q1 pricing summary (the canonical scan-heavy warehouse
+    // aggregation): one pushed shipdate filter, one 4-group hash-agg with
+    // full map-side partial aggregation — the shape that proves the whole
+    // fact scan reduces to O(groups) shuffle bytes. Money sums in exact
+    // integer cents (order-independent); the three averages round at 4.
+    QueryDef(
+      "pricing_summary_q1",
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+               round(AVG(l_quantity), 4) AS avg_qty,
+               round(AVG(l_extendedprice), 4) AS avg_price,
+               round(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.lineitem(spark, dir)
+          .filter(col("l_shipdate") <= lit(java.time.LocalDateTime.parse("2000-09-02T00:00")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+            sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_cents"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+              .cast("long")).as("sum_disc_cents"),
+            sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax")) * 100).cast("long")).as("sum_charge_cents"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_extendedprice")), 4).as("avg_price"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+
     // U4 widening: explicit INTERSECT / EXCEPT (set semantics with
     // dedup), tagged into one result — Spark plans both as hash
     // left-semi/anti joins after a distinct, identical shape to the

@@ -302,9 +302,13 @@ object FunctionQueries {
           .orderBy("event_type")
       }),
 
-    // pivot: event_type categories → columns, one count per (user, type)
+    // pivot: event_type categories → columns, one count per (user, type).
+    // (Renamed from pivot_event_types: ProfileQueries later added a
+    // day-grained pivot under the same name, and Map-keyed catalogs keep
+    // only the last duplicate — this entry was silently shadowed out of
+    // the correctness run until the rename made both live again.)
     QueryDef(
-      "pivot_event_types",
+      "pivot_user_event_types",
       Some("""
         SELECT user_id,
                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -140,6 +140,45 @@ object SqlQueries {
       |       CAST(sum(node) AS BIGINT) AS path_sum
       |FROM anc GROUP BY leaf ORDER BY leaf""".stripMargin
 
+  // SQL PIVOT syntax through the Spark frontend (the reshape a
+  // dashboard's ad-hoc tab writes by hand): explicit IN list so no
+  // driver-side distinct pass, count + exact cent-sum per cell. DuckDB's
+  // PIVOT is a different dialect, so the oracle states the equivalent
+  // FILTER aggregates — the result contract (names, types, values) is
+  // what the compare pins, like sql_adhoc_similarity.
+  private val adhocPivotSpark =
+    """SELECT c_mktsegment,
+      |       CAST(coalesce(f_n, 0) AS BIGINT) AS f_n,
+      |       CAST(coalesce(f_cents, 0) AS BIGINT) AS f_cents,
+      |       CAST(coalesce(o_n, 0) AS BIGINT) AS o_n,
+      |       CAST(coalesce(o_cents, 0) AS BIGINT) AS o_cents,
+      |       CAST(coalesce(p_n, 0) AS BIGINT) AS p_n,
+      |       CAST(coalesce(p_cents, 0) AS BIGINT) AS p_cents
+      |FROM (
+      |  SELECT c_mktsegment, o_orderstatus,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |)
+      |PIVOT (COUNT(*) AS n, SUM(cents) AS cents
+      |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+      |ORDER BY c_mktsegment""".stripMargin
+
+  private val adhocPivotDuck =
+    """SELECT c_mktsegment,
+      |       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+      |       CAST(COALESCE(SUM(cents) FILTER (o_orderstatus = 'F'), 0) AS BIGINT) AS f_cents,
+      |       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+      |       CAST(COALESCE(SUM(cents) FILTER (o_orderstatus = 'O'), 0) AS BIGINT) AS o_cents,
+      |       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+      |       CAST(COALESCE(SUM(cents) FILTER (o_orderstatus = 'P'), 0) AS BIGINT) AS p_cents
+      |FROM (
+      |  SELECT c_mktsegment, o_orderstatus,
+      |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |) t
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sql_adhoc_agg", Some(adhocAgg),
       (spark, dir) => Views.adhoc(spark, dir, adhocAgg)),
@@ -156,6 +195,8 @@ object SqlQueries {
     QueryDef("sql_adhoc_similarity", Some(adhocSimilarityDuck),
       (spark, dir) => Views.adhoc(spark, dir, adhocSimilaritySpark)),
     QueryDef("sql_adhoc_recursive", Some(adhocRecursive),
-      (spark, dir) => Views.adhoc(spark, dir, adhocRecursive))
+      (spark, dir) => Views.adhoc(spark, dir, adhocRecursive)),
+    QueryDef("sql_adhoc_pivot", Some(adhocPivotDuck),
+      (spark, dir) => Views.adhoc(spark, dir, adhocPivotSpark))
   )
 }

@@ -222,6 +222,61 @@ object TimeSeriesQueries {
             key = "user_id", ts = "ts", value = "value")
           .select("user_id", "ts", "value", "peak", "dd")
           .orderBy("user_id", "ts")
+      }),
+
+    // classical additive seasonal decomposition of the daily volume
+    // series: trend = centered 7-observation moving average (full
+    // windows only), seasonal = mean detrended value per weekday,
+    // residual = the rest. Pure window/group algebra — one sort by day,
+    // one weekday re-agg — so it decomposes a 2000-day series or a
+    // per-key panel identically (add the key to every PARTITION BY).
+    // Weekday is Monday=0 in both engines (Spark weekday(), DuckDB
+    // isodow-1).
+    QueryDef(
+      "seasonal_decompose",
+      Some("""
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY day
+        ), t AS (
+          SELECT day, n,
+                 AVG(n) OVER w AS trend,
+                 COUNT(*) OVER w AS wn
+          FROM daily
+          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), interior AS (
+          SELECT day, n, trend, CAST(isodow(day) - 1 AS BIGINT) AS dow,
+                 n - trend AS detrended
+          FROM t WHERE wn = 7
+        ), seas AS (
+          SELECT dow, AVG(detrended) AS seasonal FROM interior GROUP BY dow
+        )
+        SELECT i.day, CAST(i.n AS BIGINT) AS n,
+               round(i.trend, 4) AS trend,
+               round(s.seasonal, 4) AS seasonal,
+               round(i.n - i.trend - s.seasonal, 4) AS residual
+        FROM interior i JOIN seas s ON i.dow = s.dow
+        ORDER BY i.day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(spark, dir)
+          .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+        val w = Window.orderBy("day").rowsBetween(-3, 3)
+        val interior = daily
+          .withColumn("trend", avg(col("n")).over(w))
+          .withColumn("wn", count(lit(1)).over(w))
+          .filter(col("wn") === 7)
+          .withColumn("dow", weekday(col("day")).cast("long"))
+          .withColumn("detrended", col("n") - col("trend"))
+        val seas = interior.groupBy("dow").agg(avg(col("detrended")).as("seasonal"))
+        graft.Tails.orderedSmall(
+          interior.join(broadcast(seas), Seq("dow"))
+            .select(
+              col("day"), col("n").cast("long").as("n"),
+              round(col("trend"), 4).as("trend"),
+              round(col("seasonal"), 4).as("seasonal"),
+              round(col("n") - col("trend") - col("seasonal"), 4).as("residual")),
+          col("day"))
       })
   )
 }
