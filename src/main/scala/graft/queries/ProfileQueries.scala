@@ -856,6 +856,50 @@ object ProfileQueries {
           col("lang"), col("source"), col("size_bucket"))
       }),
 
+    // Join-key skew diagnostics — the report that DECIDES whether a key
+    // needs salting (skew_join_salted) before the join ships: hottest
+    // keys with their multiple-of-mean factor and row share. One
+    // hash-agg on the key + a broadcast 1-row stats frame; the report is
+    // top-k sized at any fact scale.
+    QueryDef(
+      "skew_diagnostics",
+      Some("""
+        WITH k AS (
+          SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        ), s AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, round(AVG(cnt), 4) AS avg_cnt
+          FROM k
+        ), top AS (
+          SELECT user_id, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
+          FROM k
+        )
+        SELECT t.user_id, CAST(t.cnt AS BIGINT) AS cnt,
+               round(t.cnt / s.avg_cnt, 4) AS skew_factor,
+               round(CAST(t.cnt AS DOUBLE) / s.n_rows, 4) AS share
+        FROM top t CROSS JOIN s
+        WHERE t.rn <= 10
+        ORDER BY cnt DESC, t.user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = Tables.events(spark, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        val s = k.agg(
+          sum(col("cnt")).cast("long").as("n_rows"),
+          round(avg(col("cnt")), 4).as("avg_cnt"))
+        val top = k.withColumn("rn",
+          row_number().over(Window.orderBy(col("cnt").desc, col("user_id"))))
+          .filter(col("rn") <= 10)
+        graft.Tails.orderedSmall(
+          top.crossJoin(broadcast(s))
+            .select(
+              col("user_id"), col("cnt").cast("long").as("cnt"),
+              round(col("cnt") / col("avg_cnt"), 4).as("skew_factor"),
+              round(col("cnt").cast("double") / col("n_rows"), 4).as("share")),
+          col("cnt").desc, col("user_id"))
+      }),
+
     // Equi-width feature binning with DATA-DERIVED bounds: one scalar
     // min/max aggregate broadcast back over the fact scan (two passes
     // total — the bounds row is a broadcast nested-loop join against a
