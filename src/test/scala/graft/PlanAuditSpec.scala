@@ -53,7 +53,11 @@ class PlanAuditSpec extends SparkSpec {
     "bm25_search",                                         // 1-row corpus-stats attach
     "perplexity_filter",                                   // 1-row corpus-total attach
     "mixture_temperature_sample",                          // 1-row total/max attaches
-    "collocation_pmi")                                     // 1-row unigram/bigram-total attaches
+    "collocation_pmi",                                     // 1-row unigram/bigram-total attaches
+    "ann_recall_eval",                                     // embeds the brute-force ANN scoring pass (ground truth)
+    "bigram_lm_perplexity",                                // 1-row vocabulary-size attach
+    "feature_binning",                                     // 1-row min/max bounds attach
+    "skew_diagnostics")                                    // 1-row corpus-stats attach
 
   test("prefix_search pushes StringStartsWith to the parquet scan") {
     val plan = SparkEntry.queries("prefix_search")(spark, sf)
