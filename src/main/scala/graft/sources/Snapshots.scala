@@ -122,6 +122,36 @@ object Snapshots {
     prev + 1
   }
 
+  /** Exactly-once streaming ingest: commit `updates` as version
+    * `version` IF that version is still unclaimed; a replayed
+    * micro-batch (same batchId → same target version) finds its version
+    * already committed and becomes a no-op instead of double-applying.
+    * This is the foreachBatch idempotence contract — the sink-side half
+    * of exactly-once — expressed through the manifest's atomic version
+    * claim: the data files a losing/replayed attempt wrote are orphans
+    * referenced by no manifest, invisible to readers, and reclaimed by
+    * vacuum. Returns true if this call performed the commit.
+    *
+    * `version` must be `currentVersion + 1` to commit (a gap would make
+    * readAt of the missing versions throw); a replay of ANY older
+    * version is recognized as already-applied.
+    */
+  def commitUpsertIfAbsent(
+      spark: SparkSession,
+      root: String,
+      updates: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      version: Int): Boolean = {
+    val cur = currentVersion(spark, root)
+    if (version <= cur) return false // replayed batch: already committed
+    require(version == cur + 1,
+      s"version $version would leave a gap (current is $cur)")
+    val committed = commitUpsert(spark, root, updates, tsCol, keyCols)
+    assert(committed == version)
+    true
+  }
+
   /** Roll the table back to `toVersion` as a NEW commit (append-only
     * history — the bad version stays inspectable until vacuum). */
   def rollback(spark: SparkSession, root: String, toVersion: Int): Int = {

@@ -874,4 +874,65 @@ class StreamingSpec extends SparkSpec {
     assert(regs.find(_.key == "AAA").get.firstSeen ==
       java.sql.Timestamp.valueOf("2024-01-01 09:00:00"))
   }
+
+  test("streaming quantile-store maintenance: per-batch appends estimate like one-shot") {
+    // the sketch-store maintenance loop as a stream: each micro-batch
+    // appends its own (day, bin) histogram rows; because bin counts ADD
+    // exactly across store rows, a range estimate over the streamed
+    // store is IDENTICAL to one built in a single batch — no
+    // approximation drift from the chunking, only more store rows
+    // (compacted by any later rewrite).
+    import graft.operators.QuantileStore
+    val (lo, hi, bins) = (0.0, 400.0, 1024)
+    val ev = Tables.events(spark, sf).select($"ts", $"value")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-histq-src")
+    ev.filter($"event_id".isNull || $"value" < 50).coalesce(1)
+      .write.parquet(srcDir.resolve("b0").toString)
+    ev.filter($"value" >= 50).coalesce(1)
+      .write.parquet(srcDir.resolve("b1").toString)
+    val storePath = java.nio.file.Files.createTempDirectory("graft-histq-stream").toString
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        QuantileStore.writeDailyHistogram(batch, "ts", "value", storePath,
+          lo, hi, bins, mode = "append")
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-histq-once").toString
+    QuantileStore.writeDailyHistogram(ev, "ts", "value", oneShot, lo, hi, bins)
+    val qs = Seq(0.25, 0.5, 0.95)
+    val a = QuantileStore.estimateQuantiles(spark, storePath, "value",
+      "2024-01-01", "2024-12-31", qs, lo, hi, bins).as[(Double, Double)].collect().toSeq
+    val b = QuantileStore.estimateQuantiles(spark, oneShot, "value",
+      "2024-01-01", "2024-12-31", qs, lo, hi, bins).as[(Double, Double)].collect().toSeq
+    assert(a == b, s"streamed store $a != one-shot $b")
+  }
+
+  test("snapshot-versioned streaming ingest: a replayed batch commits exactly once") {
+    // foreachBatch + Snapshots.commitUpsertIfAbsent(version = batchId+1)
+    // is the sink-side exactly-once contract: the manifest's atomic
+    // version claim recognizes a replayed micro-batch and no-ops it, so
+    // a restart that re-delivers the last batch cannot double-apply.
+    import graft.sources.Snapshots
+    val root = java.nio.file.Files.createTempDirectory("graft-snap-stream").toString
+    def batchDf(rows: (String, Long, Double)*) =
+      rows.toDF("ts0", "key", "value")
+        .select(to_timestamp($"ts0").as("ts"), $"key", $"value")
+    val b0 = batchDf(("2024-01-01 10:00:00", 1L, 1.0), ("2024-01-01 11:00:00", 2L, 2.0))
+    val b1 = batchDf(("2024-01-01 10:00:00", 1L, 1.5), ("2024-01-02 09:00:00", 3L, 3.0))
+    assert(Snapshots.commitUpsertIfAbsent(spark, root, b0, "ts", Seq("key"), version = 1))
+    assert(Snapshots.commitUpsertIfAbsent(spark, root, b1, "ts", Seq("key"), version = 2))
+    // crash-and-replay of batch 1 → recognized, no new version, state intact
+    assert(!Snapshots.commitUpsertIfAbsent(spark, root, b1, "ts", Seq("key"), version = 2))
+    assert(Snapshots.currentVersion(spark, root) == 2)
+    val state = Snapshots.readAt(spark, root)
+      .select($"key", $"value").as[(Long, Double)].collect().toSet
+    assert(state == Set((1L, 1.5), (2L, 2.0), (3L, 3.0)))
+    // a version that would leave a gap is refused loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.commitUpsertIfAbsent(spark, root, b1, "ts", Seq("key"), version = 4)
+    }
+  }
 }
