@@ -47,10 +47,17 @@ object Triangles {
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
     val uFirst = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    // materialize: the oriented edge set feeds THREE consumers (both
+    // wedge sides + the closing join) — without this the whole
+    // canonicalize→degree→orient lineage executes three times (the
+    // MassFlow lesson; measured 13.4 s → ~5 s at sf0.1). On a cluster
+    // an executor-local checkpoint of O(E) rows is cheap; loss just
+    // recomputes.
     val dir = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("a"),
       when(uFirst, col("v")).otherwise(col("u")).as("b"),
       when(uFirst, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint()
 
     // wedges at the low endpoint: unordered head pairs {b, c}, emitted
     // once with b preceding c in the same (deg, id) total order
