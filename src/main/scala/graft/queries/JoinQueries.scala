@@ -443,6 +443,45 @@ object JoinQueries {
           col("user_id"))
       }),
 
+    // TPC-H Q3 shape: segment-filtered customers × date-bounded orders ×
+    // unshipped lineitems, revenue per order, top 10 — the join-agg-topk
+    // composite whose tail must plan TakeOrderedAndProject (never a
+    // global sort) over the aggregated output. Both date predicates push
+    // to their scans; customer broadcasts.
+    QueryDef(
+      "top_unshipped_q3",
+      Some("""
+        SELECT l.l_orderkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+               CAST(o.o_orderdate AS DATE) AS order_day,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+        ORDER BY revenue_cents DESC, l_orderkey
+        LIMIT 10
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val cutoff = java.time.LocalDateTime.parse("1998-03-15T00:00")
+        val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit(cutoff))
+        val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit(cutoff))
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast("date").as("order_day"),
+            col("o_orderpriority"))
+          .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long")).as("revenue_cents"))
+          .select("l_orderkey", "revenue_cents", "order_day", "o_orderpriority")
+          .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+          .limit(10)
+      }),
+
     // Jaro-Winkler re-ranking on top of the blocked fuzzy candidates:
     // the entity-resolution two-phase shape — a cheap COMPLETE blocker
     // (the proven trigram/length machinery, levenshtein ≤ 2) generates

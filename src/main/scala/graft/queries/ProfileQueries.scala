@@ -856,6 +856,63 @@ object ProfileQueries {
           col("lang"), col("source"), col("size_bucket"))
       }),
 
+    // Per-key mode (most frequent category) with a deterministic
+    // tie-break — the label-summarization primitive `max_by` alone can't
+    // express deterministically when counts tie. One hash-agg + one
+    // bounded per-key window.
+    QueryDef(
+      "mode_event_type",
+      Some("""
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY user_id, event_type
+        ), r AS (
+          SELECT user_id, event_type, cnt,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY cnt DESC, event_type) AS rn
+          FROM c
+        )
+        SELECT user_id, event_type AS mode_type, CAST(cnt AS BIGINT) AS cnt
+        FROM r WHERE rn = 1
+        ORDER BY user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val c = Tables.events(spark, dir)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("user_id").orderBy(col("cnt").desc, col("event_type"))
+        graft.Tails.orderedSmall(
+          c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("user_id"), col("event_type").as("mode_type"),
+              col("cnt").cast("long").as("cnt")),
+          col("user_id"))
+      }),
+
+    // weekday × hour activity heatmap — the load-shape rollup behind
+    // capacity planning and anomaly baselines; one hash-agg, 168 output
+    // cells at any scale. Weekday is Monday=0 in both engines.
+    QueryDef(
+      "activity_heatmap",
+      Some("""
+        SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events
+        GROUP BY CAST(isodow(ts) - 1 AS BIGINT), CAST(hour(ts) AS BIGINT)
+        ORDER BY dow, hr
+      """.stripMargin.trim),
+      (spark, dir) => {
+        Tables.events(spark, dir)
+          .groupBy(
+            weekday(col("ts")).cast("long").as("dow"),
+            hour(col("ts")).cast("long").as("hr"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .orderBy("dow", "hr")
+      }),
+
     // Join-key skew diagnostics — the report that DECIDES whether a key
     // needs salting (skew_join_salted) before the join ships: hottest
     // keys with their multiple-of-mean factor and row share. One

@@ -179,6 +179,37 @@ object SqlQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // SQL UNPIVOT syntax (PIVOT's inverse) through the Spark frontend;
+  // DuckDB's UNPIVOT is again a different dialect, so the oracle states
+  // the equivalent stacked UNION ALL. min/max are exact; the avg rounds
+  // at 4 like every order-dependent float aggregate.
+  private val adhocUnpivotSpark =
+    """SELECT c_mktsegment, metric, v
+      |FROM (
+      |  SELECT c_mktsegment,
+      |         round(avg(c_acctbal), 4) AS avg_bal,
+      |         max(c_acctbal) AS max_bal,
+      |         min(c_acctbal) AS min_bal
+      |  FROM customer GROUP BY c_mktsegment
+      |)
+      |UNPIVOT (v FOR metric IN (avg_bal, max_bal, min_bal))
+      |ORDER BY c_mktsegment, metric""".stripMargin
+
+  private val adhocUnpivotDuck =
+    """WITH w AS (
+      |  SELECT c_mktsegment,
+      |         round(avg(c_acctbal), 4) AS avg_bal,
+      |         max(c_acctbal) AS max_bal,
+      |         min(c_acctbal) AS min_bal
+      |  FROM customer GROUP BY c_mktsegment
+      |)
+      |SELECT c_mktsegment, metric, v FROM (
+      |  SELECT c_mktsegment, 'avg_bal' AS metric, avg_bal AS v FROM w
+      |  UNION ALL SELECT c_mktsegment, 'max_bal', max_bal FROM w
+      |  UNION ALL SELECT c_mktsegment, 'min_bal', min_bal FROM w
+      |) t
+      |ORDER BY c_mktsegment, metric""".stripMargin
+
   val entries: Seq[QueryDef] = Seq(
     QueryDef("sql_adhoc_agg", Some(adhocAgg),
       (spark, dir) => Views.adhoc(spark, dir, adhocAgg)),
@@ -197,6 +228,8 @@ object SqlQueries {
     QueryDef("sql_adhoc_recursive", Some(adhocRecursive),
       (spark, dir) => Views.adhoc(spark, dir, adhocRecursive)),
     QueryDef("sql_adhoc_pivot", Some(adhocPivotDuck),
-      (spark, dir) => Views.adhoc(spark, dir, adhocPivotSpark))
+      (spark, dir) => Views.adhoc(spark, dir, adhocPivotSpark)),
+    QueryDef("sql_adhoc_unpivot", Some(adhocUnpivotDuck),
+      (spark, dir) => Views.adhoc(spark, dir, adhocUnpivotSpark))
   )
 }
