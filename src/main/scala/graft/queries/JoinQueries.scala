@@ -482,6 +482,44 @@ object JoinQueries {
           .limit(10)
       }),
 
+    // Incremental view maintenance, driver-hard: the per-status revenue
+    // view is NEVER computed whole by the engine — it starts from a
+    // half-data state and applies one z-set delta step (both sides
+    // deltaed at once, Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB) via
+    // operators/Ivm; the oracle states the one-shot join-agg. The hash
+    // match proves the maintenance algebra, not just a spec example.
+    // Exact integer cents make the merged state bit-reproducible.
+    QueryDef(
+      "ivm_join_agg",
+      Some("""
+        SELECT o.o_orderstatus AS grp,
+               COUNT(*) AS cnt,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+        ORDER BY grp
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.Ivm
+        val li = Tables.lineitem(spark, dir).select(
+          col("l_orderkey").as("k"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+        val ords = Tables.orders(spark, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("grp"))
+        val a0 = Ivm.weighted(li.filter(col("k") % 2 === 0))
+        val da = Ivm.weighted(li.filter(col("k") % 2 === 1))
+        val b0 = Ivm.weighted(ords.filter(col("k") % 3 =!= 2))
+        val db = Ivm.weighted(ords.filter(col("k") % 3 === 2))
+        val state0 = Ivm.aggState(
+          Ivm.weighted(a0.drop(Ivm.W).join(b0.drop(Ivm.W), Seq("k"))),
+          Seq("grp"), "cents")
+        graft.Tails.orderedSmall(
+          Ivm.maintainJoinAgg(state0, a0, da, b0, db, Seq("k"), Seq("grp"), "cents")
+            .select(col("grp"), col("cnt"), col("sum_cents")),
+          col("grp"))
+      }),
+
     // Jaro-Winkler re-ranking on top of the blocked fuzzy candidates:
     // the entity-resolution two-phase shape — a cheap COMPLETE blocker
     // (the proven trigram/length machinery, levenshtein ≤ 2) generates
