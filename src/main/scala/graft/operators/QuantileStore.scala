@@ -55,6 +55,26 @@ object QuantileStore {
       .write.mode(mode).parquet(path)
   }
 
+  /** Fold streamed appends back to one row per (day, bin). Per-batch
+    * `mode="append"` maintenance accretes a row per (batch, day, bin);
+    * estimates stay EXACT regardless (bins add), but the store grows
+    * with batch count — this is its small-file compaction. Safe to run
+    * any time; estimates before and after are identical.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val store = spark.read.parquet(path)
+    // materialize before overwriting the input path (Spark correctly
+    // refuses a plan that overwrites the files it is reading)
+    val folded = store
+      .groupBy("day", "bin", SpecCol)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("n_below")).as("n_below"),
+        sum(col("n_above")).as("n_above"))
+      .localCheckpoint()
+    folded.write.mode("overwrite").parquet(path)
+  }
+
   /** Quantile estimates over [fromDay, toDay] — reads only the store.
     * Returns (q, estimate) rows, estimate = midpoint of the bin holding
     * rank ⌈q·N⌉ in the merged histogram. Refuses a store built over a

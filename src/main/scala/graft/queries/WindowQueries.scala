@@ -238,6 +238,38 @@ object WindowQueries {
           .withColumn("bb_upper", round(col("bb_upper"), 4))
           .withColumn("bb_lower", round(col("bb_lower"), 4))
           .orderBy("user_id", "ts")
+      }),
+
+    // SCD Type-2 dimension build from a change log: each purchase is a
+    // change record; validity = [its ts, the NEXT change's ts), open
+    // interval + current flag on the latest. One lead() window per key —
+    // the standard warehouse dimension-history constructor (the SCD
+    // last-writer query keeps only the head; this keeps the full
+    // history). Timestamps are globally unique in the testdata, so the
+    // interval edges are deterministic.
+    QueryDef(
+      "scd2_intervals",
+      Some("""
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               value,
+               CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id, valid_from
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .select(
+            col("user_id"), col("ts").as("valid_from"),
+            lead(col("ts"), 1).over(w).as("valid_to"),
+            col("value"),
+            when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L).as("is_current"))
+          .orderBy("user_id", "valid_from")
       })
   )
 }

@@ -66,6 +66,24 @@ class QuantileStoreSpec extends SparkSpec {
     assert(math.abs(est - exact) <= (Hi - Lo) / Bins + 1e-9)
   }
 
+  test("compaction folds appended rows without changing any estimate") {
+    val ev = Tables.events(spark, sf).select($"ts", $"value")
+    val path = freshPath()
+    // append the same batch twice → every occupied (day, bin) has two
+    // store rows (a replayed/micro-batched ingest shape)
+    QuantileStore.writeDailyHistogram(ev, "ts", "value", path, Lo, Hi, Bins)
+    QuantileStore.writeDailyHistogram(ev, "ts", "value", path, Lo, Hi, Bins, mode = "append")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    def est() = QuantileStore.estimateQuantiles(spark, path, "value",
+      "2024-01-01", "2024-12-31", qs, Lo, Hi, Bins).as[(Double, Double)].collect().toSeq
+    val before = est()
+    val rowsBefore = spark.read.parquet(path).count()
+    QuantileStore.compact(spark, path)
+    val rowsAfter = spark.read.parquet(path).count()
+    assert(rowsAfter < rowsBefore, s"compaction did not fold: $rowsBefore -> $rowsAfter")
+    assert(est() == before, "compaction changed an estimate")
+  }
+
   test("a store built over a different column or grid refuses to merge") {
     val ev = Tables.events(spark, sf).select($"ts", $"value")
     val path = freshPath()

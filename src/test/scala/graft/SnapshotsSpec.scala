@@ -79,6 +79,30 @@ class SnapshotsSpec extends SparkSpec {
     intercept[Exception] { snap(root, 2) } // reclaimed version unreadable
   }
 
+  test("change data feed: diffing two snapshot versions classifies the commit exactly") {
+    // Snapshots (what did the table say at v?) + SnapshotDiff (how do two
+    // versions differ?) compose into a change-data-feed: the diff of
+    // consecutive versions IS the commit's effect, recoverable after the
+    // fact without any change log.
+    val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    Snapshots.commitUpsert(spark, root,
+      ticks(
+        ("2024-01-01 10:00:00", 1L, 10.0),
+        ("2024-01-01 11:00:00", 2L, 20.0)),
+      "ts", Seq("key"))
+    Snapshots.commitUpsert(spark, root,
+      ticks(
+        ("2024-01-01 10:00:00", 1L, 11.0),  // update key 1
+        ("2024-01-01 12:00:00", 3L, 30.0)), // insert key 3
+      "ts", Seq("key"))
+    val cdf = graft.operators.SnapshotDiff.diff(
+      Snapshots.readAt(spark, root, 1).select($"key", $"value"),
+      Snapshots.readAt(spark, root, 2).select($"key", $"value"),
+      Seq("key"))
+      .select($"key", $"status").as[(Long, String)].collect().toMap
+    assert(cdf == Map(1L -> "update", 3L -> "insert"), cdf.toString)
+  }
+
   test("concurrent committers cannot claim the same version") {
     val root = java.nio.file.Files.createTempDirectory("graft_snap").toString
     Snapshots.commitUpsert(spark, root,

@@ -910,6 +910,45 @@ class StreamingSpec extends SparkSpec {
     assert(a == b, s"streamed store $a != one-shot $b")
   }
 
+  test("streaming view maintenance: per-batch z-set deltas fold to the one-shot view") {
+    // operators/Ivm as a stream consumer: each micro-batch of fact rows
+    // is a +1-weighted delta against the accumulated old side and a
+    // static dimension; the maintained join-agg state after the replay
+    // must equal the one-shot view over everything. This is the
+    // materialized-view-over-a-stream shape without any stateful
+    // operator — the state lives in the maintained table, not in Spark.
+    import graft.operators.Ivm
+    val dim = Ivm.weighted(Seq((1L, "x"), (2L, "y"), (3L, "x")).toDF("k", "grp"))
+    val noDimDelta = dim.limit(0)
+    val facts = Seq((1L, 10L), (1L, 5L), (2L, 20L), (3L, 30L), (4L, 40L), (2L, 7L))
+      .toDF("k", "cents")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-ivm-src")
+    facts.filter($"cents" <= 10).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    facts.filter($"cents" > 10 && $"cents" <= 30).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    facts.filter($"cents" > 30).coalesce(1).write.parquet(srcDir.resolve("b2").toString)
+    var aOld = Ivm.weighted(facts.limit(0)).localCheckpoint()
+    var state = Ivm.aggState(
+      Ivm.weighted(facts.limit(0).join(dim.drop(Ivm.W), Seq("k"))),
+      Seq("grp"), "cents").localCheckpoint()
+    val stream = spark.readStream.schema(facts.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = stream.writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val da = Ivm.weighted(batch)
+        state = Ivm.maintainJoinAgg(state, aOld, da, dim, noDimDelta,
+          Seq("k"), Seq("grp"), "cents").localCheckpoint()
+        aOld = aOld.unionByName(da).localCheckpoint()
+      }
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val oneShot = Ivm.aggState(
+      Ivm.weighted(facts.join(dim.drop(Ivm.W), Seq("k"))), Seq("grp"), "cents")
+      .as[(String, Long, Long)].collect().toSet
+    assert(state.as[(String, Long, Long)].collect().toSet == oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("snapshot-versioned streaming ingest: a replayed batch commits exactly once") {
     // foreachBatch + Snapshots.commitUpsertIfAbsent(version = batchId+1)
     // is the sink-side exactly-once contract: the manifest's atomic
