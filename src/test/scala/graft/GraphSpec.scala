@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{MassFlow, Triangles}
+import graft.operators.{KCore, MassFlow, Triangles}
 import org.apache.spark.sql.functions._
 
 class GraphSpec extends SparkSpec {
@@ -155,6 +155,58 @@ class GraphSpec extends SparkSpec {
     val g1 = Triangles.perNodeCounts(messy).as[(Long, Long)].collect().toMap
     val g2 = Triangles.perNodeCounts(clean).as[(Long, Long)].collect().toMap
     assert(g1 == g2 && g1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  // ---- KCore ----
+
+  private def bruteKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var alive = (und.map(_._1) ++ und.map(_._2)).toSet
+    var changed = true
+    while (changed && alive.nonEmpty) {
+      val deg = und.filter { case (a, b) => alive(a) && alive(b) }
+        .flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      val next = alive.filter(n => deg.getOrElse(n, 0L) >= k)
+      changed = next != alive
+      alive = next
+    }
+    und.filter { case (a, b) => alive(a) && alive(b) }
+      .flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("k-core: K5 survives k=4, dangling chain peels away transitively") {
+    // K5 plus a chain 5-6-7 hanging off node 1: the chain has degree <4
+    // and must peel in cascade, leaving exactly the clique
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val e = triDf(k5 ++ Seq((1L, 5L), (5L, 6L), (6L, 7L)): _*)
+      .withColumnRenamed("u", "u").withColumnRenamed("v", "v")
+    val got = KCore.kCore(e, k = 4).as[(Long, Long)].collect().toMap
+    assert(got == (0L to 4L).map(_ -> 4L).toMap, got.toString)
+    // above the clique degree the core is empty
+    assert(KCore.kCore(e, k = 5).count() == 0)
+  }
+
+  test("property: distributed k-core equals local peeling on random graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      nNodes <- Gen.choose(3, 14)
+      nEdges <- Gen.choose(1, 45)
+      edges <- Gen.listOfN(nEdges, for {
+        s <- Gen.choose(0, nNodes - 1)
+        d <- Gen.choose(0, nNodes - 1)
+      } yield (s.toLong, d.toLong))
+      k <- Gen.choose(1, 5)
+    } yield (edges, k)
+    val prop = Prop.forAll(genCase) { case (edges, k) =>
+      val got = KCore.kCore(triDf(edges: _*), k).as[(Long, Long)].collect().toMap
+      got == bruteKCore(edges, k)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("property: degree-ordered triangle counts equal brute force on random graphs") {
