@@ -910,6 +910,44 @@ class StreamingSpec extends SparkSpec {
     assert(a == b, s"streamed store $a != one-shot $b")
   }
 
+  test("transformWithState (state API v2): running per-key aggregate equals batch, RocksDB-backed") {
+    import graft.streaming.StatefulV2
+    import graft.streaming.StatefulV2.{Running, Tick}
+    val ticks = Seq(
+      Tick(1L, 10L), Tick(2L, 5L), Tick(1L, 7L),   // batch 0
+      Tick(2L, 30L), Tick(3L, 2L), Tick(1L, 1L))   // batch 1
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-twsv2-src")
+    ticks.take(3).toDS().coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    ticks.drop(3).toDS().coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(ticks.take(1).toDS().schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*").as[Tick]
+      val q = StatefulV2.runningAgg(stream)
+        .writeStream.format("memory").queryName("tws_running")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // last emitted row per key == the batch aggregate over everything
+      val emitted = spark.table("tws_running").as[Running].collect()
+      val lastPerKey = emitted.zipWithIndex
+        .groupBy(_._1.userId).map { case (_, xs) => xs.maxBy(_._2)._1 }
+        .map(r => r.userId -> ((r.n, r.sumCents, r.maxCents))).toMap
+      val batch = ticks.groupBy(_.userId).map { case (k, xs) =>
+        k -> ((xs.size.toLong, xs.map(_.cents).sum, xs.map(_.cents).max))
+      }
+      assert(lastPerKey == batch, s"$lastPerKey vs $batch")
+      // update-mode really emitted key 1 twice (it appeared in both batches)
+      assert(emitted.count(_.userId == 1L) == 2)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming view maintenance: per-batch z-set deltas fold to the one-shot view") {
     // operators/Ivm as a stream consumer: each micro-batch of fact rows
     // is a +1-weighted delta against the accumulated old side and a
