@@ -856,6 +856,97 @@ object ProfileQueries {
           col("lang"), col("source"), col("size_bucket"))
       }),
 
+    // RFM segmentation — the marketing-analytics classic: per-user
+    // recency (days since last purchase vs corpus max day), frequency
+    // (purchase count), monetary (exact cents), each cut into quartiles
+    // by ntile over a TOTAL order (metric, user_id), so the segment
+    // labels are deterministic in both engines.
+    QueryDef(
+      "rfm_segmentation",
+      Some("""
+        WITH p AS (
+          SELECT user_id,
+                 max(CAST(ts AS DATE)) AS last_day,
+                 COUNT(*) AS freq,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), mx AS (
+          SELECT max(last_day) AS corpus_last FROM p
+        ), r AS (
+          SELECT user_id,
+                 CAST(mx.corpus_last - last_day AS BIGINT) AS recency_days,
+                 freq, monetary_cents
+          FROM p CROSS JOIN mx
+        )
+        SELECT user_id, recency_days, CAST(freq AS BIGINT) AS freq, monetary_cents,
+               CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_quartile,
+               CAST(ntile(4) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_quartile,
+               CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m_quartile
+        FROM r
+        ORDER BY user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val p = Tables.events(spark, dir)
+          .filter(col("event_type") === "purchase")
+          .groupBy("user_id")
+          .agg(
+            max(to_date(col("ts"))).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(round(col("value") * 100).cast("long")).as("monetary_cents"))
+        val mx = p.agg(max(col("last_day")).as("corpus_last"))
+        val r = p.crossJoin(broadcast(mx))
+          .select(col("user_id"),
+            datediff(col("corpus_last"), col("last_day")).cast("long").as("recency_days"),
+            col("freq"), col("monetary_cents"))
+        graft.Tails.orderedSmall(
+          r.select(
+            col("user_id"), col("recency_days"), col("freq").cast("long").as("freq"),
+            col("monetary_cents"),
+            ntile(4).over(Window.orderBy(col("recency_days"), col("user_id"))).cast("long").as("r_quartile"),
+            ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long").as("f_quartile"),
+            ntile(4).over(Window.orderBy(col("monetary_cents").desc, col("user_id"))).cast("long").as("m_quartile")),
+          col("user_id"))
+      }),
+
+    // Gini coefficient of activity concentration (who generates the
+    // volume): G = (2·Σ rank·x) / (n·Σx) − (n+1)/n over users ranked by
+    // exact integer cents — the one-number inequality summary a
+    // capacity/abuse dashboard tracks. Integer sums + one rounded
+    // division; a broadcast scalar frame, no driver math.
+    QueryDef(
+      "gini_concentration",
+      Some("""
+        WITH u AS (
+          SELECT user_id, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM events GROUP BY user_id
+        ), ranked AS (
+          SELECT cents,
+                 CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rk
+          FROM u
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(cents) AS BIGINT) AS total_cents,
+               round(2.0 * SUM(rk * cents) / (COUNT(*) * SUM(cents))
+                     - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+        FROM ranked
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Tables.events(spark, dir)
+          .groupBy("user_id")
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        val ranked = u.select(col("cents"),
+          row_number().over(Window.orderBy(col("cents"), col("user_id")))
+            .cast("long").as("rk"))
+        ranked.agg(
+          count(lit(1)).as("n_users"),
+          sum(col("cents")).as("total_cents"),
+          round(lit(2.0) * sum(col("rk") * col("cents")) /
+            (count(lit(1)) * sum(col("cents"))) -
+            (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"))
+      }),
+
     // Per-key mode (most frequent category) with a deterministic
     // tie-break — the label-summarization primitive `max_by` alone can't
     // express deterministically when counts tie. One hash-agg + one

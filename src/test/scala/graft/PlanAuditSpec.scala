@@ -57,7 +57,8 @@ class PlanAuditSpec extends SparkSpec {
     "ann_recall_eval",                                     // embeds the brute-force ANN scoring pass (ground truth)
     "bigram_lm_perplexity",                                // 1-row vocabulary-size attach
     "feature_binning",                                     // 1-row min/max bounds attach
-    "skew_diagnostics")                                    // 1-row corpus-stats attach
+    "skew_diagnostics",                                    // 1-row corpus-stats attach
+    "rfm_segmentation")                                    // 1-row corpus-last-day attach
 
   test("prefix_search pushes StringStartsWith to the parquet scan") {
     val plan = SparkEntry.queries("prefix_search")(spark, sf)
