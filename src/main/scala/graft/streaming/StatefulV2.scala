@@ -47,4 +47,69 @@ object StatefulV2 {
     ticks.groupByKey(_.userId)
       .transformWithState(new RunningAgg, TimeMode.None(), OutputMode.Update())
   }
+
+  // ---- event-time sessionization on timers ----
+
+  case class SessTick(userId: Long, ts: java.sql.Timestamp, cents: Long)
+  case class Session(userId: Long, start: java.sql.Timestamp,
+                     end: java.sql.Timestamp, n: Long, cents: Long)
+
+  /** Inactivity-gap sessionizer on EVENT-TIME TIMERS: a session closes
+    * when the WATERMARK passes lastEvent + gap — the v2-API expression
+    * of what `session_window` does natively, but with the session state
+    * and the closing rule fully programmable (the shape to reach for
+    * when sessions need custom eviction or mid-session emission that
+    * session_window cannot express). One timer per key is live at a
+    * time; each batch re-arms it at the new session end + gap.
+    */
+  class Sessionizer(gapMs: Long) extends StatefulProcessor[Long, SessTick, Session] {
+    @transient private var cur: ValueState[Session] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[Session](
+        "session", Encoders.product[Session], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[SessTick], tv: TimerValues): Iterator[Session] = {
+      // within a micro-batch arrival order is arbitrary; session algebra
+      // needs event-time order
+      val sorted = rows.toArray.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var s = Option(cur.get())
+      sorted.foreach { t =>
+        s match {
+          case Some(sess) if t.ts.getTime - sess.end.getTime < gapMs =>
+            s = Some(Session(key, sess.start, t.ts, sess.n + 1, sess.cents + t.cents))
+          case Some(sess) => // gap exceeded INSIDE the data: close and restart
+            closed ::= sess
+            s = Some(Session(key, t.ts, t.ts, 1L, t.cents))
+          case None =>
+            s = Some(Session(key, t.ts, t.ts, 1L, t.cents))
+        }
+      }
+      s.foreach { sess =>
+        cur.update(sess)
+        getHandle.listTimers().foreach(getHandle.deleteTimer) // re-arm
+        getHandle.registerTimer(sess.end.getTime + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Session] = {
+      val s = Option(cur.get())
+      cur.clear()
+      s.iterator
+    }
+  }
+
+  /** Event-time sessionization; emits each closed session exactly once.
+    * Input must carry a watermark on `ts`.
+    */
+  def sessionize(ticks: Dataset[SessTick], gapMs: Long): Dataset[Session] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.userId)
+      .transformWithState(new Sessionizer(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
 }

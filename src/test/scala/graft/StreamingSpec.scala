@@ -948,6 +948,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers: sessions close when the watermark passes the gap") {
+    import graft.streaming.StatefulV2
+    import graft.streaming.StatefulV2.{SessTick, Session}
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two sessions split by a >30min gap; user 2: one session
+    val real = Seq(
+      SessTick(1L, t("2024-01-01 10:00:00"), 5L),
+      SessTick(1L, t("2024-01-01 10:10:00"), 7L),
+      SessTick(2L, t("2024-01-01 10:05:00"), 1L),
+      SessTick(1L, t("2024-01-01 11:30:00"), 2L), // new session (80 min gap)
+      SessTick(2L, t("2024-01-01 10:20:00"), 3L))
+    val probe = Seq(SessTick(-1L, t("2024-01-02 10:00:00"), 0L)) // advances the watermark
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-sess-src")
+    real.take(3).toDS().coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    real.drop(3).toDS().coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(real.take(1).toDS().schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*").as[SessTick]
+        .withWatermark("ts", "1 minute")
+      val q = StatefulV2.sessionize(stream, gapMs = 30L * 60 * 1000)
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // late probe batch pushes the watermark past every real session's
+        // end + gap → the open sessions' timers fire
+        probe.toDS().coalesce(1).write.parquet(srcDir.resolve("b2").toString)
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws_sessions").as[Session].collect()
+        .filter(_.userId != -1L)
+        .map(s => (s.userId, s.start.toString, s.end.toString, s.n, s.cents)).toSet
+      val want = Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 12L),
+        (1L, "2024-01-01 11:30:00.0", "2024-01-01 11:30:00.0", 1L, 2L),
+        (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:20:00.0", 2L, 4L))
+      assert(got == want, s"$got")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming view maintenance: per-batch z-set deltas fold to the one-shot view") {
     // operators/Ivm as a stream consumer: each micro-batch of fact rows
     // is a +1-weighted delta against the accumulated old side and a
