@@ -68,9 +68,29 @@ object Triangles {
         (p("dx") < q("dy") || (p("dx") === q("dy") && p("x") < q("y"))))
       .select(p("a").as("a"), p("x").as("b"), q("y").as("c"))
 
+    // Bloom-prefilter the wedge set BEFORE the closing shuffle: in a
+    // dense graph wedges outnumber edges ~mean-degree-fold (the sf0.1
+    // catalog graph makes ~70M wedges over 1.2M edges), and most close
+    // nothing. The edge sketch ships as a foldable literal into the
+    // might_contain expression (the decontamination-path idiom); no
+    // false negatives, and the inner join removes the fpp leakage — the
+    // result is exactly the unfiltered plan's.
+    graft.functions.GraftFunctions.register(edges.sparkSession)
+    val closing = dir.select(col("a").as("b"), col("b").as("c"))
+    // sizing count reads the CHECKPOINTED dir, not the und lineage
+    val bloom = closing.select(xxhash64(col("b"), col("c")).as("_h"))
+      .stat.bloomFilter("_h", math.max(dir.count(), 1L), 0.03)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val candidates = wedges.filter(
+      call_function("graft_might_contain", lit(bytes), xxhash64(col("b"), col("c"))))
+
     // close the wedge: (b, c) must be a directed edge (edges are
     // distinct, so inner join multiplicity is exactly 0 or 1)
-    val tri = wedges.join(dir.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"))
+    val tri = candidates.join(closing, Seq("b", "c"))
 
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
