@@ -85,6 +85,12 @@ object GraftFunctions {
     LshTableKeys(exprs(0), intArg(1), intArg(2), intArg(3), intArg(4), longArg(5))
   }
 
+  private[functions] def winnowBuilder(exprs: Seq[Expression]): Expression = {
+    def intArg(i: Int): Int = exprs(i).eval().asInstanceOf[Number].intValue()
+    def longArg(i: Int): Long = exprs(i).eval().asInstanceOf[Number].longValue()
+    RollingWinnow(exprs(0), intArg(1), intArg(2), longArg(3), longArg(4))
+  }
+
   // one registration per session, and none at all when the session was
   // built withExtensions(GraftExtensions) (the functions already exist):
   // createOrReplaceTempFunction logs a "replaced a previously registered
@@ -109,6 +115,8 @@ object GraftFunctions {
         "graft_might_contain", mightContainBuilder, "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_winnow", winnowBuilder, "built-in")
     }
   }
 
@@ -157,6 +165,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_winnow"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingWinnow].getName, "graft_winnow"),
+      GraftFunctions.winnowBuilder _))
     // pure range joins (inequality-only conditions) rewrite to the
     // bucketed equi-join plan instead of a nested loop / cartesian
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

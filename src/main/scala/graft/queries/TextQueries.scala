@@ -437,6 +437,61 @@ object TextQueries {
           col("doc_id"))
       }),
 
+    // Winnowing again, but through the O(n) native kernel
+    // (`functions/RollingWinnow`, `graft_winnow`): gram hash = mod-M
+    // Horner polynomial over codepoints, computed by a true rolling
+    // recurrence + monotonic-deque minima INSIDE the row — no md5 per
+    // position, no doc_id shuffle, no window sort; the plan is
+    // scan → codegen'd project → per-row array aggregates. The oracle
+    // states the same hash PER POSITION (DuckDB unicode/substr Horner)
+    // with the same min-over-window SQL as `winnow_fingerprints`, so the
+    // hash match proves the O(n·k)→O(n) strength reduction — and the
+    // shuffle elimination — are value-preserving. SCALE.md records the
+    // measured gap vs the md5/window formulation.
+    QueryDef(
+      "winnow_rolling",
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+          FROM documents
+        ), pos AS (
+          SELECT doc_id, u.i AS i, ${TextAnalysis.hornerGramSqlDuck("t", "u.i", 5)} AS h
+          FROM d, unnest(range(1, length(t) - 3)) AS u(i)
+          WHERE length(t) >= 8
+        ), win AS (
+          SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                 count(*) OVER (PARTITION BY doc_id) AS np
+          FROM pos
+        ), sel AS (
+          SELECT doc_id, fp FROM win WHERE i <= np - 3
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(DISTINCT fp) AS n_fps,
+               CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_checksum,
+               CAST(MIN(fp) AS BIGINT) AS min_fp
+        FROM sel GROUP BY doc_id ORDER BY doc_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        graft.functions.GraftFunctions.register(spark)
+        val fps = Tables.documents(spark, dir)
+          .select(col("doc_id"),
+            regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("t"))
+          .filter(length(col("t")) >= 8)
+          .select(col("doc_id"),
+            expr(s"graft_winnow(t, 5, 4, ${TextAnalysis.WinnowBase}, ${TextAnalysis.WinnowMod})").as("fps"))
+        graft.Tails.orderedSmall(
+          fps.select(
+            col("doc_id"),
+            size(col("fps")).cast("long").as("n_windows"),
+            size(array_distinct(col("fps"))).cast("long").as("n_fps"),
+            aggregate(array_distinct(col("fps")), lit(0L), (acc, x) => acc + x).as("fp_checksum"),
+            array_min(col("fps")).as("min_fp")),
+          col("doc_id"))
+      }),
+
     // top-quality docs per language via the bounded top-k Aggregator
     // (second domain for TopKAggregator; oracle = row_number window)
     QueryDef(

@@ -90,6 +90,25 @@ object TextAnalysis {
   def hashBucketSqlDuck(key: String, n: Long): String =
     s"${hashRawSqlDuck(key)} % $n"
 
+  /** Winnowing gram-hash constants shared by the `graft_winnow` kernel
+    * (`functions/RollingWinnow`) and its DuckDB oracle: mod-M Horner over
+    * codepoints, base 131. M·B ≈ 1.3e11 bounds every intermediate far
+    * inside BIGINT in both engines.
+    */
+  val WinnowBase = 131L
+  val WinnowMod = 1000000007L
+
+  /** DuckDB side of the winnowing gram hash: the k-codepoint Horner
+    * polynomial at 1-based position `i` of column `t`, mod at each step —
+    * positionally identical to RollingWinnow's first-gram loop, and
+    * algebraically identical to its rolling recurrence.
+    */
+  def hornerGramSqlDuck(t: String, i: String, k: Int): String =
+    (1 until k).foldLeft(
+      s"CAST(unicode(substr($t, CAST($i AS INT), 1)) AS BIGINT)") { (acc, j) =>
+      s"(($acc * $WinnowBase + unicode(substr($t, CAST($i + $j AS INT), 1))) % $WinnowMod)"
+    }
+
   /** The un-bucketed 60-bit hash — for call sites whose modulus is a
     * runtime COLUMN (e.g. a string length), which the bucketed helpers
     * cannot interpolate. */
