@@ -228,4 +228,40 @@ class GraphSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(15).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("BFS: hand-computed path graph, unreached nodes absent, depth cap respected") {
+    // 1 -> 2 -> 3 -> 4 -> 5, plus disconnected 9 -> 10
+    val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    val got = graft.operators.Bfs.hops(e, Seq(1L).toDF("node"), maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)) // 5 beyond cap, 9/10 unreached
+  }
+
+  test("property: frontier BFS equals local min-hop reference on random multigraphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph = for {
+      n <- Gen.choose(2, 25)
+      m <- Gen.choose(1, 80)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
+      srcs <- Gen.nonEmptyListOf(Gen.choose(0L, n.toLong - 1))
+      depth <- Gen.choose(0, 5)
+    } yield (es, srcs.distinct, depth)
+    val prop = Prop.forAll(genGraph) { case (es, srcs, depth) =>
+      // local reference: textbook queue BFS over an adjacency map
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = srcs.map(_ -> 0L).toMap
+      var frontier = srcs.toSet
+      for (d <- 1 to depth) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, Set.empty)) -- dist.keySet
+        dist ++= next.map(_ -> d.toLong)
+        frontier = next
+      }
+      val got = graft.operators.Bfs.hops(edgesDf(es: _*), srcs.toDF("node"), depth)
+        .as[(Long, Long)].collect().toMap
+      got == dist
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
