@@ -44,6 +44,47 @@ object TimeSeries {
       .drop("close")
   }
 
+  /** Linear interpolation of missing days on the calendar spine — the
+    * numeric sibling of [[gapFillDaily]]'s LOCF: a gap day between two
+    * observed anchors gets the straight-line value
+    * `prev + (next − prev) · Δdays_prev / Δdays_span`; gaps before the
+    * first / after the last anchor fall back to the nearest anchor
+    * (pandas `interpolate(limit_direction='both')` semantics). Same
+    * single-shuffle shape as gapFillDaily plus two bounded scans per key
+    * (the IGNORE-NULLS window pair); determinism across engines comes
+    * from stating the arithmetic identically — integer day deltas, one
+    * multiply, one divide — and rounding at the caller.
+    */
+  def interpolateDaily(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val daily = df
+      .groupBy(col(key), to_date(col(ts)).as("day"))
+      .agg(max_by(col(value), col(ts)).as("close"))
+    val spine = daily
+      .groupBy(col(key))
+      .agg(min(col("day")).as("_mn"), max(col("day")).as("_mx"))
+      .select(col(key), explode(sequence(col("_mn"), col("_mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val back = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col(key)).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine
+      .join(daily, Seq(key, "day"), "left")
+      .withColumn("is_gap", col("close").isNull)
+      .withColumn("prev_v", last(col("close"), ignoreNulls = true).over(back))
+      .withColumn("prev_d", last(when(col("close").isNotNull, col("day")), ignoreNulls = true).over(back))
+      .withColumn("next_v", first(col("close"), ignoreNulls = true).over(fwd))
+      .withColumn("next_d", first(when(col("close").isNotNull, col("day")), ignoreNulls = true).over(fwd))
+      .withColumn("interp",
+        when(col("close").isNotNull, col("close"))
+          .when(col("prev_v").isNull, col("next_v"))
+          .when(col("next_v").isNull, col("prev_v"))
+          .otherwise(col("prev_v") +
+            (col("next_v") - col("prev_v")) *
+              datediff(col("day"), col("prev_d")) /
+              datediff(col("next_d"), col("prev_d"))))
+      .drop("close", "prev_v", "prev_d", "next_v", "next_d")
+  }
+
   /** Exponentially weighted moving average over a BOUNDED trailing window
     * (adjust=true form: weights (1−α)^j for the j-th most recent row,
     * normalized by their sum — pandas `ewm(alpha, adjust=True)` truncated

@@ -11,6 +11,98 @@ import org.apache.spark.sql.functions._
 object ProfileQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // A/B test readout: users deterministically hash-split into two
+    // variants (the same md5-bucket idiom every sampler uses — no RNG, so
+    // assignment is reproducible across engines and reruns); "converted" =
+    // purchase share above the 1/5 event-type base rate, stated as exact
+    // integer arithmetic (5·purchases > events) so it is scale-free and
+    // non-degenerate at every SF (a rawer "any purchase" metric saturates
+    // to p=1 and zeroes the pooled variance — found at sf0.01). The
+    // two-proportion pooled z-score decides the experiment. One
+    // user-grain agg + one global agg; at 100 TB the variant stats are
+    // map-side partials over the user key, never a per-user collect. z is
+    // stated with identical arithmetic in both engines, rounded to 4.
+    QueryDef(
+      "ab_test_zscore",
+      Some(s"""
+        WITH assign AS (
+          SELECT user_id, ${TextAnalysis.hashBucketSqlDuck("user_id", 2)} AS variant,
+                 CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                           > count(*) THEN 1 ELSE 0 END AS converted
+          FROM events GROUP BY user_id
+        ), v AS (
+          SELECT variant, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(converted) AS BIGINT) AS conv
+          FROM assign GROUP BY variant
+        ), wide AS (
+          SELECT
+            max(CASE WHEN variant = 0 THEN n END) AS n_a,
+            max(CASE WHEN variant = 1 THEN n END) AS n_b,
+            max(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+            max(CASE WHEN variant = 1 THEN conv END) AS conv_b
+          FROM v
+        )
+        SELECT n_a, n_b, conv_a, conv_b,
+               round(CAST(conv_a AS DOUBLE) / n_a, 4) AS p_a,
+               round(CAST(conv_b AS DOUBLE) / n_b, 4) AS p_b,
+               round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                     / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        FROM wide
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val assign = Tables.events(spark, dir)
+          .groupBy("user_id")
+          .agg((when(lit(5) * sum(when(col("event_type") === "purchase", 1).otherwise(0))
+              > count(lit(1)), 1).otherwise(0)).as("converted"))
+          .withColumn("variant", expr(TextAnalysis.hashBucketExpr("user_id", 2)))
+        val v = assign.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum("converted").cast("long").as("conv"))
+        val wide = v.agg(
+          max(when(col("variant") === 0, col("n"))).as("n_a"),
+          max(when(col("variant") === 1, col("n"))).as("n_b"),
+          max(when(col("variant") === 0, col("conv"))).as("conv_a"),
+          max(when(col("variant") === 1, col("conv"))).as("conv_b"))
+        val pa = col("conv_a").cast("double") / col("n_a")
+        val pb = col("conv_b").cast("double") / col("n_b")
+        val pPool = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+        wide.select(
+          col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          round(pa, 4).as("p_a"), round(pb, 4).as("p_b"),
+          round((pa - pb) /
+            sqrt(pPool * (lit(1.0) - pPool) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
+      }),
+
+    // survivorship (golden record): one best row per user assembled
+    // attribute-by-attribute from the event stream — last-observed
+    // event_type/value by event time (timestamps are globally unique, so
+    // max_by/arg_max ties cannot occur), first-seen date, lifetime
+    // volume as exact cents. The MDM merge step after identity
+    // resolution; one user-keyed agg, map-side combinable.
+    QueryDef(
+      "golden_record",
+      Some("""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(ts) AS DATE) AS first_seen,
+               arg_max(event_type, ts) AS last_type,
+               arg_max(value, ts) AS last_value,
+               CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS lifetime_cents
+        FROM events GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        graft.Tails.orderedSmall(
+          Tables.events(spark, dir).groupBy("user_id").agg(
+            count(lit(1)).as("n_events"),
+            to_date(min(col("ts"))).as("first_seen"),
+            max_by(col("event_type"), col("ts")).as("last_type"),
+            max_by(col("value"), col("ts")).as("last_value"),
+            sum(round(col("value") * 100).cast("long")).as("lifetime_cents")),
+          col("user_id"))
+      }),
+
     // DAU / WAU / stickiness — the engagement triple every product
     // dashboard draws. WAU (distinct users in the trailing 7 days) is
     // computed WITHOUT a per-day range self-join: each distinct

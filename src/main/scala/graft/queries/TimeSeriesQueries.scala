@@ -108,6 +108,100 @@ object TimeSeriesQueries {
           .orderBy("user_id", "day")
       }),
 
+    // calendar-spine linear interpolation — gapfill_daily's numeric
+    // sibling: gap days get the straight line between the surrounding
+    // anchors (nearest anchor at the edges). Arithmetic is stated
+    // IDENTICALLY in both engines (integer day deltas, one multiply, one
+    // divide) and rounded to 4 decimals per the determinism contract.
+    QueryDef(
+      "interpolate_linear",
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, max_by(value, ts) AS close
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), bounds AS (
+          SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY user_id
+        ), spine AS (
+          SELECT user_id, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+          FROM bounds
+        ), j AS (
+          SELECT s.user_id, s.day, d.close,
+                 last_value(d.close IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                 last_value(CASE WHEN d.close IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+                 first_value(d.close IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                 first_value(CASE WHEN d.close IS NOT NULL THEN s.day END IGNORE NULLS) OVER (
+                   PARTITION BY s.user_id ORDER BY s.day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+          FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+        )
+        SELECT user_id, day, close IS NULL AS is_gap,
+               round(CASE WHEN close IS NOT NULL THEN close
+                          WHEN prev_v IS NULL THEN next_v
+                          WHEN next_v IS NULL THEN prev_v
+                          ELSE prev_v + (next_v - prev_v)
+                                 * date_diff('day', prev_d, day)
+                                 / date_diff('day', prev_d, next_d)
+                     END, 4) AS interp
+        FROM j ORDER BY user_id, day
+      """.stripMargin.trim),
+      (spark, dir) => {
+        TimeSeries.interpolateDaily(
+            Tables.events(spark, dir).select("user_id", "ts", "value"),
+            key = "user_id", ts = "ts", value = "value")
+          .select(col("user_id"), col("day"), col("is_gap"),
+            round(col("interp"), 4).as("interp"))
+          .orderBy("user_id", "day")
+      }),
+
+    // autocorrelation function at lags 1–3 over each user's daily-close
+    // series — the seasonality/persistence diagnostic (a daily-periodic
+    // signal shows acf spikes at its period). Pure lag-window + corr
+    // algebra; corr is the same sample formula in both engines, rounded
+    // to 4 decimals per the determinism contract.
+    QueryDef(
+      "acf_lags",
+      Some("""
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, max_by(value, ts) AS close
+          FROM events GROUP BY user_id, CAST(ts AS DATE)
+        ), lagged AS (
+          SELECT user_id, close,
+                 lag(close, 1) OVER (PARTITION BY user_id ORDER BY day) AS l1,
+                 lag(close, 2) OVER (PARTITION BY user_id ORDER BY day) AS l2,
+                 lag(close, 3) OVER (PARTITION BY user_id ORDER BY day) AS l3
+          FROM daily
+        )
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+               round(corr(close, l1), 4) AS acf1,
+               round(corr(close, l2), 4) AS acf2,
+               round(corr(close, l3), 4) AS acf3
+        FROM lagged GROUP BY user_id ORDER BY user_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val daily = Tables.events(spark, dir)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(max_by(col("value"), col("ts")).as("close"))
+        val lagged = daily
+          .withColumn("l1", lag(col("close"), 1).over(w))
+          .withColumn("l2", lag(col("close"), 2).over(w))
+          .withColumn("l3", lag(col("close"), 3).over(w))
+        graft.Tails.orderedSmall(
+          lagged.groupBy("user_id").agg(
+            count(lit(1)).as("n_days"),
+            round(corr(col("close"), col("l1")), 4).as("acf1"),
+            round(corr(col("close"), col("l2")), 4).as("acf2"),
+            round(corr(col("close"), col("l3")), 4).as("acf3")),
+          col("user_id"))
+      }),
+
     // hopping (sliding) windows — 10-minute width, 5-minute hop: the
     // overlapping-window aggregation Structured Streaming shares with
     // batch (`window(ts, width, hop)`). Each event lands in exactly
