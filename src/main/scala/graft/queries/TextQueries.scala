@@ -571,6 +571,49 @@ object TextQueries {
       (spark, dir) =>
         Dedup.exactDuplicates(Tables.documents(spark, dir)).orderBy("canonical_id")),
 
+    // per-source duplication report — the curation diagnostic a crawl
+    // pipeline reads before choosing mixture weights: for each source,
+    // how many docs are copies of SOMETHING (duped_docs / dup_rate) and
+    // how many collide with a DIFFERENT source (cross_source_docs —
+    // mirror detection). Content groups come from the same normalized
+    // md5 as dedup_exact; two hash-keyed aggs + one broadcast-sized join
+    // back, so at 100 TB the only corpus-wide shuffle is the group-by
+    // content hash that exact dedup already pays.
+    QueryDef(
+      "dup_rate_by_source",
+      Some("""
+        WITH h AS (
+          SELECT source, md5(lower(trim(text))) AS text_hash FROM documents
+        ), g AS (
+          SELECT text_hash, COUNT(*) AS n_copies,
+                 COUNT(DISTINCT source) AS n_sources
+          FROM h GROUP BY text_hash
+        )
+        SELECT h.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duped_docs,
+               CAST(sum(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_source_docs,
+               round(CAST(sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 4) AS dup_rate
+        FROM h JOIN g ON h.text_hash = g.text_hash
+        GROUP BY h.source ORDER BY h.source
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val h = Tables.documents(spark, dir)
+          .select(col("source"), md5(lower(trim(col("text")))).as("text_hash"))
+        val g = h.groupBy("text_hash")
+          .agg(count(lit(1)).as("n_copies"), countDistinct("source").as("n_sources"))
+        val duped = sum(when(col("n_copies") > 1, 1).otherwise(0)).cast("long")
+        val cross = sum(when(col("n_sources") > 1, 1).otherwise(0)).cast("long")
+        graft.Tails.orderedSmall(
+          h.join(g, Seq("text_hash"))
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), duped.as("duped_docs"),
+              cross.as("cross_source_docs"),
+              round(duped.cast("double") / count(lit(1)), 4).as("dup_rate")),
+          col("source"))
+      }),
+
     // hot shingles (df > cap) are dropped from the similarity universe on
     // BOTH engines — see Dedup.hotShingleMaxDf for why this is the
     // 100 TB-survival knob (one boilerplate 5-gram in k docs would emit

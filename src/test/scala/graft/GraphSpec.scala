@@ -264,4 +264,45 @@ class GraphSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("SSSP: hand case — longer path with smaller weight wins within the hop bound") {
+    // 1 -(10)-> 3 direct, but 1 -(1)-> 2 -(1)-> 3 is cheaper; at 1 round
+    // only the direct edge is visible
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val r1 = graft.operators.Sssp.hopBounded(e, Seq(1L).toDF("node"), 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    val r2 = graft.operators.Sssp.hopBounded(e, Seq(1L).toDF("node"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("property: delta Bellman-Ford equals local k-round relaxation on random weighted graphs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genGraph = for {
+      n <- Gen.choose(2, 20)
+      m <- Gen.choose(1, 60)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.choose(0L, n.toLong - 1); d <- Gen.choose(0L, n.toLong - 1)
+        w <- Gen.choose(0L, 50L)
+      } yield (s, d, w))
+      srcs <- Gen.nonEmptyListOf(Gen.choose(0L, n.toLong - 1))
+      depth <- Gen.choose(0, 4)
+    } yield (es, srcs.distinct, depth)
+    val prop = Prop.forAll(genGraph) { case (es, srcs, depth) =>
+      // local reference: naive k-round Bellman-Ford over the full map
+      var dist = srcs.map(_ -> 0L).toMap
+      for (_ <- 1 to depth) {
+        val relaxed = es.flatMap { case (s, d, w) => dist.get(s).map(ds => d -> (ds + w)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      }
+      val got = graft.operators.Sssp
+        .hopBounded(es.toDF("src", "dst", "w"), srcs.toDF("node"), depth)
+        .as[(Long, Long)].collect().toMap
+      got == dist
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
