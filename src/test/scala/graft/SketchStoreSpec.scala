@@ -66,4 +66,62 @@ class SketchStoreSpec extends SparkSpec {
     assert(SketchStore.estimateDistinct(spark, path, "user_id",
       "2030-01-01", "2030-12-31") == 0L)
   }
+
+  // ---- count-min frequency store ----
+
+  test("CMS point estimates upper-bound the exact count within the e*N/w guarantee") {
+    import graft.operators.FreqSketchStore
+    val ev = Tables.events(spark, sf).select($"event_type", $"ts")
+    val path = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    FreqSketchStore.writeDailyFreqSketch(ev, "ts", "event_type", path)
+    val n = ev.count()
+    val exact = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    for ((k, truth) <- exact) {
+      val est = FreqSketchStore.estimateFreq(spark, path, "event_type", k,
+        "2024-01-01", "2024-12-31")
+      assert(est >= truth, s"CMS must never undercount: $k est $est < $truth")
+      assert(est <= truth + 3.0 * n / 1024,
+        s"CMS overcount beyond bound on $k: est $est, truth $truth, n $n")
+    }
+    // an absent key collides with at most bound mass, never reports big
+    val ghost = FreqSketchStore.estimateFreq(spark, path, "event_type", "no_such_type",
+      "2024-01-01", "2024-12-31")
+    assert(ghost <= 3.0 * n / 1024, s"ghost key estimate $ghost too large")
+  }
+
+  test("CMS sketches are linear: appended days merge to the one-shot estimates") {
+    import graft.operators.FreqSketchStore
+    val ev = Tables.events(spark, sf).select($"user_id", $"ts")
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-cms1").toString
+    FreqSketchStore.writeDailyFreqSketch(ev, "ts", "user_id", oneShot)
+    val incr = java.nio.file.Files.createTempDirectory("graft-cms2").toString
+    FreqSketchStore.writeDailyFreqSketch(
+      ev.filter(to_date($"ts") < "2024-01-16"), "ts", "user_id", incr)
+    FreqSketchStore.writeDailyFreqSketch(
+      ev.filter(to_date($"ts") >= "2024-01-16"), "ts", "user_id", incr, mode = "append")
+    val someUser = ev.select($"user_id").head().getLong(0).toString
+    val a = FreqSketchStore.estimateFreq(spark, oneShot, "user_id", someUser,
+      "2024-01-01", "2024-12-31")
+    val b = FreqSketchStore.estimateFreq(spark, incr, "user_id", someUser,
+      "2024-01-01", "2024-12-31")
+    assert(a == b && a > 0, s"one-shot $a != incremental $b (or zero)")
+    // subrange reads only its days: estimate for a half-year bounds the full
+    val half = FreqSketchStore.estimateFreq(spark, oneShot, "user_id", someUser,
+      "2024-01-01", "2024-06-30")
+    assert(half <= a, s"subrange $half > full-range $a")
+  }
+
+  test("CMS store refuses wrong key / depth / width reads") {
+    import graft.operators.FreqSketchStore
+    val ev = Tables.events(spark, sf).select($"event_type", $"ts")
+    val path = java.nio.file.Files.createTempDirectory("graft-cms3").toString
+    FreqSketchStore.writeDailyFreqSketch(ev, "ts", "event_type", path)
+    intercept[IllegalArgumentException] {
+      FreqSketchStore.estimateFreq(spark, path, "user_id", "1", "2024-01-01", "2024-12-31")
+    }
+    intercept[IllegalArgumentException] {
+      FreqSketchStore.estimateFreq(spark, path, "event_type", "view",
+        "2024-01-01", "2024-12-31", width = 2048)
+    }
+  }
 }
