@@ -838,3 +838,66 @@ object Round9Smoke {
     spark.stop()
   }
 }
+
+/** Prefix-filter crossover smoke (round 9): `dedup_jaccard_prefix` is
+  * SLOWER than the plain shingle join at sf0.1 (2.3 s vs 1.6 s — the df
+  * join + per-doc sort + verify joins are fixed overhead against a mere
+  * ~14k-pair-row plain volume) and also on a purely dup-HEAVY corpus
+  * (true near-dup groups make candidates irreducibly group-quadratic,
+  * so verification dominates both ways). The regime it exists for is
+  * the post-crawl REALITY: heavy shared BOILERPLATE (headers, navs,
+  * licenses — high-df shingles under the cap) among documents that are
+  * NOT near-duplicates of each other, plus a thin layer of true dups.
+  * There the plain join pays Σ df²/2 pair rows for pairs that verify to
+  * nothing, while boilerplate never enters the rare-first prefixes at
+  * all. This smoke builds exactly that corpus and measures both wall
+  * time and candidate volume.
+  * Usage: runMain graft.JaccardPrefixSmoke [nDocs]
+  */
+object JaccardPrefixSmoke {
+  def main(args: Array[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = args.headOption.map(_.toLong).getOrElse(60000L)
+    val streams = 300L // boilerplate families; df per boiler shingle ≈ n/streams
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    // each doc: 20 per-doc-unique words + a contiguous 20-word slice of
+    // its stream's boilerplate — same-stream docs share high-df shingles
+    // but sit far below the 0.8 threshold (J ≈ 0.3). Every ~997th doc is
+    // an exact copy of its neighbor (true dups stay a thin layer).
+    val eff = when(pmod(col("id"), lit(997)) === 0, col("id") + 1).otherwise(col("id"))
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(39)), j =>
+        when(j < 20, concat(lit("u"), eff * lit(40) + j))
+          .otherwise(concat(lit("b"), pmod(eff, lit(streams)) * lit(1000) +
+            pmod(floor(eff / lit(streams)).cast("long"), lit(5)) * lit(4) + j))),
+        " ").as("text"))
+      .localCheckpoint()
+    val sh = graft.textops.Dedup.cappedShingles(docs, 5).localCheckpoint()
+    val plainVol = sh.groupBy("shingle").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) / 2"))).head().getDouble(0)
+    println(f"[scale] plain candidate volume: ${plainVol / 1e6}%.1fM pair rows")
+    val nPlain = timed(s"plain shingle-join jaccard over $n dup-heavy docs") {
+      graft.textops.Dedup.jaccardPairs(docs, 5, 0.8).count()
+    }
+    val nPref = timed(s"prefix-filtered jaccard over $n dup-heavy docs") {
+      graft.textops.Dedup.jaccardPairsPrefix(docs, 5, 0.8).count()
+    }
+    require(nPlain == nPref, s"variants disagree: $nPlain vs $nPref")
+    println(s"[scale] pair count (identical): $nPlain")
+    spark.stop()
+  }
+}

@@ -639,6 +639,33 @@ object TextQueries {
         Dedup.jaccardPairs(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
           .transform(graft.Tails.ordSmall("doc_a", "doc_b"))),
 
+    // the SAME exact-Jaccard semantics through PPJoin prefix filtering:
+    // only each doc's rarest (1−t)·n+1 shingles enter the candidate
+    // join (completeness is the WWW'08 prefix theorem), full sets are
+    // consulted only to verify candidates. Identical oracle to
+    // dedup_jaccard — the hash match certifies the candidate pruning
+    // loses nothing; TextOpsSpec adds a randomized equivalence property.
+    QueryDef(
+      "dedup_jaccard_prefix",
+      Some(s"""
+        WITH $shinglesDuck,
+        ${Dedup.cappedShinglesSqlDuck()},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_common, sa.n AS n_a, sb.n AS n_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+        ORDER BY doc_a, doc_b
+      """.stripMargin.trim),
+      (spark, dir) =>
+        Dedup.jaccardPairsPrefix(Tables.documents(spark, dir), n = 5, minJaccard = 0.8)
+          .transform(graft.Tails.ordSmall("doc_a", "doc_b"))),
+
     // asymmetric containment |A∩B|/|A|: catches subset-duplication
     // (quote-and-extend) that symmetric Jaccard misses
     QueryDef(

@@ -70,4 +70,35 @@ class TextOpsSpec extends SparkSpec {
 
   // multimodal coverage moved to MediaCodecSpec/MultimodalSpec alongside
   // the real header-level codec (round-6: stub retired)
+
+  test("property: prefix-filtered Jaccard join equals the plain shingle join exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // overlapping word soups with planted duplications and tight sizes —
+    // the threshold-boundary shapes (min = t·max) the prefix math must
+    // survive. Thresholds cover tight-to-loose.
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val genDocs = for {
+      nDocs <- Gen.choose(2, 12)
+      docs <- Gen.listOfN(nDocs, Gen.choose(6, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(words)).map(_.mkString(" "))))
+      dupOf <- Gen.choose(0, nDocs - 1)
+      suffix <- Gen.oneOf("", " alpha", " beta gamma")
+      t <- Gen.oneOf(0.5, 0.7, 0.8)
+    } yield (docs :+ (docs(dupOf) + suffix), t)
+    val prop = Prop.forAll(genDocs) { case (docs, t) =>
+      val df = docs.zipWithIndex.map { case (text, i) => (i.toLong, text) }
+        .toDF("doc_id", "text")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          math.round(r.getDouble(5) * 1e9))
+      val plain = graft.textops.Dedup.jaccardPairs(df, n = 3, minJaccard = t)
+        .collect().map(key).toSet
+      val pref = graft.textops.Dedup.jaccardPairsPrefix(df, n = 3, minJaccard = t)
+        .collect().map(key).toSet
+      pref == plain
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
