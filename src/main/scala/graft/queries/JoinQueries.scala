@@ -15,6 +15,43 @@ import org.apache.spark.sql.functions._
 object JoinQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // TPC-H Q18 shape (large-volume customers): HAVING on a fact-grain
+    // agg gates the orders that flow into the enrichment join — the agg
+    // runs FIRST so the join sees ~10 % of orders, then customer
+    // broadcasts in, and the tail is one TakeOrderedAndProject. Exact
+    // integer deciquantities (l_quantity is int-valued in the testdata,
+    // scaled ×10 defensively) keep the HAVING edge and the sort
+    // cross-engine deterministic.
+    QueryDef(
+      "big_order_customers_q18",
+      Some("""
+        WITH big AS (
+          SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity * 10) AS BIGINT)) AS BIGINT) AS dq
+          FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(ROUND(l_quantity * 10) AS BIGINT)) > 1800
+        )
+        SELECT c.c_name, o.o_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS odate,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents, b.dq
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY b.dq DESC, o.o_orderkey
+        LIMIT 10
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val big = Tables.lineitem(spark, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(round(col("l_quantity") * 10).cast("long")).as("dq"))
+          .filter(col("dq") > 1800)
+        big
+          .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.customer(spark, dir)), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+            to_date(col("o_orderdate")).as("odate"),
+            round(col("o_totalprice") * 100).cast("long").as("total_cents"), col("dq"))
+          .orderBy(col("dq").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
     // J1: tick stream enriched by broadcast dimension lookup
     // (`etl/etl.py:326-328` symbol→cid map join).
     QueryDef(

@@ -103,6 +103,53 @@ object ProfileQueries {
           col("user_id"))
       }),
 
+    // time-to-convert funnel metric: per signup-month cohort, the
+    // median / p90 days from a user's FIRST signup to their first
+    // purchase AFTER it (non-converters excluded by the join+filter, and
+    // counted). Day deltas are exact micros → one division; percentile ≡
+    // quantile_cont interpolation parity (value_quantiles precedent).
+    QueryDef(
+      "time_to_convert",
+      Some("""
+        WITH s AS (
+          SELECT user_id, min(ts) AS signup_ts FROM events
+          WHERE event_type = 'signup' GROUP BY user_id
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS purchase_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+          GROUP BY e.user_id
+        ), d AS (
+          SELECT date_trunc('month', s.signup_ts) AS cohort_month,
+                 CAST(epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS DOUBLE) / 86400000000.0 AS days
+          FROM s JOIN p ON s.user_id = p.user_id
+        )
+        SELECT CAST(cohort_month AS DATE) AS cohort_month,
+               CAST(count(*) AS BIGINT) AS n_converted,
+               quantile_cont(days, 0.5) AS p50_days,
+               quantile_cont(days, 0.9) AS p90_days
+        FROM d GROUP BY cohort_month ORDER BY cohort_month
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val s = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("signup_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(s, Seq("user_id"))
+          .filter(col("ts") > col("signup_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("purchase_ts"))
+        val d = s.join(p, Seq("user_id"))
+          .select(to_date(date_trunc("month", col("signup_ts"))).as("cohort_month"),
+            ((unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
+              .cast("double") / 86400000000.0).as("days"))
+        graft.Tails.orderedSmall(
+          d.groupBy("cohort_month").agg(
+            count(lit(1)).as("n_converted"),
+            expr("percentile(days, 0.5)").as("p50_days"),
+            expr("percentile(days, 0.9)").as("p90_days")),
+          col("cohort_month"))
+      }),
+
     // DAU / WAU / stickiness — the engagement triple every product
     // dashboard draws. WAU (distinct users in the trailing 7 days) is
     // computed WITHOUT a per-day range self-join: each distinct
