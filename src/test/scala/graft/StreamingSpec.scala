@@ -289,6 +289,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream + slowly-changing dim: an upsert BETWEEN micro-batches is visible to the next batch") {
+    // the temporal half of the stream-static contract: the static side
+    // is re-planned per micro-batch, so a dimension upsert that lands
+    // between batches must enrich all LATER batches with the new version
+    // while already-emitted rows keep the version they saw. foreachBatch
+    // re-reads the warehouse dim by path — the production loop's shape.
+    import org.apache.spark.sql.{DataFrame, SaveMode}
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-scd-dim").toString
+    Seq((0L, "v1"), (1L, "v1"), (2L, "v1")).toDF("cohort_key", "version")
+      .write.mode(SaveMode.Overwrite).parquet(dimPath)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-scd-src")
+    def writeChunk(name: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, i.toLong % 3)).toDF("event_id", "cohort_key")
+        .coalesce(1).write.parquet(srcDir.resolve(name).toString)
+    writeChunk("a", 0 until 50)
+    val stream = spark.readStream
+      .schema(Seq((0L, 0L)).toDF("event_id", "cohort_key").schema)
+      .option("maxFilesPerTrigger", 10)
+      .parquet(srcDir.toString + "/*")
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val dim = batch.sparkSession.read.parquet(dimPath)
+      sink.synchronized {
+        sink ++= batch.join(broadcast(dim), "cohort_key")
+          .select($"event_id", $"version").as[(Long, String)].collect()
+      }
+      ()
+    }.start()
+    try {
+      q.processAllAvailable()
+      // dimension upsert lands between batches
+      Seq((0L, "v2"), (1L, "v2"), (2L, "v2")).toDF("cohort_key", "version")
+        .write.mode(SaveMode.Overwrite).parquet(dimPath)
+      writeChunk("b", 50 until 80)
+      q.processAllAvailable()
+      val byId = sink.synchronized(sink.toMap)
+      assert(byId.size == 80)
+      assert((0 until 50).forall(i => byId(i.toLong) == "v1"),
+        "pre-upsert rows must carry the version their batch saw")
+      assert((50 until 80).forall(i => byId(i.toLong) == "v2"),
+        "post-upsert rows must see the updated dimension")
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: per-batch new-vs-store pairs equal the batch run") {
     // the daily-ops flow as a stream: new document batches arrive on a
     // file source; each micro-batch runs incrementalLshPairs against
