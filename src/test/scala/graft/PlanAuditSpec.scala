@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Plan-shape audits: the properties SCALE.md claims must be visible in
   * the optimized plan, not just asserted in prose — column pruning
   * reaching the parquet scan, and no cartesian anywhere in the catalog.
@@ -121,6 +123,48 @@ class PlanAuditSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian")
       if (!constantSideBnlj(name))
         assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("runtime bloom-filter join pruning engages once the fact side crosses the size gate") {
+    // Spark 4 injects a bloom semi-filter (bloom_filter_agg on the
+    // selective build side → might_contain at the probe scan) for shuffle
+    // equi-joins — but only when the application side scans ≥ 10 GB
+    // (spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold),
+    // so it is INVISIBLE at test scale and very much alive at 100 TB.
+    // Pin both halves of that contract: default thresholds → no bloom
+    // locally; fact-scale thresholds (gate lowered to simulate a ≥10 GB
+    // scan) → might_contain appears and the join result is unchanged.
+    // The engine's own explicit-prefilter paths (decontaminate_bloom,
+    // triangle closing-join) exist precisely because THOSE shapes
+    // (aggregations, iterative joins) fall outside this optimizer rule.
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    def selectiveJoin() = {
+      val dim = Tables.events(spark, sf).select(col("user_id")).distinct()
+        .filter(col("user_id") % 5 === 0)
+      ev.join(dim, "user_id")
+    }
+    def planOf() = { val d = selectiveJoin(); d.collect(); d.queryExecution.executedPlan.toString }
+    val expected = selectiveJoin().count()
+    val defaults = planOf()
+    assert(!defaults.contains("might_contain"),
+      "bloom filter should stay behind its 10 GB gate at test scale")
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val gated = planOf()
+      assert(gated.contains("might_contain") && gated.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter, got:\n$gated")
+      assert(selectiveJoin().count() == expected, "bloom pruning must not change results")
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 }
