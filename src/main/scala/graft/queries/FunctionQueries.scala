@@ -276,6 +276,35 @@ object FunctionQueries {
             date_sub(to_date(col("o_orderdate")), 30).as("back_30d"))
       }),
 
+    // the same semi-structured column through Spark 4's VARIANT type —
+    // parse once into the binary variant encoding, then typed
+    // variant_get extraction (the shredded path a lakehouse keeps for
+    // schema-on-read columns; at 100 TB parse_json runs once per row at
+    // ingest, never per query). The oracle states plain JSON extraction:
+    // identical values prove the variant road is a representation
+    // change, not a semantic one. Distinct aggregation grain from
+    // json_extract_props (k-decile histogram per event_type).
+    QueryDef(
+      "variant_extract_props",
+      Some("""
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decade,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, k_decade
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val k = expr("variant_get(parse_json(props), '$.k', 'long')")
+        graft.Tails.orderedSmall(
+          Tables.events(spark, dir)
+            .select(col("event_type"), k.as("k"))
+            .groupBy(col("event_type"), expr("k div 10").as("k_decade"))
+            .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum")),
+          col("event_type"), col("k_decade"))
+      }),
+
     // semi-structured props column: JSON field extraction + typed cast +
     // aggregation over the extracted value
     QueryDef(

@@ -99,4 +99,24 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter($"_corrupt".isNotNull).count() == 2)
     df.unpersist()
   }
+
+  test("ORC round-trip: columnar alternative with predicate pushdown at the scan") {
+    // the warehouse layout is format-agnostic: the same day-partitioned
+    // sorted write lands as ORC (ships with Spark, no extra deps) and
+    // reads back identically, with min/max-stripe predicate pushdown
+    // visible at the scan node — the property row-group skipping relies
+    // on. Parity is exact: ORC and parquet carry the same typed rows.
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts", $"value")
+    ev.sort("user_id", "ts").write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == ev.count())
+    val filtered = back.filter($"user_id" === 3L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"),
+      s"expected the user_id predicate pushed to the ORC scan:\n$plan")
+    val viaOrc = filtered.select("event_id").as[Long].collect().sorted.toSeq
+    val viaParquet = ev.filter($"user_id" === 3L).select("event_id").as[Long].collect().sorted.toSeq
+    assert(viaOrc == viaParquet)
+  }
 }
