@@ -10,6 +10,42 @@ import org.apache.spark.sql.functions._
 object AggQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // schema-drift union: two "generations" of the same feed — an old
+    // extract without `value`, a new one with it — unioned BY NAME with
+    // null fill (`unionByName(allowMissingColumns)` ≡ DuckDB
+    // `UNION ALL BY NAME`), then aggregated with null-aware counts. The
+    // batch-query face of the warehouse's schema-evolution contract
+    // (WarehouseSpec): a pipeline must keep reading across a column
+    // addition without a backfill.
+    QueryDef(
+      "union_schema_drift",
+      Some("""
+        WITH unioned AS (
+          SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0
+          UNION ALL BY NAME
+          SELECT event_id, event_type FROM events WHERE event_id % 2 = 1
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(value) AS BIGINT) AS n_with_value,
+               CAST(SUM(CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM unioned GROUP BY event_type ORDER BY event_type
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val newGen = ev.filter(col("event_id") % 2 === 0)
+          .select("event_id", "event_type", "value")
+        val oldGen = ev.filter(col("event_id") % 2 === 1)
+          .select("event_id", "event_type")
+        graft.Tails.orderedSmall(
+          newGen.unionByName(oldGen, allowMissingColumns = true)
+            .groupBy("event_type")
+            .agg(count(lit(1)).as("n_rows"),
+              count(col("value")).as("n_with_value"),
+              sum(round(coalesce(col("value"), lit(0)) * 100).cast("long")).as("cents")),
+          col("event_type"))
+      }),
+
     // A5/A6: table stats — counts, distinct counts, min/max bounds
     // (`etl/etl.py:869-878`, `dashboard/timescaledb_model.py:492, 606-633`).
     QueryDef(

@@ -635,6 +635,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming count-min maintenance: per-batch day sketches land as the one-shot store") {
+    // the frequency leg of the sketch-store trio under streaming ingest:
+    // each micro-batch appends ITS days' CMS rows (day grain keeps
+    // appends disjoint when batches align to days), and the final store
+    // must answer range queries identically to a one-shot build — the
+    // counter linearity FreqSketchStore's batch spec proves, here
+    // through actual streaming infrastructure. Batches are split on a
+    // DAY boundary (the production alignment: a landing day is sketched
+    // when it closes).
+    import graft.operators.FreqSketchStore
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(spark, sf).select($"event_type", $"ts")
+    val base = java.nio.file.Files.createTempDirectory("graft-cms-stream")
+    val srcDir = base.resolve("src")
+    val cut = "2024-01-16"
+    ev.filter(to_date($"ts") < cut).coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    ev.filter(to_date($"ts") >= cut).coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+    val storePath = base.resolve("store").toString
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    var first = true
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      FreqSketchStore.writeDailyFreqSketch(batch, "ts", "event_type", storePath,
+        mode = if (first) "overwrite" else "append")
+      first = false
+      ()
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val oneShot = base.resolve("oneshot").toString
+    FreqSketchStore.writeDailyFreqSketch(ev, "ts", "event_type", oneShot)
+    for (k <- Seq("view", "purchase", "error", "no_such_type");
+         range <- Seq(("2024-01-01", "2024-12-31"), ("2024-01-01", cut))) {
+      val s = FreqSketchStore.estimateFreq(spark, storePath, "event_type", k, range._1, range._2)
+      val o = FreqSketchStore.estimateFreq(spark, oneShot, "event_type", k, range._1, range._2)
+      assert(s == o, s"streamed store diverges from one-shot on $k over $range: $s vs $o")
+    }
+  }
+
   test("streaming exact content dedup == batch exact dedup for watermark-delivered duplicates") {
     // the ingest loop's FIRST stage (StreamingDedup): replay-storm
     // duplicates are dropped by watermark-scoped state before any
