@@ -85,6 +85,40 @@ object TimeSeries {
       .drop("close", "prev_v", "prev_d", "next_v", "next_d")
   }
 
+  /** Per-key autocorrelation at lags 1..3 over the daily-close series.
+    * Pearson is computed from explicit pairwise-filtered moments with a
+    * GUARDED post-aggregation division, not `corr(...)`: under Spark 4's
+    * default ANSI mode, corr's internal division THROWS
+    * DIVIDE_BY_ZERO on a zero-variance group (a constant series — think
+    * a halted ticker), where SQL semantics (and the DuckDB oracle) say
+    * NULL. Computing the three aggregates per lag and dividing inside a
+    * CASE keeps the division unevaluated exactly when it is undefined.
+    * covar_samp already ignores null pairs; the stddev of `close` needs
+    * the explicit FILTER to share the pairwise basis.
+    */
+  def acfLags(df: DataFrame, key: String, ts: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("day"))
+    val daily = df
+      .groupBy(col(key), to_date(col(ts)).as("day"))
+      .agg(max_by(col(value), col(ts)).as("close"))
+    val lagged = daily
+      .withColumn("l1", lag(col("close"), 1).over(w))
+      .withColumn("l2", lag(col("close"), 2).over(w))
+      .withColumn("l3", lag(col("close"), 3).over(w))
+    val lagMoments = (1 to 3).flatMap { k =>
+      Seq(
+        covar_samp(col("close"), col(s"l$k")).as(s"c$k"),
+        expr(s"stddev_samp(close) FILTER (WHERE l$k IS NOT NULL)").as(s"s${k}a"),
+        stddev_samp(col(s"l$k")).as(s"s${k}b"))
+    }
+    val m = lagged.groupBy(col(key))
+      .agg(count(lit(1)).as("n_days"), lagMoments: _*)
+    def acf(k: Int) = round(
+      when(col(s"s${k}a") > 0 && col(s"s${k}b") > 0,
+        col(s"c$k") / (col(s"s${k}a") * col(s"s${k}b"))), 4).as(s"acf$k")
+    m.select(col(key), col("n_days"), acf(1), acf(2), acf(3))
+  }
+
   /** Exponentially weighted moving average over a BOUNDED trailing window
     * (adjust=true form: weights (1−α)^j for the j-th most recent row,
     * normalized by their sum — pandas `ewm(alpha, adjust=True)` truncated

@@ -161,9 +161,13 @@ object TimeSeriesQueries {
 
     // autocorrelation function at lags 1–3 over each user's daily-close
     // series — the seasonality/persistence diagnostic (a daily-periodic
-    // signal shows acf spikes at its period). Pure lag-window + corr
-    // algebra; corr is the same sample formula in both engines, rounded
-    // to 4 decimals per the determinism contract.
+    // signal shows acf spikes at its period). Pearson is stated as
+    // EXPLICIT pairwise-filtered moments with a guarded post-agg
+    // division rather than `corr(...)`: Spark 4's ANSI mode makes corr
+    // THROW on a zero-variance group where DuckDB's corr returns NULL —
+    // a latent crash on degenerate real-world series (found by
+    // TimeSeriesSpec's constant-series case; the testdata never
+    // triggers it). Identical formula both engines, round(4).
     QueryDef(
       "acf_lags",
       Some("""
@@ -176,29 +180,27 @@ object TimeSeriesQueries {
                  lag(close, 2) OVER (PARTITION BY user_id ORDER BY day) AS l2,
                  lag(close, 3) OVER (PARTITION BY user_id ORDER BY day) AS l3
           FROM daily
+        ), m AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                 covar_samp(close, l1) AS c1,
+                 stddev_samp(close) FILTER (WHERE l1 IS NOT NULL) AS s1a, stddev_samp(l1) AS s1b,
+                 covar_samp(close, l2) AS c2,
+                 stddev_samp(close) FILTER (WHERE l2 IS NOT NULL) AS s2a, stddev_samp(l2) AS s2b,
+                 covar_samp(close, l3) AS c3,
+                 stddev_samp(close) FILTER (WHERE l3 IS NOT NULL) AS s3a, stddev_samp(l3) AS s3b
+          FROM lagged GROUP BY user_id
         )
-        SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
-               round(corr(close, l1), 4) AS acf1,
-               round(corr(close, l2), 4) AS acf2,
-               round(corr(close, l3), 4) AS acf3
-        FROM lagged GROUP BY user_id ORDER BY user_id
+        SELECT user_id, n_days,
+               round(CASE WHEN s1a > 0 AND s1b > 0 THEN c1 / (s1a * s1b) END, 4) AS acf1,
+               round(CASE WHEN s2a > 0 AND s2b > 0 THEN c2 / (s2a * s2b) END, 4) AS acf2,
+               round(CASE WHEN s3a > 0 AND s3b > 0 THEN c3 / (s3a * s3b) END, 4) AS acf3
+        FROM m ORDER BY user_id
       """.stripMargin.trim),
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("user_id").orderBy("day")
-        val daily = Tables.events(spark, dir)
-          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-          .agg(max_by(col("value"), col("ts")).as("close"))
-        val lagged = daily
-          .withColumn("l1", lag(col("close"), 1).over(w))
-          .withColumn("l2", lag(col("close"), 2).over(w))
-          .withColumn("l3", lag(col("close"), 3).over(w))
         graft.Tails.orderedSmall(
-          lagged.groupBy("user_id").agg(
-            count(lit(1)).as("n_days"),
-            round(corr(col("close"), col("l1")), 4).as("acf1"),
-            round(corr(col("close"), col("l2")), 4).as("acf2"),
-            round(corr(col("close"), col("l3")), 4).as("acf3")),
+          graft.analytics.TimeSeries.acfLags(
+            Tables.events(spark, dir).select("user_id", "ts", "value"),
+            key = "user_id", ts = "ts", value = "value"),
           col("user_id"))
       }),
 

@@ -126,6 +126,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("winnow_rolling plans NO exchange before the determinism tail") {
+    // the whole point of the native kernel: per-document work stays in
+    // the row, so the only Exchange in the plan is the final
+    // SinglePartition sort of the oracle-sized output. If a shuffle
+    // creeps back in above the scan, the strength reduction regressed.
+    val plan = SparkEntry.queries("winnow_rolling")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "ReusedExchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly the tail exchange, got $exchanges:\n$plan")
+    assert(plan.contains("graft_winnow"), "kernel missing from the plan")
+  }
+
   test("runtime bloom-filter join pruning engages once the fact side crosses the size gate") {
     // Spark 4 injects a bloom semi-filter (bloom_filter_agg on the
     // selective build side → might_contain at the probe scan) for shuffle

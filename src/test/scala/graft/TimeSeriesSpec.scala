@@ -189,4 +189,50 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("ts").select("peak", "dd").as[(Double, Double)].collect().toSeq
     assert(got == Seq((10.0, 0.0), (10.0, 0.5), (20.0, 0.0), (20.0, 0.5)))
   }
+
+  test("linear interpolation: straight line between anchors, nearest anchor at the edges") {
+    // anchors on day 1 (10.0) and day 4 (40.0); days 2, 3 interpolate to
+    // 20, 30; a lone trailing anchor day 6 (60.0) leaves day 5 between
+    // anchors (48? no — between 40@4 and 60@6 → 50). Leading/trailing
+    // edges need a second key: key "b" observes only day 2, so its spine
+    // is that single day (no gaps to fill).
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 12:00:00")
+    val df = Seq(
+      ("a", ts(1), 10.0), ("a", ts(4), 40.0), ("a", ts(6), 60.0),
+      ("b", ts(2), 7.0)
+    ).toDF("key", "ts", "value")
+    val got = graft.analytics.TimeSeries.interpolateDaily(df, "key", "ts", "value")
+      .select($"key", dayofmonth($"day").as("d"), $"is_gap", round($"interp", 4).as("v"))
+      .orderBy("key", "d")
+      .as[(String, Int, Boolean, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1, false, 10.0), ("a", 2, true, 20.0), ("a", 3, true, 30.0),
+      ("a", 4, false, 40.0), ("a", 5, true, 50.0), ("a", 6, false, 60.0),
+      ("b", 2, false, 7.0)))
+  }
+
+  test("ACF: constant series yields null correlation, alternating series is near -1 at lag 1") {
+    // corr is undefined at zero variance — the entry must surface null,
+    // not NaN/crash; a perfectly alternating series pins the sign
+    def row(i: Int, v: Double) =
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"), v)
+    val const = (0 until 10).map(i => row(i, 5.0)).toDF("user_id", "ts", "value")
+    val constAcf = SparkEntryTestHooks.acfOf(spark, const)
+    assert(constAcf.forall(_.isEmpty), s"constant series must have undefined ACF: $constAcf")
+    val alt = (0 until 10).map(i => row(i, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("user_id", "ts", "value")
+    val altAcf = SparkEntryTestHooks.acfOf(spark, alt)
+    assert(altAcf.head.exists(v => math.abs(v + 1.0) < 1e-6), s"lag-1 ACF of alternation: $altAcf")
+  }
+}
+
+/** Test-only seam: the acf_lags aggregation over an arbitrary events
+  * frame (the catalog entry binds it to the testdata read).
+  */
+object SparkEntryTestHooks {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  def acfOf(spark: SparkSession, events: DataFrame): Seq[Option[Double]] = {
+    val r = graft.analytics.TimeSeries.acfLags(events, "user_id", "ts", "value").head()
+    (0 until 3).map(i => if (r.isNullAt(i + 2)) None else Some(r.getDouble(i + 2)))
+  }
 }
