@@ -244,25 +244,41 @@ object ProfileQueries {
     // engines per the determinism contract (summation order differs)
     QueryDef(
       "corr_stats",
+      // Pearson from explicit moments with a guarded division, not
+      // corr(): Spark 4 ANSI makes corr THROW on a zero-variance group
+      // where DuckDB returns NULL (the acf_lags finding; a constant
+      // value column in one event_type would crash the report)
       Some("""
-        SELECT event_type, COUNT(*) AS n,
-               ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
-               ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu,
-               ROUND(stddev_samp(value), 4) AS sd_value,
-               ROUND(var_samp(value), 4) AS var_value
-        FROM events
-        GROUP BY event_type
-        ORDER BY event_type
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 covar_samp(value, CAST(user_id AS DOUBLE)) AS cov_vu,
+                 stddev_samp(value) AS sd_v,
+                 stddev_samp(CAST(user_id AS DOUBLE)) AS sd_u,
+                 var_samp(value) AS var_v
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND(CASE WHEN sd_v > 0 AND sd_u > 0 THEN cov_vu / (sd_v * sd_u) END, 4) AS corr_vu,
+               ROUND(cov_vu, 4) AS covar_vu,
+               ROUND(sd_v, 4) AS sd_value,
+               ROUND(var_v, 4) AS var_value
+        FROM m ORDER BY event_type
       """.stripMargin.trim),
       (spark, dir) => {
-        Tables.events(spark, dir)
+        val m = Tables.events(spark, dir)
           .groupBy(col("event_type"))
           .agg(
             count(lit(1)).as("n"),
-            round(corr(col("value"), col("user_id").cast("double")), 4).as("corr_vu"),
-            round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("covar_vu"),
-            round(stddev_samp(col("value")), 4).as("sd_value"),
-            round(var_samp(col("value")), 4).as("var_value"))
+            covar_samp(col("value"), col("user_id").cast("double")).as("cov_vu"),
+            stddev_samp(col("value")).as("sd_v"),
+            stddev_samp(col("user_id").cast("double")).as("sd_u"),
+            var_samp(col("value")).as("var_v"))
+        m.select(col("event_type"), col("n"),
+            round(when(col("sd_v") > 0 && col("sd_u") > 0,
+              col("cov_vu") / (col("sd_v") * col("sd_u"))), 4).as("corr_vu"),
+            round(col("cov_vu"), 4).as("covar_vu"),
+            round(col("sd_v"), 4).as("sd_value"),
+            round(col("var_v"), 4).as("var_value"))
           .orderBy("event_type")
       }),
 
