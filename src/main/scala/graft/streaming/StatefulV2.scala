@@ -112,4 +112,47 @@ object StatefulV2 {
     ticks.groupByKey(_.userId)
       .transformWithState(new Sessionizer(gapMs), TimeMode.EventTime(), OutputMode.Append())
   }
+
+  // ---- declarative state TTL: suppress-within-window dedup ----
+
+  case class Seen(userId: Long, firstCents: Long)
+
+  /** First-arrival-wins suppression with DECLARATIVE state TTL: a key's
+    * "seen" marker expires on its own after `ttl` (RocksDB evicts it, no
+    * timer bookkeeping, no tombstone scan), so a key re-arriving after a
+    * quiet period is treated as new. This is the v2 API's answer to the
+    * unbounded-state problem `dropDuplicatesWithinWatermark` solves with
+    * event time — here the bound is PROCESSING-time freshness, the
+    * contract an at-most-once-per-window alerting/notification stream
+    * wants ("page at most once per hour per host"). State size is
+    * O(keys seen within one TTL window) by construction.
+    */
+  class TtlSuppressor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, Tick, Seen] {
+    @transient private var seen: ValueState[Seen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Seen](
+        "seen", Encoders.product[Seen], new TTLConfig(ttl))
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Tick], tv: TimerValues): Iterator[Seen] = {
+      if (!rows.hasNext) return Iterator.empty
+      val first = rows.next() // remaining rows this batch are suppressed too
+      if (seen.get() == null) {
+        val s = Seen(key, first.cents)
+        seen.update(s)
+        Iterator.single(s)
+      } else Iterator.empty
+    }
+  }
+
+  /** At-most-once-per-TTL-window emission per key (Update mode,
+    * processing-time TTL).
+    */
+  def suppressWithinTtl(ticks: Dataset[Tick], ttl: java.time.Duration): Dataset[Seen] = {
+    import ticks.sparkSession.implicits._
+    ticks.groupByKey(_.userId)
+      .transformWithState(new TtlSuppressor(ttl), TimeMode.ProcessingTime(), OutputMode.Update())
+  }
 }

@@ -1030,6 +1030,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState declarative TTL: suppression window expires on its own") {
+    // the v2 API's bounded-state contract WITHOUT timers: a key's "seen"
+    // marker evaporates after the TTL, so (a) within the window, repeats
+    // are suppressed; (b) after a quiet period longer than the TTL, the
+    // key is treated as new and re-emitted. Generous margins (50 ms TTL
+    // vs a 2 s sleep) keep the processing-time dependence un-flaky.
+    // run → stop → (TTL lapses) → restart on the SAME checkpoint: expiry
+    // is evaluated lazily when state is read, so it survives restarts —
+    // and stopping between runs avoids the empty-micro-batch scheduling a
+    // live processing-time-TTL query performs to advance its clock
+    // (processAllAvailable never quiesces against that).
+    import graft.streaming.StatefulV2
+    import graft.streaming.StatefulV2.{Seen, Tick}
+    val base = java.nio.file.Files.createTempDirectory("graft-ttl")
+    val srcDir = base.resolve("src")
+    val ckDir = base.resolve("ck").toString
+    Seq(Tick(1L, 10L), Tick(1L, 99L), Tick(2L, 5L)).toDS()
+      .coalesce(1).write.parquet(srcDir.resolve("b0").toString)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // condition-polled runs, NOT processAllAvailable/awaitTermination: a
+    // processing-time-TTL query schedules continuous empty micro-batches
+    // to advance its eviction clock (observed: 4000+ batches), so
+    // "quiescence" never arrives under either wait; wait for the
+    // expected ROWS instead, then stop the query.
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Seen]
+    def runOnce(name: String, ready: Seq[Seen] => Boolean): Seq[Seen] = {
+      val stream = spark.readStream.schema(Seq(Tick(0L, 0L)).toDS().schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*").as[Tick]
+      // foreachBatch sink: supports checkpoint recovery (the memory sink
+      // refuses to resume from a checkpoint, and run 2 MUST resume run
+      // 1's state for the TTL to have anything to expire)
+      val q = StatefulV2.suppressWithinTtl(stream, java.time.Duration.ofMillis(50))
+        .writeStream
+        .option("checkpointLocation", ckDir)
+        .outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Seen], _: Long) =>
+          val rows = batch.collect()
+          emitted.synchronized { emitted ++= rows }
+          ()
+        }.start()
+      try {
+        val deadline = System.nanoTime() + 90L * 1000000000L
+        var rows = Seq.empty[Seen]
+        while (!ready(rows) && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          rows = emitted.synchronized(emitted.toSeq)
+        }
+        assert(ready(rows), s"$name did not produce the expected rows: ${rows.mkString(",")}")
+        rows
+      } finally q.stop()
+    }
+    try {
+      val first = runOnce("ttl_run1", _.size >= 2)
+      // within one batch: key 1 emitted once (first arrival wins), key 2 once
+      assert(first.toSet == Set(Seen(1L, 10L), Seen(2L, 5L)), first.mkString(","))
+      Thread.sleep(2000) // let the 50 ms TTL lapse in processing time
+      Seq(Tick(1L, 77L)).toDS().coalesce(1).write.parquet(srcDir.resolve("b1").toString)
+      val after = runOnce("ttl_run2",
+        _.exists(s => s.userId == 1L && s.firstCents == 77L))
+      assert(after.count(s => s.userId == 1L && s.firstCents == 77L) == 1,
+        s"key 1 must re-emit after its TTL lapsed: ${after.mkString(",")}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers: sessions close when the watermark passes the gap") {
     import graft.streaming.StatefulV2
     import graft.streaming.StatefulV2.{SessTick, Session}
