@@ -265,6 +265,24 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("BFS/SSSP lineage is truncated: plan size does not grow with depth") {
+    // the property that keeps round N as cheap as round 1 on a cluster —
+    // without per-round truncation the logical plan (and its recompute
+    // cost under a lost partition) grows linearly with depth
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val ew = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val bfsShallow = planNodes(graft.operators.Bfs.hops(e, Seq(1L).toDF("node"), 1))
+    val bfsDeep = planNodes(graft.operators.Bfs.hops(e, Seq(1L).toDF("node"), 6))
+    assert(bfsDeep <= bfsShallow,
+      s"BFS plan grew with depth: $bfsShallow nodes at 1 hop, $bfsDeep at 6")
+    val ssspShallow = planNodes(graft.operators.Sssp.hopBounded(ew, Seq(1L).toDF("node"), 1))
+    val ssspDeep = planNodes(graft.operators.Sssp.hopBounded(ew, Seq(1L).toDF("node"), 6))
+    assert(ssspDeep <= ssspShallow,
+      s"SSSP plan grew with depth: $ssspShallow nodes at 1 round, $ssspDeep at 6")
+  }
+
   test("SSSP: hand case — longer path with smaller weight wins within the hop bound") {
     // 1 -(10)-> 3 direct, but 1 -(1)-> 2 -(1)-> 3 is cheaper; at 1 round
     // only the direct edge is visible
