@@ -50,6 +50,11 @@ object TopKAggregator {
     val spark = scored.sparkSession
     import spark.implicits._
     scored
+      // null scores are unrankable and cannot belong to any top-k — and a
+      // null in the typed (key, score, cand) tuple is a hard
+      // NOT_NULL_ASSERT_VIOLATION in the encoder (found by the degenerate
+      // gauntlet: zero-vector cosines). Dropped, by contract.
+      .filter(col(score).isNotNull)
       .select(col(key).cast("long").as("_k"),
         col(score).cast("double").as("score"),
         col(candId).cast("long").as("candId"))
@@ -72,6 +77,11 @@ object TopKAggregator {
     val spark = scored.sparkSession
     import spark.implicits._
     scored
+      // null scores are unrankable and cannot belong to any top-k — and a
+      // null in the typed (key, score, cand) tuple is a hard
+      // NOT_NULL_ASSERT_VIOLATION in the encoder (found by the degenerate
+      // gauntlet: zero-vector cosines). Dropped, by contract.
+      .filter(col(score).isNotNull)
       .select(col(key).cast("string").as("_k"),
         col(score).cast("double").as("score"),
         col(candId).cast("long").as("candId"))

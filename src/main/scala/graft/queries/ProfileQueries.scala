@@ -354,7 +354,7 @@ object ProfileQueries {
           FROM t WHERE next_ts IS NOT NULL
         )
         SELECT user_id, day, COUNT(*) AS n,
-               ROUND(SUM(value * wt) / SUM(wt), 4) AS twap
+               ROUND(CASE WHEN SUM(wt) > 0 THEN SUM(value * wt) / SUM(wt) END, 4) AS twap
         FROM w
         GROUP BY user_id, day
         ORDER BY user_id, day
@@ -370,7 +370,11 @@ object ProfileQueries {
           .groupBy(col("user_id"), col("day"))
           .agg(
             count(lit(1)).as("n"),
-            round(sum(col("value") * col("wt")) / sum(col("wt")), 4).as("twap"))
+            // guarded: duplicate timestamps make every weight 0 in a
+            // group, and ANSI division would throw where the oracle
+            // semantics (and DuckDB) say NULL (degenerate-gauntlet find)
+            round(when(sum(col("wt")) > 0,
+              sum(col("value") * col("wt")) / sum(col("wt"))), 4).as("twap"))
           .orderBy("user_id", "day")
       }),
 

@@ -128,12 +128,22 @@ object TextAnalysis {
     val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9]", "")).cast("long")
     val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long")
     val stopHits = hitCount(stopwords("en"))
+    // every ratio is guarded on its denominator: an empty or
+    // whitespace-only document has n_tokens = 0 (and "" has n_chars = 0),
+    // and under Spark 4 ANSI an unguarded division THROWS where the SQL
+    // semantics every oracle follows say NULL (degenerate-gauntlet
+    // finding — the crash reached text_quality, token_budget_sample, and
+    // all three curation composites). Null ratios → null quality_score →
+    // the quality gate drops the doc, which is exactly what a curation
+    // pipeline wants from an empty document.
+    def ratio(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den)
     d.withColumn("n_tokens", nTok)
       .withColumn("n_chars2", nChars)
-      .withColumn("avg_token_len", col("n_chars2").cast("double") / col("n_tokens"))
-      .withColumn("alnum_ratio", alnum.cast("double") / col("n_chars2"))
-      .withColumn("punct_ratio", punct.cast("double") / col("n_chars2"))
-      .withColumn("stopword_ratio", stopHits.cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len", ratio(col("n_chars2"), col("n_tokens")))
+      .withColumn("alnum_ratio", ratio(alnum, col("n_chars2")))
+      .withColumn("punct_ratio", ratio(punct, col("n_chars2")))
+      .withColumn("stopword_ratio", ratio(stopHits, col("n_tokens")))
       .withColumn("quality_score",
         lit(0.4) * col("alnum_ratio") + lit(0.4) * col("stopword_ratio") +
           lit(0.2) * (lit(1.0) - col("punct_ratio")))
