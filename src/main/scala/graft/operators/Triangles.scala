@@ -78,13 +78,8 @@ object Triangles {
     graft.functions.GraftFunctions.register(edges.sparkSession)
     val closing = dir.select(col("a").as("b"), col("b").as("c"))
     // sizing count reads the CHECKPOINTED dir, not the und lineage
-    val bloom = closing.select(xxhash64(col("b"), col("c")).as("_h"))
-      .stat.bloomFilter("_h", math.max(dir.count(), 1L), 0.03)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    val bytes = SafeBloom.serialized(
+      closing.select(xxhash64(col("b"), col("c")).as("_h")), "_h", 0.03, dir.count())
     val candidates = wedges.filter(
       call_function("graft_might_contain", lit(bytes), xxhash64(col("b"), col("c"))))
 

@@ -511,8 +511,11 @@ object CorpusQueries {
         val scored = Tables.events(spark, dir).select(
           col("event_type"), col("event_id"),
           expr(TextAnalysis.hashBucketExpr("event_id", 1000000000L)).as("hv"))
-        val m = scored.groupBy("event_type").count()
-          .agg(min(col("count"))).head().getLong(0)
+        // empty input: min over zero groups is NULL — cap 0 keeps the
+        // result empty instead of NPEing on getLong (gauntlet finding)
+        val mRow = scored.groupBy("event_type").count()
+          .agg(min(col("count"))).head()
+        val m = if (mRow.isNullAt(0)) 0L else mRow.getLong(0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("event_type"))
           .orderBy(col("hv").desc, col("event_id"))

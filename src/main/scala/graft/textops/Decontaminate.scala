@@ -91,15 +91,9 @@ object Decontaminate {
       .select(col("doc_id").as("bench_id"), col("shingle"))
     // two cheap passes over the SMALL side: row count for sizing (an
     // overcount of distinct shingles — conservative, lowers effective
-    // fpp), then the sketch build
-    val nItems = math.max(bench.count(), 1L)
-    val bloom = bench.select(xxhash64(col("shingle")).as("_h"))
-      .stat.bloomFilter("_h", nItems, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
-    }
+    // fpp), then the sketch build (empty-safe: see SafeBloom)
+    val bytes = graft.operators.SafeBloom.serialized(
+      bench.select(xxhash64(col("shingle")).as("_h")), "_h", fpp, bench.count())
     val train = Dedup.shingles(documents.filter(!isBench), n)
       .filter(call_function("graft_might_contain", lit(bytes), xxhash64(col("shingle"))))
     train.join(bench, Seq("shingle"))
@@ -124,12 +118,9 @@ object Decontaminate {
     val spark = documents.sparkSession
     import spark.implicits._
     val bench = Dedup.shingles(documents.filter(isBench), n)
-    val nItems = math.max(bench.count(), 1L)
-    val bloom = bench.select(xxhash64(col("shingle")).as("_h"))
-      .stat.bloomFilter("_h", nItems, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bloom.writeTo(bos)
-    Seq((bloomSpec(n, fpp), bos.toByteArray))
+    val bytes = graft.operators.SafeBloom.serialized(
+      bench.select(xxhash64(col("shingle")).as("_h")), "_h", fpp, bench.count())
+    Seq((bloomSpec(n, fpp), bytes))
       .toDF("bloom_spec", "sketch")
       .coalesce(1).write.mode("overwrite").parquet(path)
   }

@@ -88,4 +88,26 @@ class DegenerateDataSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries crash on degenerate data:\n${failures.mkString("\n")}")
   }
+
+  private lazy val emptyDir: String = {
+    // the other extreme: schema-correct, zero-row tables — a brand-new
+    // deployment, or a day partition that simply has no data yet
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Tables.all.foreach { t =>
+      Tables.load(spark, sf, t).limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every catalog query survives fully EMPTY tables (empty results, not crashes)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, emptyDir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replace('\n', ' ').take(160)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries crash on empty tables:\n${failures.mkString("\n")}")
+  }
 }
