@@ -86,8 +86,15 @@ object Normalize {
     }
 
   /** `YYYY-MM-DD` date embedded in a file name (`etl/etl.py:538-542`). */
-  def fileDate(fileName: Column): Column =
-    to_date(regexp_extract(fileName, "(\\d{4}-\\d{2}-\\d{2})", 1))
+  // no-match guards on both extractors: regexp_extract yields "" (not
+  // null) on a non-matching filename, and concat_ws SKIPS nulls — so an
+  // unguarded cast sees "" / " " and THROWS under ANSI instead of
+  // nulling (degenerate-gauntlet finding: any filename without the date
+  // pattern, or a null filename, crashed the ingest path)
+  def fileDate(fileName: Column): Column = {
+    val d = regexp_extract(fileName, "(\\d{4}-\\d{2}-\\d{2})", 1)
+    when(d =!= "", to_date(d))
+  }
 
   /** Full event timestamp from names like `"alias YYYY-MM-DD HH_MM_SS"`
     * — underscores in the time part become colons (`etl/etl.py:139-159`).
@@ -95,6 +102,6 @@ object Normalize {
   def fileTimestamp(fileName: Column): Column = {
     val d = regexp_extract(fileName, "(\\d{4}-\\d{2}-\\d{2})", 1)
     val t = regexp_replace(regexp_extract(fileName, "(\\d{2}_\\d{2}_\\d{2})", 1), "_", ":")
-    to_timestamp(concat_ws(" ", d, t))
+    when(d =!= "" && t =!= "", to_timestamp(concat_ws(" ", d, t)))
   }
 }

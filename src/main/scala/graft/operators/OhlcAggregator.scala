@@ -79,10 +79,15 @@ object OhlcAggregator {
   def dailyCandles(ticks: DataFrame, key: String, ts: String, value: String): DataFrame = {
     val spark = ticks.sparkSession
     import spark.implicits._
-    val typed = ticks.select(
-      col(key).cast("long").as("user_id"),
-      unix_micros(col(ts)).as("tsMicros"),
-      col(value).cast("double").as("value")).as[Tick]
+    // a tick without a key, a time, or a price is not a tick — dropped by
+    // contract (a null in the typed Tick encoder is a hard
+    // NOT_NULL_ASSERT_VIOLATION, not a skipped value; gauntlet finding)
+    val typed = ticks
+      .filter(col(key).isNotNull && col(ts).isNotNull && col(value).isNotNull)
+      .select(
+        col(key).cast("long").as("user_id"),
+        unix_micros(col(ts)).as("tsMicros"),
+        col(value).cast("double").as("value")).as[Tick]
     typed
       .groupByKey(t => (t.user_id, Math.floorDiv(t.tsMicros, 86400000000L)))
       .agg(new OhlcAggregator().toColumn.name("c"))

@@ -53,6 +53,10 @@ object PrefixSum {
     // materialized partitions removes any recompute hazard — a boundary
     // drift between pass 1 and pass 2 would silently corrupt offsets.
     val parted = df
+      // a row without an order key or a value cannot take part in a
+      // prefix sum (and nulls break the typed tuple encoder outright —
+      // gauntlet finding: a null-text doc has a null token count)
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
       .select(col(orderCol).cast("long"), col(valueCol).cast("long"))
       .as[(Long, Long)]
       .repartitionByRange(nP, col(orderCol))

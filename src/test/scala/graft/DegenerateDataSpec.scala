@@ -110,4 +110,50 @@ class DegenerateDataSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries crash on empty tables:\n${failures.mkString("\n")}")
   }
+
+  private lazy val nullsDir: String = {
+    // third extreme: NULLs in every non-key column — text, lang, value,
+    // event_type, props, embedding, prices, quantities. Real feeds
+    // deliver these (the reference's own dirty CSVs do); every operator
+    // must flow them through as SQL nulls, not crash on them.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+    def write(name: String, df: DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    def base(name: String, n: Int = 200): DataFrame =
+      Tables.load(spark, sf, name).limit(n)
+    def nullOut(df: DataFrame, keep: Set[String]): DataFrame =
+      df.columns.foldLeft(df) { (acc, c) =>
+        if (keep(c)) acc
+        else acc.withColumn(c, when(lit(false), col(c))) // typed NULL
+      }
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      val b = base(t)
+      val keyCol = b.columns.head
+      write(t, b.unionByName(nullOut(b.limit(2), Set(keyCol))))
+    }
+    val ord = base("orders")
+    write("orders", ord.unionByName(nullOut(ord.limit(3), Set("o_orderkey"))))
+    val li = base("lineitem")
+    write("lineitem", li.unionByName(nullOut(li.limit(3), Set("l_orderkey", "l_linenumber"))))
+    val ev = base("events", 300)
+    // keep ts too: a null event time is dropped at ingest by contract,
+    // but null value/type/props must flow through
+    write("events", ev.unionByName(nullOut(ev.limit(5), Set("event_id", "ts", "user_id"))))
+    val docs = base("documents", 100)
+    write("documents", docs.unionByName(nullOut(docs.limit(3), Set("doc_id"))))
+    val emb = base("embeddings", 100)
+    write("embeddings", emb.unionByName(nullOut(emb.limit(2), Set("vec_id"))))
+    dir
+  }
+
+  test("every catalog query survives NULL-laden rows (nulls flow, nothing crashes)") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, nullsDir).collect(); None }
+      catch { case e: Throwable =>
+        Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).replace('\n', ' ').take(160)}")
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries crash on null-laden rows:\n${failures.mkString("\n")}")
+  }
 }
