@@ -531,6 +531,10 @@ object ProfileQueries {
           SELECT 'lineitem_qty_out_of_range',
                  CAST(count(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT)
           FROM lineitem
+          UNION ALL
+          SELECT 'events_value_not_finite',
+                 CAST(count(*) FILTER (isnan(value) OR isinf(value)) AS BIGINT)
+          FROM events
         )
         ORDER BY check_name
       """.stripMargin.trim),
@@ -553,7 +557,16 @@ object ProfileQueries {
               .agg(count(lit(1)).as("n_violations"))),
           report("lineitem_qty_out_of_range",
             lineitem.agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
-              .as("n_violations"))))
+              .as("n_violations"))),
+          // the NaN/Infinity gate: exact-cents arithmetic downstream
+          // RIGHTLY refuses non-finite values (ANSI cast — in DuckDB
+          // too), so the expectations pass is where they must be caught,
+          // not the revenue query that would crash on them
+          report("events_value_not_finite",
+            Tables.events(spark, dir).agg(
+              count(when(isnan(col("value")) ||
+                col("value") === Double.PositiveInfinity ||
+                col("value") === Double.NegativeInfinity, 1)).as("n_violations"))))
         checks.reduce(_ unionByName _).orderBy("check_name")
       }),
 
