@@ -109,6 +109,16 @@ object TextAnalysis {
       s"(($acc * $WinnowBase + unicode(substr($t, CAST($i + $j AS INT), 1))) % $WinnowMod)"
     }
 
+  /** Spark-expression twin of [[hornerGramSqlDuck]] (ascii ≡ unicode for
+    * the engine's normalized corpora) — the per-position formulation the
+    * throughput smoke compares the rolling kernel against.
+    */
+  def hornerGramExprSpark(t: String, i: String, k: Int): String =
+    (1 until k).foldLeft(
+      s"cast(ascii(substring($t, cast($i as int), 1)) as bigint)") { (acc, j) =>
+      s"(($acc * $WinnowBase + ascii(substring($t, cast($i + $j as int), 1))) % $WinnowMod)"
+    }
+
   /** The un-bucketed 60-bit hash — for call sites whose modulus is a
     * runtime COLUMN (e.g. a string length), which the bucketed helpers
     * cannot interpolate. */
