@@ -75,6 +75,82 @@ object ProfileQueries {
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
       }),
 
+    // top clickstream 3-paths: event_transitions' higher-order sibling —
+    // the (e1 → e2 → e3) trigram counts over per-user event sequences
+    // (unique timestamps ⇒ lag windows are a total order), top 20 with a
+    // deterministic tie-break. The path-mining primitive behind "what do
+    // users do before purchasing".
+    QueryDef(
+      "event_paths_top",
+      Some("""
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS p1,
+                 lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts) AS p2
+          FROM events
+        )
+        SELECT p2 AS e1, p1 AS e2, event_type AS e3,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE p2 IS NOT NULL
+        GROUP BY p2, p1, event_type
+        ORDER BY n DESC, e1, e2, e3
+        LIMIT 20
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts")
+        Tables.events(spark, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("p1", lag(col("event_type"), 1).over(w))
+          .withColumn("p2", lag(col("event_type"), 2).over(w))
+          .filter(col("p2").isNotNull)
+          .groupBy(col("p2").as("e1"), col("p1").as("e2"), col("event_type").as("e3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+          .limit(20)
+      }),
+
+    // Benford first-digit audit over order totals — the fraud/synthetic-
+    // data screen: observed first-significant-digit shares vs Benford's
+    // log10(1 + 1/d) expectation, with the absolute deviation per digit.
+    // First digit extracted STRUCTURALLY (first char of the integer part
+    // of the absolute value) — identical string logic both engines, no
+    // float log-arithmetic on the extraction path; expected shares are
+    // one log10 call rounded at 4 like every float in the contract.
+    QueryDef(
+      "benford_digits",
+      Some("""
+        WITH d AS (
+          SELECT CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+          FROM orders WHERE abs(o_totalprice) >= 1
+        ), c AS (
+          SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+        ), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / total, 4) AS observed,
+               round(log10(1.0 + 1.0 / digit), 4) AS expected,
+               round(abs(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit)), 4) AS abs_dev
+        FROM c CROSS JOIN t
+        ORDER BY digit
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val digit = substring(floor(abs(col("o_totalprice"))).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit")
+        val c = Tables.orders(spark, dir)
+          .filter(abs(col("o_totalprice")) >= 1)
+          .select(digit)
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+        val t = c.agg(sum(col("n")).as("total"))
+        graft.Tails.orderedSmall(
+          c.crossJoin(broadcast(t))
+            .select(col("digit"), col("n"),
+              round(col("n").cast("double") / col("total"), 4).as("observed"),
+              round(log10(lit(1.0) + lit(1.0) / col("digit")), 4).as("expected"),
+              round(abs(col("n").cast("double") / col("total") -
+                log10(lit(1.0) + lit(1.0) / col("digit"))), 4).as("abs_dev")),
+          col("digit"))
+      }),
+
     // survivorship (golden record): one best row per user assembled
     // attribute-by-attribute from the event stream — last-observed
     // event_type/value by event time (timestamps are globally unique, so
