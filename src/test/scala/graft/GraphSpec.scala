@@ -220,9 +220,14 @@ class GraphSpec extends SparkSpec {
       } yield (s.toLong, d.toLong))
     } yield edges
     val prop = Prop.forAll(genGraph) { edges =>
-      val got = Triangles.perNodeCounts(triDf(edges: _*))
+      val truth = bruteTriangles(edges)
+      val wedge = Triangles.perNodeCounts(triDf(edges: _*))
         .as[(Long, Long)].collect().toMap
-      got == bruteTriangles(edges)
+      // compact-forward must produce the IDENTICAL per-node counts —
+      // it is the catalog entry's execution strategy
+      val adjacency = Triangles.perNodeCountsAdjacency(triDf(edges: _*))
+        .as[(Long, Long)].collect().toMap
+      wedge == truth && adjacency == truth
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(15).withWorkers(1), prop)
