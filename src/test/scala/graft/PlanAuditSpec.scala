@@ -59,6 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_recall_eval",                                     // embeds the brute-force ANN scoring pass (ground truth)
     "bigram_lm_perplexity",                                // 1-row vocabulary-size attach
     "feature_binning",                                     // 1-row min/max bounds attach
+    "benford_digits",                                      // 1-row digit-total attach
     "skew_diagnostics",                                    // 1-row corpus-stats attach
     "rfm_segmentation")                                    // 1-row corpus-last-day attach
 
