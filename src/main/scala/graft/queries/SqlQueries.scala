@@ -9,6 +9,41 @@ import graft.sql.Views
   */
 object SqlQueries {
 
+  private val adhocWinnowSpark =
+    s"""SELECT doc_id,
+      |       CAST(size(fps) AS BIGINT) AS n_windows,
+      |       aggregate(array_distinct(fps), CAST(0 AS BIGINT), (a, x) -> a + x) AS fp_checksum
+      |FROM (
+      |  SELECT doc_id,
+      |         graft_winnow(regexp_replace(lower(trim(text)), '\\\\s+', ' '), 5, 4,
+      |                      ${graft.textops.TextAnalysis.WinnowBase},
+      |                      ${graft.textops.TextAnalysis.WinnowMod}) AS fps
+      |  FROM documents
+      |  WHERE length(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) >= 8
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  private val adhocWinnowDuck =
+    s"""WITH d AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      |  FROM documents
+      |), pos AS (
+      |  SELECT doc_id, u.i AS i, ${graft.textops.TextAnalysis.hornerGramSqlDuck("t", "u.i", 5)} AS h
+      |  FROM d, unnest(range(1, length(t) - 3)) AS u(i)
+      |  WHERE length(t) >= 8
+      |), win AS (
+      |  SELECT doc_id, i,
+      |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+      |         count(*) OVER (PARTITION BY doc_id) AS np
+      |  FROM pos
+      |), sel AS (
+      |  SELECT doc_id, fp FROM win WHERE i <= np - 3
+      |)
+      |SELECT doc_id, COUNT(*) AS n_windows,
+      |       CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_checksum
+      |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val adhocAgg =
     """SELECT o_orderpriority,
       |       COUNT(*) AS n_orders,
@@ -229,6 +264,12 @@ object SqlQueries {
       (spark, dir) => Views.adhoc(spark, dir, adhocRecursive)),
     QueryDef("sql_adhoc_pivot", Some(adhocPivotDuck),
       (spark, dir) => Views.adhoc(spark, dir, adhocPivotSpark)),
+    // the O(n) winnowing kernel reached from RAW SQL (X5 from the X4
+    // surface, like sql_adhoc_similarity for graft_dot): a tab3-style
+    // user types graft_winnow and gets the no-shuffle plan; the oracle
+    // states the per-position Horner + min-over-window equivalent
+    QueryDef("sql_adhoc_winnow", Some(adhocWinnowDuck),
+      (spark, dir) => Views.adhoc(spark, dir, adhocWinnowSpark)),
     QueryDef("sql_adhoc_unpivot", Some(adhocUnpivotDuck),
       (spark, dir) => Views.adhoc(spark, dir, adhocUnpivotSpark))
   )
