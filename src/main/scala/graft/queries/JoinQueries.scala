@@ -15,6 +15,51 @@ import org.apache.spark.sql.functions._
 object JoinQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // last-touch click attribution, BATCH face of the streaming
+    // stream-stream join (streaming/StreamJoins): each click left-joins
+    // the same user's views in the 1-hour lookback and keeps the LATEST
+    // (max_by on globally-unique timestamps — deterministic); organic
+    // clicks survive with a null attribution. The join is a hash join on
+    // user_id with the range as a residual filter — never a BNLJ.
+    QueryDef(
+      "click_attribution",
+      Some("""
+        WITH v AS (
+          SELECT user_id, event_id AS view_id, ts AS view_ts FROM events
+          WHERE event_type = 'view'
+        ), c AS (
+          SELECT user_id, event_id AS click_id, ts AS click_ts FROM events
+          WHERE event_type = 'click'
+        )
+        SELECT c.click_id, c.user_id,
+               max_by(v.view_id, v.view_ts) AS attributed_view_id,
+               CAST(count(v.view_id) AS BIGINT) AS n_candidate_views
+        FROM c LEFT JOIN v
+          ON v.user_id = c.user_id
+         AND v.view_ts <= c.click_ts
+         AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+        GROUP BY c.click_id, c.user_id
+        ORDER BY c.click_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        graft.Tails.orderedSmall(
+          c.join(v,
+              v("user_id") === col("c_user") &&
+                v("view_ts") <= col("click_ts") &&
+                v("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"),
+              "left")
+            .groupBy(col("click_id"), col("c_user").as("user_id"))
+            .agg(max_by(col("view_id"), col("view_ts")).as("attributed_view_id"),
+              count(col("view_id")).as("n_candidate_views")),
+          col("click_id"))
+      }),
+
     // TPC-H Q18 shape (large-volume customers): HAVING on a fact-grain
     // agg gates the orders that flow into the enrichment join — the agg
     // runs FIRST so the join sees ~10 % of orders, then customer
