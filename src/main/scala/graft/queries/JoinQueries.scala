@@ -15,6 +15,55 @@ import org.apache.spark.sql.functions._
 object JoinQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // market-basket association rules over co-purchased parts: support,
+    // confidence, and LIFT = P(A∩B)/(P(A)·P(B)) from exact integer
+    // counts (one double division at the end, round(4)); support floor
+    // ≥ 2 co-orders kills the singleton tail (the dense small-SF graphs
+    // thin out fast at higher floors — 2 bites at every driver SF), top 20 under a fully-keyed
+    // deterministic order. The same co-purchase pair table the graph
+    // family mines, read as a recommender signal.
+    QueryDef(
+      "basket_lift",
+      Some("""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p FROM lineitem
+        ), n AS (
+          SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op
+        ), pc AS (
+          SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM op GROUP BY p
+        ), pairs AS (
+          SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p HAVING count(*) >= 2
+        )
+        SELECT pa, pb, n_ab, ca.n_p AS n_a, cb.n_p AS n_b,
+               round(CAST(n_ab AS DOUBLE) * n.n_orders / (ca.n_p * cb.n_p), 4) AS lift
+        FROM pairs JOIN pc ca ON ca.p = pa JOIN pc cb ON cb.p = pb CROSS JOIN n
+        ORDER BY lift DESC, pa, pb
+        LIMIT 20
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val op = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val nOrders = op.select(countDistinct(col("o")).as("n_orders"))
+        val pc = op.groupBy("p").agg(count(lit(1)).as("n_p"))
+        val pairs = op.alias("a").join(op.alias("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        pairs
+          .join(pc.select(col("p").as("pa"), col("n_p").as("n_a")), Seq("pa"))
+          .join(pc.select(col("p").as("pb"), col("n_p").as("n_b")), Seq("pb"))
+          .crossJoin(broadcast(nOrders))
+          .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+            round(col("n_ab").cast("double") * col("n_orders") /
+              (col("n_a") * col("n_b")), 4).as("lift"))
+          .orderBy(col("lift").desc, col("pa"), col("pb"))
+          .limit(20)
+      }),
+
     // last-touch click attribution, BATCH face of the streaming
     // stream-stream join (streaming/StreamJoins): each click left-joins
     // the same user's views in the 1-hour lookback and keeps the LATEST

@@ -59,6 +59,33 @@ object SimilarityQueries {
           .orderBy("label")
       }),
 
+    // per-label centroids at the (label, dim) grain — the
+    // classification-dataset profile a training pipeline reads before
+    // fitting anything (class geometry, dead dimensions). Spark
+    // posexplodes the vector (pos is 0-based → dim = pos + 1 to match
+    // DuckDB's 1-based lambda index); one (label, dim) hash-agg,
+    // map-side combinable, 640 output rows at any corpus size.
+    QueryDef(
+      "label_centroids",
+      Some("""
+        SELECT label, CAST(u.s.d AS BIGINT) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(CAST(u.s.x AS DOUBLE)), 4) AS mean
+        FROM embeddings,
+             unnest(list_transform(embedding, (x, i) -> {'d': i, 'x': x})) AS u(s)
+        GROUP BY label, u.s.d
+        ORDER BY label, dim
+      """.stripMargin.trim),
+      (spark, dir) => {
+        graft.Tails.orderedSmall(
+          Tables.embeddings(spark, dir)
+            .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+            .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+            .agg(count(lit(1)).as("n"),
+              round(avg(col("x").cast("double")), 4).as("mean")),
+          col("label"), col("dim"))
+      }),
+
     // embedding-cosine near-duplicate pairs ≥ 0.4 (the synthetic
     // embeddings have no planted dups; max cos ≈ 0.6). The oracle is the
     // exact pairwise definition; the ENGINE generates candidates from
