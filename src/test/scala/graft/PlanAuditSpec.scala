@@ -60,6 +60,7 @@ class PlanAuditSpec extends SparkSpec {
     "bigram_lm_perplexity",                                // 1-row vocabulary-size attach
     "feature_binning",                                     // 1-row min/max bounds attach
     "benford_digits",                                      // 1-row digit-total attach
+    "basket_lift",                                         // 1-row order-total attach
     "skew_diagnostics",                                    // 1-row corpus-stats attach
     "rfm_segmentation")                                    // 1-row corpus-last-day attach
 
