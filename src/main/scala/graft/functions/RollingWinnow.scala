@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MOSS winnowing (Schleimer et al., SIGMOD 2003) as ONE native pass:
@@ -41,9 +42,25 @@ case class RollingWinnow(child: Expression, k: Int, w: Int, base: Long, mod: Lon
     extends UnaryExpression {
   require(k >= 1 && w >= 1, s"k and w must be >= 1 (got k=$k, w=$w)")
   require(base > 0 && mod > 1 && mod <= Int.MaxValue.toLong * 2,
-    // mod ≤ ~2^32 keeps (mod−1)·base + maxCodepoint far inside Long for
-    // any sane base; the engine default is the prime 1e9+7
+    // mod ≤ ~2^32 keeps 0x10FFFF·(mod−1) (the outgoing-codepoint product)
+    // inside Long; the engine default mod is the prime 1e9+7
     s"need 0 < base and 1 < mod <= 2^32 (got base=$base, mod=$mod)")
+  require(base <= Long.MaxValue / (mod + 0x110000L),
+    // the kernel's largest intermediate is (mod−1)·base + maxCodepoint;
+    // graft_winnow is SQL-reachable, so a user-supplied huge base must be
+    // a clean error, not a silent Long overflow returning wrong hashes
+    s"base * (mod + 0x110000) must fit in a signed 64-bit Long " +
+      s"(got base=$base, mod=$mod; max base here is ${Long.MaxValue / (mod + 0x110000L)})")
+
+  // analysis-time rejection of non-string children (a raw ClassCastException
+  // from nullSafeEval otherwise — graft_winnow is exposed through the SQL
+  // surface, so misuse must fail during analysis, not mid-task).
+  // checkInputDataTypes rather than ExpectsInputTypes: AbstractDataType is
+  // private[sql] in Spark 4, unusable from a third-party package
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow requires a STRING argument, got ${child.dataType.sql}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"

@@ -48,6 +48,11 @@ object FreqSketchStore {
       events: DataFrame, tsCol: String, keyCol: String, path: String,
       depth: Int = 4, width: Int = 1024, mode: String = "overwrite"): Unit = {
     val cells = events
+      // null key/ts rows are dropped by contract (the md5 of a null key is
+      // a null cell idx, and map_from_entries throws on a null map key —
+      // one bad event must not abort the build); same drop contract as
+      // OhlcAggregator / PrefixSum / TopKAggregator
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(to_date(col(tsCol)).as("day"), col(keyCol))
       .select(col("day"), posexplode(
         array((0 until depth).map(i => posExpr(i, keyCol, width)): _*)).as(Seq("r", "c")))

@@ -45,10 +45,11 @@ object ProfileQueries {
         SELECT n_a, n_b, conv_a, conv_b,
                round(CAST(conv_a AS DOUBLE) / n_a, 4) AS p_a,
                round(CAST(conv_b AS DOUBLE) / n_b, 4) AS p_b,
-               round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+               round(CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+                     THEN (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
                      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                             * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-                            * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+                            * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z
         FROM wide
       """.stripMargin.trim),
       (spark, dir) => {
@@ -70,9 +71,12 @@ object ProfileQueries {
         wide.select(
           col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
           round(pa, 4).as("p_a"), round(pb, 4).as("p_b"),
-          round((pa - pb) /
+          // pooled rate 0 or 1 (e.g. a zero-conversion slice) zeroes the
+          // variance: NULL there, like the oracle's CASE — an unguarded /
+          // is a Spark 4 ANSI DIVIDE_BY_ZERO (the twap/corr_vu bug class)
+          round(when(pPool > 0 && pPool < 1, (pa - pb) /
             sqrt(pPool * (lit(1.0) - pPool) *
-              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4).as("z"))
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))), 4).as("z"))
       }),
 
     // top clickstream 3-paths: event_transitions' higher-order sibling —

@@ -156,4 +156,23 @@ class DegenerateDataSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"${failures.size} queries crash on null-laden rows:\n${failures.mkString("\n")}")
   }
+
+  test("ab_test_zscore nulls z on a degenerate pooled rate (0 or 1), no ANSI divide") {
+    // every user all-'view' => converted=0 for all => pooled p = 0 and the
+    // z variance is 0: the oracle CASE returns NULL, and so must the
+    // engine (an unguarded / is a Spark 4 ANSI DIVIDE_BY_ZERO). The
+    // gauntlet's planted mix never drives the POOL itself degenerate, so
+    // this is pinned directly.
+    val dir = java.nio.file.Files.createTempDirectory("graft-abdeg").toString
+    val ev = (0 until 40).map { i =>
+      (i.toLong, f"2024-03-01 10:${i % 60}%02d:00", (i % 8).toLong, "view", 1.0, "{}")
+    }.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("ts_s")).cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    ev.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = SparkEntry.queries("ab_test_zscore")(spark, dir).collect()
+    assert(row.length == 1)
+    val z = row(0).getAs[Any]("z")
+    assert(z == null, s"z must be NULL when the pooled conversion rate is 0, got $z")
+  }
 }

@@ -76,4 +76,27 @@ class RollingWinnowSpec extends SparkSpec {
       .select("doc_id", "n_windows").as[(Long, Long)].collect().toMap
     assert(rollCounts == md5Counts)
   }
+
+  test("non-string input is rejected at ANALYSIS time, not with a runtime CCE") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(42L).toDF("x").selectExpr(s"graft_winnow(x, $K, $W, $B, $M)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"), e.getMessage)
+  }
+
+  test("a base large enough to overflow the Long intermediate is a clean error") {
+    // (mod-1)*base + maxCodepoint must fit in Long; a huge user-supplied
+    // base via the SQL surface must error, never silently wrap
+    val bad = intercept[IllegalArgumentException] {
+      RollingWinnow(org.apache.spark.sql.catalyst.expressions.Literal.create("abc"),
+        K, W, base = Long.MaxValue / 4, mod = M)
+    }
+    assert(bad.getMessage.contains("fit in a signed 64-bit Long"))
+    // and the max legal base still computes fine
+    val okBase = Long.MaxValue / (M + 0x110000L)
+    val got = RollingWinnow.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abcdefghij"), K, W, okBase, M)
+    assert(got.numElements() == naive("abcdefghij").length)
+  }
 }

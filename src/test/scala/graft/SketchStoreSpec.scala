@@ -124,4 +124,28 @@ class SketchStoreSpec extends SparkSpec {
         "2024-01-01", "2024-12-31", width = 2048)
     }
   }
+
+  test("CMS build drops null keys/timestamps by contract instead of aborting") {
+    import graft.operators.FreqSketchStore
+    // a null key used to md5 to a null cell idx and blow up
+    // map_from_entries ('Cannot use null as map key') — one bad event
+    // aborting the whole day's sketch. Now dropped like the other
+    // operators' documented null contract; estimates over the non-null
+    // rows are unchanged.
+    val clean = Tables.events(spark, sf).select($"event_type", $"ts").limit(500)
+    val dirty = clean
+      .unionByName(Seq(("x", null), (null, "2024-01-05 10:00:00"), (null, null))
+        .toDF("event_type", "ts_s")
+        .select($"event_type", to_timestamp($"ts_s").cast("timestamp_ntz").as("ts")))
+    val pClean = java.nio.file.Files.createTempDirectory("graft-cmsn1").toString
+    val pDirty = java.nio.file.Files.createTempDirectory("graft-cmsn2").toString
+    FreqSketchStore.writeDailyFreqSketch(clean, "ts", "event_type", pClean)
+    FreqSketchStore.writeDailyFreqSketch(dirty, "ts", "event_type", pDirty)
+    val k = clean.select($"event_type").head().getString(0)
+    val a = FreqSketchStore.estimateFreq(spark, pClean, "event_type", k,
+      "2024-01-01", "2024-12-31")
+    val b = FreqSketchStore.estimateFreq(spark, pDirty, "event_type", k,
+      "2024-01-01", "2024-12-31")
+    assert(a == b && a > 0, s"null rows must be invisible: clean $a vs dirty $b")
+  }
 }
