@@ -112,7 +112,9 @@ object Bench {
       val runs = samples.map(_(k)).mkString("[", ",", "]")
       "\"" + k + s"""":{"median":$v,"runs":$runs}"""
     }.mkString("{", ",", "}")
-    val detailPath = "/tmp/graft_bench_detail.json"
+    // overridable so side-by-side runs (the SCALE.md sf1 audit) don't
+    // clobber the driver's sf0.1 detail file
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       {
         val failedFull =

@@ -186,4 +186,39 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity > 0")
     assert(out.as[Long].head() > 0)
   }
+
+  test("reference diagnostics panel renders: information_schema verbatim + SHOW/DESCRIBE") {
+    // the reference's run_diagnostics (dashboard/timescaledb_model.py:600,
+    // 638-644) pastes these two Postgres information_schema queries; after
+    // registerInformationSchema they run UNCHANGED on the Spark surface
+    graft.sql.Diagnostics.registerInformationSchema(spark, sf)
+    val tables = Views.adhoc(spark, sf,
+      "SELECT table_name FROM information_schema.tables WHERE table_schema='public'")
+      .as[String].collect().toSet
+    assert(tables == Tables.all.toSet, s"diagnostics table list wrong: $tables")
+
+    val schema = Views.adhoc(spark, sf,
+      """SELECT table_name, column_name, data_type
+        |FROM information_schema.columns
+        |WHERE table_schema = 'public'
+        |ORDER BY table_name, ordinal_position""".stripMargin).collect()
+    val evCols = schema.filter(_.getString(0) == "events").map(_.getString(1)).toSeq
+    assert(evCols == Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"events columns wrong or unordered: $evCols")
+    assert(schema.find(r => r.getString(0) == "events" && r.getString(1) == "ts")
+      .get.getString(2) == "timestamp", "canonicalized ts must report as timestamp")
+
+    // Spark's native introspection works through the same adhoc seam
+    val shown = Views.adhoc(spark, sf, "SHOW TABLES").select("tableName")
+      .as[String].collect().toSet
+    assert(Tables.all.toSet.subsetOf(shown), s"SHOW TABLES missing views: $shown")
+    val desc = Views.adhoc(spark, sf, "DESCRIBE TABLE documents")
+      .select("col_name").as[String].collect().toSeq
+    assert(desc.containsSlice(Seq("doc_id", "text", "lang", "source", "n_chars")), desc.toString)
+
+    // and the panel's per-table rowcounts (the stats dict it builds)
+    val stats = graft.sql.Diagnostics.tableStats(spark, sf)
+      .as[(String, Long)].collect().toMap
+    assert(stats.keySet == Tables.all.toSet && stats.values.forall(_ > 0), stats.toString)
+  }
 }
