@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
 
 /** Optimizer rule: rewrite an inner join whose only cross-side condition
-  * is `levenshtein(l, r) <= d` into a q-gram-blocked equi-join —
+  * is `levenshtein(l, r) <= d` into a segment-blocked equi-join —
   * automatically. The naive formulation has no equi key, so Spark plans
   * BroadcastNestedLoopJoin / CartesianProduct: O(|L|·|R|) edit-distance
   * evaluations, the shape PlanAuditSpec bans. This is the fuzzy-join
@@ -17,20 +17,21 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
   * plan without knowing it exists.
   *
   * Rewrite — ONE join, each side exploding a unified key column:
-  *  - gram keys `g:<gram>`: the side's distinct q-grams. Any pair within
-  *    edit distance d with max(len) ≥ q·(d+1) shares a gram (an edit
-  *    changes ≤ q grams' content; the longer side has > d·q grams).
-  *  - length keys `l:<n>` (only for strings with len < q·(d+1)): the
-  *    left side emits len−d … len+d, the right side emits exactly its
-  *    own length — a short-short pair meets iff |Δlen| ≤ d (necessary
-  *    for distance ≤ d), and meets exactly once.
+  *  - segment keys `p:<i>:<L>:<sub>` (PassJoin — see segmentKeysOf):
+  *    the right side's d+1 contiguous segments; the left side's
+  *    substrings matching any candidate segment geometry within ±d
+  *    positional shift. Replaced the original q-gram keys after the sf1
+  *    audit measured the gram pair stream going quadratic under
+  *    alphabet saturation (35–55× wall at 10× rows → near-linear now).
+  *  - length keys `l:<n>` for the short regime (len < q·(d+1) on the
+  *    right, < q·(d+1)+d on the left, which fans len−d … len+d): a
+  *    short pair meets iff |Δlen| ≤ d — necessary for distance ≤ d.
   * A pair could meet on several keys, so the residual keeps EXACTLY one
-  * meeting — the minimal common gram for max(len) ≥ q·(d+1) pairs, the
-  * single length key otherwise — which preserves inner-join pair
-  * multiplicity. The ORIGINAL condition stays in the residual, so
-  * false candidates (shared gram, distance > d) still drop; NULL/empty
-  * strings explode to no keys or meet through length keys, matching the
-  * original null-rejecting inner semantics.
+  * meeting — the minimum of the two key arrays' intersection — which
+  * preserves inner-join pair multiplicity. The ORIGINAL condition stays
+  * in the residual, so false candidates (shared key, distance > d) still
+  * drop; NULL/empty strings explode to no keys or meet through length
+  * keys, matching the original null-rejecting inner semantics.
   *
   * Inner and LeftSemi joins. Inner explodes both sides with the
   * meet-once residual. LeftSemi tolerates the rewrite WITHOUT the
@@ -88,18 +89,76 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def emptyStrArray: Expression =
     Literal.create(Array.empty[String], ArrayType(StringType))
 
-  /** distinct q-grams of `s` as array<string>; empty below q chars
-    * (sequence(1, 0) is DESCENDING — the repo's standard guard). */
-  private def gramsOf(s: Expression): Expression = {
-    val i = NamedLambdaVariable("i", IntegerType, nullable = false)
-    val seq = Sequence(Literal(1), Subtract(Length(s), Literal(q - 1)), None,
-      Some(conf.sessionLocalTimeZone))
-    val tf = ArrayTransform(seq, LambdaFunction(Substring(s, i, Literal(q)), Seq(i)))
-    If(GreaterThanOrEqual(Length(s), Literal(q)), ArrayDistinct(tf), emptyStrArray)
-  }
-
   private def prefixed(prefix: String, e: Expression): Expression =
     Concat(Seq(Literal(prefix), e))
+
+  private def seqExpr(from: Expression, to: Expression): Expression =
+    Sequence(from, to, None, Some(conf.sessionLocalTimeZone))
+
+  private def intDiv(a: Expression, b: Int): Expression =
+    Cast(IntegralDivide(Cast(a, LongType), Literal(b.toLong)), IntegerType)
+
+  /** PassJoin segment keys `p:<i>:<L>:<segment>` (Li, Deng & Feng, ICDE
+    * 2011) — mirrors `operators/FuzzyJoin.segmentKeys`, built as raw
+    * catalyst trees because this runs in the optimizer where nothing can
+    * be parsed or analyzed. Segments replaced the q-gram keys after the
+    * sf1 scaling audit: gram candidates are ∝ Σ_g dfL(g)·dfR(g) and go
+    * quadratic once the corpus outgrows its gram alphabet (measured 35×
+    * and 55× wall at 10× rows on hash-token names), while segment keys
+    * are length- and position-qualified exact substrings of length
+    * ~L/(d+1) — selective enough to stay near-linear AND stats-free,
+    * which is the property a logical rewrite needs (no aggregation
+    * available here). Pigeonhole soundness: ≤ d edits cannot touch all
+    * d+1 segments, so a true match contains some right segment verbatim,
+    * starting within ±d of its home position; the left enumerates
+    * exactly those substrings for every candidate right length
+    * L ∈ [max(thresh, m−d), m+d].
+    *
+    * Segment geometry for right length L with k = d+1 parts, r = L%k:
+    * first k−r parts ⌊L/k⌋ long, last r one longer;
+    * len_i = ⌊L/k⌋ + (i ≥ k−r), pos_i = 1 + i·⌊L/k⌋ + max(0, i−(k−r)).
+    */
+  private def segmentKeysOf(s: Expression, d: Int, isLeft: Boolean): Expression = {
+    val k = d + 1
+    val thresh = q * k
+    val m = Length(s)
+    def segLen(L: Expression, i: Expression): Expression =
+      Add(intDiv(L, k),
+        If(GreaterThanOrEqual(i, Subtract(Literal(k), Remainder(L, Literal(k)))),
+          Literal(1), Literal(0)))
+    def segPos(L: Expression, i: Expression): Expression =
+      Add(Literal(1), Add(Multiply(i, intDiv(L, k)),
+        Greatest(Seq(Literal(0),
+          Subtract(i, Subtract(Literal(k), Remainder(L, Literal(k))))))))
+    def key(iv: Expression, lv: Expression, sub: Expression): Expression =
+      Concat(Seq(Literal("p:"), Cast(iv, StringType), Literal(":"),
+        Cast(lv, StringType), Literal(":"), sub))
+    if (isLeft) {
+      val lVar = NamedLambdaVariable("L", IntegerType, nullable = false)
+      val iVar = NamedLambdaVariable("i", IntegerType, nullable = false)
+      val pVar = NamedLambdaVariable("p", IntegerType, nullable = false)
+      val positions = ArrayFilter(
+        seqExpr(Greatest(Seq(Literal(1), Subtract(segPos(lVar, iVar), Literal(d)))),
+          Add(segPos(lVar, iVar), Literal(d))),
+        LambdaFunction(
+          LessThanOrEqual(pVar, Add(Subtract(m, segLen(lVar, iVar)), Literal(1))),
+          Seq(pVar)))
+      val pVar2 = NamedLambdaVariable("p", IntegerType, nullable = false)
+      val perSeg = ArrayTransform(positions,
+        LambdaFunction(key(iVar, lVar, Substring(s, pVar2, segLen(lVar, iVar))), Seq(pVar2)))
+      val perLen = Flatten(ArrayTransform(seqExpr(Literal(0), Literal(d)),
+        LambdaFunction(perSeg, Seq(iVar))))
+      val all = Flatten(ArrayTransform(
+        seqExpr(Greatest(Seq(Literal(thresh), Subtract(m, Literal(d)))), Add(m, Literal(d))),
+        LambdaFunction(perLen, Seq(lVar))))
+      If(GreaterThanOrEqual(m, Literal(thresh - d)), ArrayDistinct(all), emptyStrArray)
+    } else {
+      val iVar = NamedLambdaVariable("i", IntegerType, nullable = false)
+      val own = ArrayTransform(seqExpr(Literal(0), Literal(d)),
+        LambdaFunction(key(iVar, m, Substring(s, segPos(m, iVar), segLen(m, iVar))), Seq(iVar)))
+      If(GreaterThanOrEqual(m, Literal(thresh)), own, emptyStrArray)
+    }
+  }
 
   private def rewrite(j: Join): Option[LogicalPlan] = {
     val Join(left, right, joinType, Some(cond), hint) = j: @unchecked
@@ -139,27 +198,27 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     val thresh = q * (d + 1)
 
-    def sideKeys(s: Expression, isLeft: Boolean): (Expression, Expression) = {
-      val grams = gramsOf(s)
-      val g = NamedLambdaVariable("g", StringType, nullable = false)
-      val gramKeys = ArrayTransform(grams, LambdaFunction(prefixed("g:", g), Seq(g)))
+    // segment keys for the long regime (see segmentKeysOf), length keys
+    // for the short one. The LEFT's l-keys reach up to thresh+d-1: a
+    // long-left/short-right pair must meet on the right's own length key
+    def sideKeys(s: Expression, isLeft: Boolean): Expression = {
+      val segKeys = segmentKeysOf(s, d, isLeft)
       val lenKeys =
         if (isLeft) {
           val dl = NamedLambdaVariable("dl", IntegerType, nullable = false)
-          ArrayTransform(
-            Sequence(Literal(-d), Literal(d), None, Some(conf.sessionLocalTimeZone)),
+          val fan = ArrayTransform(seqExpr(Literal(-d), Literal(d)),
             LambdaFunction(
               prefixed("l:", Cast(Add(Length(s), dl), StringType)), Seq(dl)))
+          If(LessThan(Length(s), Literal(thresh + d)), fan, emptyStrArray)
         } else {
-          CreateArray(Seq(prefixed("l:", Cast(Length(s), StringType))))
+          If(LessThan(Length(s), Literal(thresh)),
+            CreateArray(Seq(prefixed("l:", Cast(Length(s), StringType)))), emptyStrArray)
         }
-      val keys = If(LessThan(Length(s), Literal(thresh)),
-        ArrayUnion(gramKeys, lenKeys), gramKeys)
-      (grams, keys)
+      ArrayUnion(segKeys, lenKeys)
     }
 
-    val (gramsL, keysL) = sideKeys(el, isLeft = true)
-    val (gramsR, keysR) = sideKeys(er, isLeft = false)
+    val keysL = sideKeys(el, isLeft = true)
+    val keysR = sideKeys(er, isLeft = false)
 
     // LeftSemi: collapse the left to distinct tuples + count BEFORE the
     // blocked join, so the existence check runs once per distinct tuple
@@ -171,12 +230,10 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Some(cntAlias.toAttribute))
       } else (left, None)
 
-    val glAlias = Alias(gramsL, "_graft_grams_l")()
     val klAlias = Alias(keysL, "_graft_keys_l")()
-    val grAlias = Alias(gramsR, "_graft_grams_r")()
     val krAlias = Alias(keysR, "_graft_keys_r")()
-    val leftProj = Project(leftBase.output ++ Seq(glAlias, klAlias), leftBase)
-    val rightProj = Project(right.output ++ Seq(grAlias, krAlias), right)
+    val leftProj = Project(leftBase.output :+ klAlias, leftBase)
+    val rightProj = Project(right.output :+ krAlias, right)
 
     val gkL = AttributeReference("_graft_gk_l", StringType, nullable = true)()
     val gkR = AttributeReference("_graft_gk_r", StringType, nullable = true)()
@@ -185,16 +242,13 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val rightGen = Generate(Explode(krAlias.toAttribute), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(gkR), child = rightProj)
 
-    val maxLen = Greatest(Seq(Length(el), Length(er)))
-    // exactly one meeting per pair: the minimal common gram when the
-    // gram guarantee applies, the single length key otherwise
-    val meetOnce = Or(
-      And(
-        And(StartsWith(gkL, Literal("g:")),
-          GreaterThanOrEqual(maxLen, Literal(thresh))),
-        EqualTo(gkL,
-          prefixed("g:", ArrayMin(ArrayIntersect(glAlias.toAttribute, grAlias.toAttribute))))),
-      And(StartsWith(gkL, Literal("l:")), LessThan(maxLen, Literal(thresh))))
+    // exactly one meeting per pair, uniformly across regimes: a pair may
+    // share several segment and/or length keys, but the MINIMUM of the
+    // key-array intersection is a single deterministic element — keep
+    // only the meeting on that key (simpler than the old per-regime gram
+    // residual, and correct for mixed-length pairs by construction)
+    val meetOnce = EqualTo(gkL,
+      ArrayMin(ArrayIntersect(klAlias.toAttribute, krAlias.toAttribute)))
 
     if (joinType == Inner) {
       val newCond = And(EqualTo(gkL, gkR), And(meetOnce, cond))

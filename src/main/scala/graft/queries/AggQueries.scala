@@ -68,16 +68,35 @@ object AggQueries {
       }),
 
     // A5 at 100 TB: approx_count_distinct (HLL) — the documented scale
-    // alternative to exact COUNT(DISTINCT) (SURVEY.md §2.4 A5). No oracle
-    // (estimates are engine-specific); EtlSpec bounds the error vs exact.
+    // alternative to exact COUNT(DISTINCT) (SURVEY.md §2.4 A5). The raw
+    // HLL estimate is engine-specific and can never hash-match DuckDB, so
+    // the contract is stated IN the result instead: exact counts plus
+    // within-±5%-band booleans for the estimates (rsd=0.02, so the 5%
+    // band is a ≥2.5σ margin; HLL++ is DETERMINISTIC for fixed input —
+    // no flakiness, a real drift goes red). The oracle states the same
+    // columns with the booleans literally true — rows+schema+hash green,
+    // tolerance pinned by the driver instead of a spec-only bound.
     QueryDef(
       "table_stats_approx",
-      None,
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types_exact,
+               count(DISTINCT user_id) >= 0 AS users_within_5pct,
+               count(DISTINCT event_type) >= 0 AS types_within_5pct
+        FROM events
+      """.stripMargin.trim),
       (spark, dir) => {
+        def inBand(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+          approx.cast("double").between(exact * 0.95, exact * 1.05)
         Tables.events(spark, dir).agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          approx_count_distinct(col("event_type")).as("approx_types"),
-          count(lit(1)).as("n_events"))
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users_exact"),
+          countDistinct(col("event_type")).as("n_types_exact"),
+          inBand(approx_count_distinct(col("user_id"), 0.02),
+            countDistinct(col("user_id"))).as("users_within_5pct"),
+          inBand(approx_count_distinct(col("event_type"), 0.02),
+            countDistinct(col("event_type"))).as("types_within_5pct"))
       }),
 
     // A8: horizontal per-row mean/std over four numeric columns with

@@ -379,10 +379,19 @@ object TextQueries {
     // which is what makes it the standard plagiarism/near-dup sketch.
     // Per-doc output is order-independent aggregates of the selected
     // set (distinct count, SUM(DISTINCT), min), so the hash compare
-    // never depends on selection order. Work is linear per document and
-    // fully data-parallel; the md5-based gram hash is the engine's
-    // deterministic cross-engine idiom — production would swap in a
-    // cheaper true rolling hash, same plan shape.
+    // never depends on selection order.
+    //
+    // ============== BASELINE — DO NOT COPY THIS PLAN ==============
+    // This is the O(n·k) COMPOSABLE formulation (md5 per gram position +
+    // a doc_id-shuffled window frame), kept deliberately as the measured
+    // counterpart that PROVES the native kernel's strength reduction:
+    // `winnow_rolling` computes the same selection O(n) inside the row
+    // via `graft_winnow` with NO shuffle — 4.4 s vs 0.56 s at sf0.1,
+    // 21× at a 10× corpus (SCALE.md "winnowing"). New winnowing-shaped
+    // work must build on `graft_winnow` / `winnow_rolling`; reach for
+    // this explode+window idiom only when a per-row kernel genuinely
+    // cannot express the semantics.
+    // ==============================================================
     QueryDef(
       "winnow_fingerprints",
       Some(s"""

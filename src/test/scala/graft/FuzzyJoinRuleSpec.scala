@@ -142,4 +142,36 @@ class FuzzyJoinRuleSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("property: PassJoin segments and Ed-Join prefix are LOSSLESS vs the unfiltered gram join") {
+    // the sf1 audit's fuzzy-family fix, both tiers: segment blocking
+    // (PassJoin pigeonhole) and gram-prefix filtering (prefix lemma)
+    // must confirm EXACTLY the pairs the plain all-grams join confirms —
+    // over random mixed-length corpora on a deliberately TINY alphabet
+    // (the saturated-gram regime where the schemes earn their keep),
+    // including the short/long boundary lengths both schemes special-case.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.operators.FuzzyJoin
+    val alpha = Gen.oneOf('a', 'b', 'c')
+    val genStr = Gen.choose(0, 16).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    val gen = for {
+      ls <- Gen.listOfN(10, genStr)
+      rs <- Gen.listOfN(10, genStr)
+      d <- Gen.choose(0, 3)
+    } yield (ls, rs, d)
+    val prop = Prop.forAll(gen) { case (ls, rs, d) =>
+      val l = ls.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("l_id", "l_name")
+      val r = rs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("r_id", "r_name")
+      def run(blocking: String) = FuzzyJoin
+        .scoredCandidates(l, "l_id", "l_name", r, "r_id", "r_name",
+          maxDist = d, q = 3, maxGramDf = 0L, blocking = blocking)
+        .select($"l_id", $"r_id", $"dist").as[(Long, Long, Int)]
+        .collect().toSeq.sorted
+      val base = run("grams")
+      run("segments") == base && run("grams-prefix") == base
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1), prop)
+    assert(result.passed, result.status.toString)
+  }
 }

@@ -125,6 +125,44 @@ class GraphSpec extends SparkSpec {
     assert(anyFile(new java.io.File(dir)), s"no checkpoint data written under $dir")
   }
 
+  test("reliable-checkpoint loop completes IDENTICALLY through injected task failures") {
+    // the r9 mode was spec-proven identical on the happy path only; this
+    // drives the RETRY path. Every first ATTEMPT of partition 0 in any
+    // stage evaluating the flaky column throws; the session master is
+    // local[4, 2] (maxFailures=2), so Spark reschedules the task, the
+    // second attempt (attemptNumber=1) passes, and the multi-round loop —
+    // checkpointing reliably each round — must finish with results
+    // identical to the failure-free run. On a real cluster this is the
+    // executor-crash-mid-loop contract the reliable mode exists for.
+    // a STATIC field, not a closure-captured flag and not an accumulator:
+    // UDF closures are serialized even in local mode (mutating a captured
+    // object updates a copy), and user-accumulator updates from FAILED
+    // tasks are dropped (countFailedValues=false) — but local mode runs
+    // executor code in the driver JVM, so a companion-object field is
+    // genuinely shared
+    FaultInjection.fired.set(0)
+    val flakyOnce = udf { (x: Long) =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 0) {
+        FaultInjection.fired.incrementAndGet()
+        throw new RuntimeException("injected first-attempt failure")
+      }
+      x
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-fault").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 4L), (2L, 5L))
+    val expected = MassFlow.propagate(edgesDf(edges: _*), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val flakyEdges = edgesDf(edges: _*)
+      .repartition(4) // >1 partition so partition 0 exists alongside healthy ones
+      .withColumn("src", flakyOnce($"src"))
+    val got = MassFlow.propagate(flakyEdges, iters = 3, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(FaultInjection.fired.get() > 0,
+      "fault injection never fired — the test proved nothing")
+    assert(got == expected, "loop result drifted across a task retry")
+  }
+
   // ---- Triangles ----
 
   private def triDf(pairs: (Long, Long)*) = pairs.toDF("u", "v")
@@ -328,4 +366,11 @@ class GraphSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
+}
+
+/** JVM-shared fault counter for the retry-path smoke (see the test's
+  * comment on why neither a closure flag nor an accumulator works).
+  */
+object FaultInjection {
+  val fired = new java.util.concurrent.atomic.AtomicInteger(0)
 }

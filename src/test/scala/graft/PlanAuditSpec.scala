@@ -203,6 +203,58 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("AQE skew-join splits the hot partition once its size gate is crossed") {
+    // at 100 TB the FIRST line of defense against a hot join key is
+    // spark.sql.adaptive.skewJoin (runtime partition splitting), with the
+    // catalog's manual salting (skew_join_salted) as the aggregation-side
+    // fallback AQE cannot cover. Like the runtime-bloom spec above, pin
+    // BOTH halves of the contract: at test scale with default thresholds
+    // the mechanism stays dormant (partitions are kilobytes, nowhere near
+    // the 256 MB gate); with the gate lowered to simulate fact-scale
+    // partition sizes, the final adaptive plan must mark the sort-merge
+    // join skew-handled — and the join result must be bit-identical.
+    import spark.implicits._
+    // sf0.01: the hot partition must be big enough that its COMPRESSED
+    // shuffle bytes clear a gate several KB high (at sf0.001 it lz4s to
+    // almost nothing and every gate low enough to catch it also catches
+    // the healthy partitions). The repartition(8) is LOAD-BEARING: AQE
+    // splits a skewed reducer partition by MAPPER ranges, so a
+    // single-file scan (1 mapper) is unsplittable no matter how skewed —
+    // the same reason a 100 TB table must arrive at a join from many
+    // input splits for skew handling to have anything to cut.
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("event_id"), col("user_id")).repartition(8)
+    // ~90% of rows pile onto one join key: the classic hot-entity shape.
+    // The probe side must be a bare scan→shuffle (no agg between the sort
+    // and the shuffle stage: OptimizeSkewedJoin pattern-matches
+    // SMJ(Sort(stage), Sort(stage)) and an intermediate operator defeats
+    // it — which is itself worth knowing when shaping real plans)
+    val skewed = ev.withColumn("k",
+      org.apache.spark.sql.functions.when(col("event_id") % 10 < 9, 0L)
+        .otherwise(col("event_id")))
+    val dim = ev.select(col("event_id").as("k"), (col("event_id") * 2).as("tag"))
+    def joined() = skewed.join(dim, "k").select(col("event_id"), col("tag"))
+    def finalPlan(): String = {
+      val df = joined(); df.collect(); df.queryExecution.executedPlan.toString
+    }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val expected = joined().count()
+      val dormant = finalPlan()
+      assert(dormant.contains("SortMergeJoin") && !dormant.contains("skew="),
+        s"skew handling should stay behind its 256 MB gate at test scale:\n$dormant")
+      withSQLConf(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "2KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+        val gated = finalPlan()
+        assert(gated.contains("skew=true"),
+          s"expected the AQE-split skew join in the final plan:\n$gated")
+        assert(joined().count() == expected, "skew splitting must not change results")
+      }
+    }
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -119,4 +119,40 @@ class SourcesSpec extends SparkSpec {
     val viaParquet = ev.filter($"user_id" === 3L).select("event_id").as[Long].collect().sorted.toSeq
     assert(viaOrc == viaParquet)
   }
+
+  test("eventsInRange: sub-second bounds select identical rows on the nanos and NTZ branches") {
+    // regression pin for the r8 precision fix (Tables.scala:86): the
+    // nanos-long branch used to bound at MILLIsecond precision via
+    // toEpochMilli, so a boundary between two events 1 µs apart selected
+    // different rows than the native-timestamp branch. Plant two events
+    // 1 µs apart, straddle them with a sub-second boundary, and prove
+    // both storage branches (raw nanos LONG vs TIMESTAMP_NTZ) return the
+    // same single row.
+    val microsTs = Seq( // (event_id, micros since epoch)
+      1L -> 1704103200123456L, // 2024-01-01 10:00:00.123456
+      2L -> 1704103200123457L, // 2024-01-01 10:00:00.123457
+      3L -> 1704103201000000L) // 10:00:01
+    val ntzDir = Files.createTempDirectory("graft-evntz").toString
+    val nanosDir = Files.createTempDirectory("graft-evnanos").toString
+    microsTs.toDF("event_id", "us")
+      .select($"event_id", expr("timestamp_micros(us)").cast("timestamp_ntz").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$ntzDir/events.parquet")
+    microsTs.toDF("event_id", "us")
+      .select($"event_id", ($"us" * 1000L).as("ts")) // nanos epoch long
+      .coalesce(1).write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+
+    def ids(dir: String, from: String, to: String): Seq[Long] =
+      Tables.eventsInRange(spark, dir, from, to)
+        .select("event_id").as[Long].collect().sorted.toSeq
+
+    // boundary BETWEEN the two 1µs-apart events: start is inclusive
+    val from = "2024-01-01 10:00:00.123457"
+    val to = "2024-01-01 10:00:00.999999"
+    assert(ids(ntzDir, from, to) == Seq(2L), "NTZ branch drifted on a sub-second bound")
+    assert(ids(nanosDir, from, to) == Seq(2L), "nanos branch drifted on a sub-second bound")
+    // exclusive end just past event 1 keeps only event 1 — both branches
+    val upto = "2024-01-01 10:00:00.123457"
+    assert(ids(ntzDir, "2024-01-01 10:00:00", upto) == Seq(1L))
+    assert(ids(nanosDir, "2024-01-01 10:00:00", upto) == Seq(1L))
+  }
 }
