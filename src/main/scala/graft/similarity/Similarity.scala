@@ -37,6 +37,49 @@ object Similarity {
   /** exact int64 dot product of two quantized vectors */
   def dotExpr(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
+  /** Corpus-size-aware LSH sizing — the sf1 audit's answer to fixed
+    * bucket spaces: with `bandBits` pinned, candidate pairs per table
+    * grow ~n²/2^bandBits, so a config tuned at one scale silently goes
+    * quadratic at 10× (dedup_embedding measured 12.3× wall at 10× rows
+    * under the fixed 16×12 default). The production rule is to grow the
+    * bucket space WITH the corpus and re-derive the table count from the
+    * recall target:
+    *
+    *  - `bandBits = clamp(log2(n / maxBucketLoad), 8..sigBits/2)` keeps
+    *    the expected bucket load — and with it the per-table candidate
+    *    stream — CONSTANT per row, so per-table cost stays linear;
+    *  - a pair at cosine ≥ θ agrees on one sign bit with
+    *    p = 1 − acos(θ)/π, on a whole band with p^bandBits, and survives
+    *    T tables with recall 1−(1−p^bandBits)^T ⇒
+    *    `tables = ln(1−targetRecall) / ln(1−p^bandBits)` (independence
+    *    approximation; the 64-bit shared pool correlates bands slightly,
+    *    which the recall specs bound empirically).
+    *
+    * Net cost scales ~n·tables where tables grows like n^((−log f)/log 2)
+    * for f = 1−acos(θ)/π — e.g. ~n^0.22 at θ=0.9 — the standard
+    * sub-quadratic LSH trade, instead of the n² a frozen config decays
+    * to. Catalog entries keep their PINNED configs (their DuckDB oracles
+    * state those constants); new indexes at unknown scale should size
+    * through this.
+    */
+  def lshConfigFor(
+      n: Long,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      maxBucketLoad: Double = 2.0,
+      sigBits: Int = 64): (Int, Int) = {
+    require(n > 0 && threshold > 0 && threshold < 1 &&
+      targetRecall > 0 && targetRecall < 1 && maxBucketLoad > 0,
+      s"bad lshConfigFor args: n=$n θ=$threshold R=$targetRecall load=$maxBucketLoad")
+    val bandBits = math.min(sigBits / 2, math.max(8,
+      math.ceil(math.log(n / maxBucketLoad) / math.log(2)).toInt))
+    val pBit = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(pBit, bandBits)
+    val tables = math.min(512, math.max(4,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
+    (tables, bandBits)
+  }
+
   /** cosine = dot / (√norm2_a · √norm2_b); null-safe on zero vectors */
   def cosine(dot: Column, n2a: Column, n2b: Column): Column =
     dot.cast("double") /

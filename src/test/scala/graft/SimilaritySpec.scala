@@ -95,6 +95,36 @@ class SimilaritySpec extends SparkSpec {
     assert(truth.exceptAll(lsh).isEmpty, s"LSH missed pairs out of $nTruth")
   }
 
+  test("lshConfigFor sizes the bucket space with the corpus and holds its recall target") {
+    // monotone bucket growth: expected bucket load stays <= maxBucketLoad,
+    // so per-table candidate volume stays LINEAR in n (the sf1 audit's
+    // fixed-config failure mode is exactly this going quadratic)
+    val cfgs = Seq(2e3, 2e4, 2e5, 2e6, 2e9).map(n =>
+      Similarity.lshConfigFor(n.toLong, threshold = 0.9))
+    val bits = cfgs.map(_._2)
+    assert(bits == bits.sorted, s"bandBits must be monotone in n: $bits")
+    cfgs.zip(Seq(2e3, 2e4, 2e5, 2e6, 2e9)).foreach { case ((_, b), n) =>
+      assert(b >= 8 && b <= 32)
+      if (b < 32) assert(n / math.pow(2, b) <= 2.0 + 1e-9,
+        s"expected bucket load blown at n=$n bits=$b")
+    }
+    // stated recall algebra: 1-(1-p^bits)^tables >= target at the config
+    cfgs.foreach { case (t, b) =>
+      val p = math.pow(1.0 - math.acos(0.9) / math.Pi, b)
+      assert(1.0 - math.pow(1.0 - p, t) >= 0.95 - 1e-9, s"config ($t,$b) misses target")
+    }
+    // and empirically: the auto config for THIS corpus finds every exact
+    // pair at a production threshold on the test fixture
+    val n = Tables.embeddings(spark, sf).count()
+    val (tables, bandBits) = Similarity.lshConfigFor(n, threshold = 0.8)
+    val lsh = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.8,
+        tables = tables, bandBits = bandBits)
+      .select("vec_a", "vec_b")
+    val truth = exactPairs(0.8)
+    if (truth.count() > 0)
+      assert(truth.exceptAll(lsh).isEmpty, "auto-sized LSH missed exact pairs at 0.8")
+  }
+
   test("dedup_embedding physical plan contains no cartesian product") {
     val plan = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4,
         tables = 128, bandBits = 4)
