@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ScaleData generates the sf1/sfN testdata the SCALE.md scaling audit
+  * measures against — so its replication invariants are load-bearing:
+  * if they drift, every per-query scaling ratio in the audit measures
+  * the generator, not the engine. Pinned here at factor 3 over sf0.001
+  * (same code path as the audit's factor 10 over sf0.1).
+  */
+class ScaleDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val factor = 3
+  private lazy val outDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scaledata").toString
+    ScaleData.run(spark, sf, dir, factor)
+    dir
+  }
+  private def scaled(name: String) = spark.read.parquet(s"$outDir/$name.parquet")
+  private def base(name: String) = Tables.canonical(spark, sf, name)
+
+  test("every fact table replicates exactly factor x with unique keys; dims stay fixed") {
+    for ((t, key) <- Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id",
+      "part" -> "p_partkey", "supplier" -> "s_suppkey")) {
+      val n = base(t).count()
+      val s = scaled(t).agg(count(lit(1)), countDistinct(col(key))).head()
+      assert(s.getLong(0) == factor * n, s"$t rows: ${s.getLong(0)} != $factor*$n")
+      assert(s.getLong(1) == factor * n, s"$t keys not unique after offsetting")
+    }
+    assert(scaled("lineitem").count() == factor * base("lineitem").count())
+    for (t <- Seq("region", "nation"))
+      assert(scaled(t).count() == base(t).count(), s"fixed dim $t must not grow")
+  }
+
+  test("FK offsets move together: no orphans, and event timestamps stay globally unique") {
+    def orphans(fact: String, fk: String, dim: String, pk: String): Long =
+      scaled(fact).join(scaled(dim), col(fk) === col(pk), "left_anti").count()
+    assert(orphans("orders", "o_custkey", "customer", "c_custkey") == 0)
+    assert(orphans("lineitem", "l_orderkey", "orders", "o_orderkey") == 0)
+    assert(orphans("lineitem", "l_partkey", "part", "p_partkey") == 0)
+    assert(orphans("events", "user_id", "customer", "c_custkey") == 0,
+      "events.user_id must keep joining c_custkey (broadcast_enrich contract)")
+    val ev = scaled("events")
+    assert(ev.agg(countDistinct(col("ts"))).head().getLong(0) == ev.count(),
+      "the +r microsecond shift must preserve the min_by/max_by uniqueness contract")
+  }
+
+  test("dup RATE stays constant: replicas do not shingle-match or exact-match each other") {
+    // exact text dups must scale linearly (within-replica structure
+    // preserved), never quadratically (replicas matching each other)
+    val bDup = { val d = base("documents"); d.count() - d.select("text").distinct().count() }
+    val sDup = { val d = scaled("documents"); d.count() - d.select("text").distinct().count() }
+    assert(sDup == factor * bDup,
+      s"exact-dup count must be x$factor (got $sDup vs base $bDup) — letter rotation broken?")
+    // embeddings: the dimension rotation keeps replicas apart — no vector
+    // equals its replica sibling
+    val e = scaled("embeddings").select(col("vec_id"), col("embedding"))
+    val v = base("embeddings").count()
+    val crossEq = e.as("a").join(e.as("b"),
+        col("a.vec_id") + lit(v) === col("b.vec_id") &&
+          col("a.embedding") === col("b.embedding")).count()
+    assert(crossEq == 0, s"$crossEq replica-pair embeddings identical — rotation broken?")
+  }
+
+  test("categorical columns and text lengths are preserved (selectivity must not scale)") {
+    for ((t, c) <- Seq("events" -> "event_type", "customer" -> "c_mktsegment",
+      "part" -> "p_type", "documents" -> "lang", "documents" -> "source")) {
+      val b = base(t).select(c).distinct().as[String].collect().toSet
+      val s = scaled(t).select(c).distinct().as[String].collect().toSet
+      assert(s == b, s"$t.$c domain changed: $s vs $b")
+    }
+    // translate is 1:1 — n_chars stays consistent with the rotated text
+    val bad = scaled("documents").filter(length(col("text")) =!= col("n_chars")).count()
+    val badBase = base("documents").filter(length(col("text")) =!= col("n_chars")).count()
+    assert(bad == factor * badBase, "letter rotation changed text lengths")
+  }
+}
