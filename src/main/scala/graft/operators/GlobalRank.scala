@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed GLOBAL row_number in a total order — the scalable form of
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY, which Spark
+  * plans as Exchange SinglePartition + one-reducer sort (WindowExec even
+  * logs "can cause serious performance degradation"). Found live by the
+  * round-10 partitionless-window audit under `gini_concentration` and
+  * `rfm_segmentation`: outputs were small enough to pass the
+  * orderedSmall guard while the window INPUT (every user) serialized
+  * through one task — at 10⁹ users, the hidden bottleneck.
+  *
+  * Same two-phase shape as [[PrefixSum]] (this is its COUNT
+  * specialization over arbitrary composite orders):
+  *
+  *  1. range-repartition + in-partition sort on the order columns —
+  *     partition i's keys all precede partition i+1's;
+  *  2. pass 1: one row-count per partition to the driver (P scalars);
+  *  3. pass 2: stream each partition once, rank = broadcast offset +
+  *     local position.
+  *
+  * RDD passes are justified here the way PrefixSum's are (SURVEY.md
+  * §7.3 preference (d)): position-in-partition is inherently sequential
+  * per partition and Catalyst has no distributed primitive for it. The
+  * slim projection is persisted so both passes observe ONE partitioning
+  * (a range-boundary drift between passes would corrupt ranks).
+  *
+  * The order must be a TOTAL order (include a unique tiebreak column)
+  * for the ranks to be deterministic — same contract as the window
+  * formulation it replaces.
+  */
+object GlobalRank {
+
+  /** `df` plus `rankCol` = 1-based global row number under `order`. */
+  def withGlobalRank(df: DataFrame, rankCol: String, order: Seq[Column],
+                     nParts: Int = 0): DataFrame = {
+    require(order.nonEmpty, "order columns required")
+    val spark = df.sparkSession
+    val nP = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
+    val parted = df
+      .repartitionByRange(nP, order: _*)
+      .sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = parted.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size.toLong)))
+      .collect().toMap
+    val maxPid = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets = Array.ofDim[Long](maxPid + 2)
+    (0 to maxPid).foreach(p => offsets(p + 1) = offsets(p) + counts.getOrElse(p, 0L))
+    val bc = spark.sparkContext.broadcast(offsets)
+    val ranked = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rk = bc.value(pid)
+      it.map { row => rk += 1; Row.fromSeq(row.toSeq :+ rk) }
+    }
+    spark.createDataFrame(ranked,
+      StructType(parted.schema.fields :+ StructField(rankCol, LongType, nullable = false)))
+  }
+
+  /** SQL-standard NTILE(k) from a global rank: bucket sizes differ by at
+    * most one, larger buckets first — `q = n div k`, `r = n mod k`,
+    * buckets 1..r hold q+1 rows. Pure integer expressions, identical in
+    * Spark and DuckDB, so entries stay hash-comparable to `ntile(k)
+    * OVER (ORDER BY ...)` oracles without the single-partition window.
+    */
+  def ntileFromRank(rk: Column, n: Column, k: Int): Column = {
+    import org.apache.spark.sql.functions.{floor, when}
+    // double-division floors are exact for counts < 2^52 — far beyond any
+    // rank this engine assigns (and the window ntile being replaced dies
+    // at ~2^31 rows in one task long before that)
+    val qi = floor(n.cast("double") / k).cast("long")
+    val r = n.cast("long") % k
+    val cut = r * (qi + 1) // rows in the first (bigger) buckets
+    when(rk <= cut, floor((rk - 1).cast("double") / (qi + 1)).cast("long") + 1)
+      .otherwise(r + floor((rk - cut - 1).cast("double") / qi).cast("long") + 1)
+  }
+}

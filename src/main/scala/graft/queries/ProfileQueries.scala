@@ -1138,7 +1138,7 @@ object ProfileQueries {
         ORDER BY user_id
       """.stripMargin.trim),
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        import graft.operators.GlobalRank
         val p = Tables.events(spark, dir)
           .filter(col("event_type") === "purchase")
           .groupBy("user_id")
@@ -1151,13 +1151,26 @@ object ProfileQueries {
           .select(col("user_id"),
             datediff(col("corpus_last"), col("last_day")).cast("long").as("recency_days"),
             col("freq"), col("monetary_cents"))
+        // r10: three GLOBAL ntiles used to be three unpartitioned windows
+        // — every user through one task, three times (the partitionless-
+        // window audit's biggest catch). Now: three two-phase GlobalRank
+        // passes (range-shuffled, parallel) + the SQL-standard ntile
+        // arithmetic from rank and a broadcast 1-row user count.
+        val withRanks = Seq[(String, Seq[org.apache.spark.sql.Column])](
+          ("_rk_r", Seq(col("recency_days"), col("user_id"))),
+          ("_rk_f", Seq(col("freq").desc, col("user_id"))),
+          ("_rk_m", Seq(col("monetary_cents").desc, col("user_id"))))
+          .foldLeft(r) { case (acc, (rc, ord)) =>
+            GlobalRank.withGlobalRank(acc, rc, ord)
+          }
+        val n = r.agg(count(lit(1)).cast("long").as("_n"))
         graft.Tails.orderedSmall(
-          r.select(
+          withRanks.crossJoin(broadcast(n)).select(
             col("user_id"), col("recency_days"), col("freq").cast("long").as("freq"),
             col("monetary_cents"),
-            ntile(4).over(Window.orderBy(col("recency_days"), col("user_id"))).cast("long").as("r_quartile"),
-            ntile(4).over(Window.orderBy(col("freq").desc, col("user_id"))).cast("long").as("f_quartile"),
-            ntile(4).over(Window.orderBy(col("monetary_cents").desc, col("user_id"))).cast("long").as("m_quartile")),
+            GlobalRank.ntileFromRank(col("_rk_r"), col("_n"), 4).as("r_quartile"),
+            GlobalRank.ntileFromRank(col("_rk_f"), col("_n"), 4).as("f_quartile"),
+            GlobalRank.ntileFromRank(col("_rk_m"), col("_n"), 4).as("m_quartile")),
           col("user_id"))
       }),
 
@@ -1184,13 +1197,15 @@ object ProfileQueries {
         FROM ranked
       """.stripMargin.trim),
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val u = Tables.events(spark, dir)
           .groupBy("user_id")
           .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-        val ranked = u.select(col("cents"),
-          row_number().over(Window.orderBy(col("cents"), col("user_id")))
-            .cast("long").as("rk"))
+        // r10: global rank via the two-phase GlobalRank operator, NOT
+        // row_number() over an unpartitioned window — that plan funnels
+        // every user through ONE task (caught by the partitionless-window
+        // audit; the small OUTPUT had let it pass the orderedSmall guard)
+        val ranked = graft.operators.GlobalRank
+          .withGlobalRank(u, "rk", Seq(col("cents"), col("user_id")))
         ranked.agg(
           count(lit(1)).as("n_users"),
           sum(col("cents")).as("total_cents"),

@@ -157,6 +157,32 @@ class PlanAuditSpec extends SparkSpec {
         s"use the fat-output sort pattern instead:\n${offenders.mkString("\n")}")
   }
 
+  // a PARTITIONLESS window serializes its whole INPUT through one task —
+  // invisible to the output-size audit above (the output can be tiny
+  // while 10⁹ rows crawl through the window). Only windows whose input
+  // is bounded by construction may use the shape:
+  private val boundedInputGlobalWindow = Set(
+    "company_registration", // dense-id assignment over ONE ingest batch's new companies
+    "seasonal_decompose",   // O(days) daily aggregate
+    "skew_diagnostics")     // O(shuffle.partitions) stats rows
+  test("no catalog query runs a partitionless window over unbounded input") {
+    // gini_concentration and rfm_segmentation used to fail this —
+    // row_number()/ntile() OVER (ORDER BY ...) across every user — and
+    // now rank through operators/GlobalRank's two-phase range shuffle.
+    // windowspecdefinition's FIRST argument being a sort direction means
+    // the partition clause is empty.
+    val re = """windowspecdefinition\([^,()]+ (ASC|DESC)""".r
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      !boundedInputGlobalWindow(name) && {
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+        re.findFirstIn(plan).isDefined
+      }
+    }
+    assert(offenders.isEmpty,
+      s"partitionless window over potentially unbounded input in: ${offenders.mkString(", ")}; " +
+        "rank with operators/GlobalRank or whitelist WITH a boundedness argument")
+  }
+
   test("winnow_rolling plans NO exchange before the determinism tail") {
     // the whole point of the native kernel: per-document work stays in
     // the row, so the only Exchange in the plan is the final
