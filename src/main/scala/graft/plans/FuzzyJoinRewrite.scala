@@ -46,15 +46,18 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
   * on the MISSING side, which double-negates into a set-difference the
   * optimizer cannot guarantee cheap. The
   * rule's own output contains a cross-side equi-conjunct, making it
-  * fixpoint-safe, and joins that already have one are left alone. The
-  * rule has no gram-frequency cap (a rewrite cannot aggregate);
-  * boilerplate-heavy corpora should call `FuzzyJoin.bestMatch` with its
-  * `maxGramDf` instead — same stance as RangeJoinRewrite's bucket knob.
+  * fixpoint-safe, and joins that already have one are left alone.
+  * Segment keys need no frequency cap (they are length- and
+  * position-qualified, so no single hot token makes a hot key) — which
+  * is also why the scheme fits a rewrite, where no aggregation is
+  * available to compute df stats.
   *
   * Knobs: `spark.graft.fuzzyJoin.enabled` (default true),
-  * `spark.graft.fuzzyJoin.q` (default 3), max rewritten distance 8
-  * (the length-key fan-out is 2d+1; past that the gram filter is too
-  * weak to help anyway).
+  * `spark.graft.fuzzyJoin.q` (default 3), max rewritten distance 4:
+  * the segment fan-out is (2d+1)²·(d+1) keys per left row (225 at d=4)
+  * and segment length L/(d+1) loses selectivity as d grows — past 4,
+  * no blocking scheme rescues the predicate and the nested loop is the
+  * honest plan.
   */
 object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -180,10 +183,10 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
     // one deterministic string expression per side under a lev bound
     val reading = conjuncts.flatMap(levReading).collectFirst {
-      case (a, b, d) if d >= 0 && d <= 8 && a.deterministic && b.deterministic &&
+      case (a, b, d) if d >= 0 && d <= 4 && a.deterministic && b.deterministic &&
           a.dataType == StringType && b.dataType == StringType &&
           onlyIn(a, left) && onlyIn(b, right) => (a, b, d)
-      case (a, b, d) if d >= 0 && d <= 8 && a.deterministic && b.deterministic &&
+      case (a, b, d) if d >= 0 && d <= 4 && a.deterministic && b.deterministic &&
           a.dataType == StringType && b.dataType == StringType &&
           onlyIn(b, left) && onlyIn(a, right) => (b, a, d)
     }
