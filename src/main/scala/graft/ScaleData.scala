@@ -67,6 +67,14 @@ object ScaleData {
   }
 
   def run(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
+    require(factor >= 1 && factor <= Common.length,
+      s"factor must be 1..${Common.length}: the letter rotation has only " +
+        s"${Common.length} distinct mappings, so a larger factor would repeat " +
+        "text content across replicas and inflate the corpus dup rate " +
+        "quadratically — exactly the artifact this generator exists to avoid. " +
+        "For larger multiples, compose runs (sf0.1 → sf1 → sf10 re-rotates " +
+        "ALREADY-rotated text and breaks distinctness too; instead scale the " +
+        "non-text tables separately, as the 50x fuzzy trend check did).")
     // key offsets = max+1 per keyspace, shared across the FK pairs. Small
     // offsets on purpose: vec_id must stay far below 2^31 for the packed
     // near-dup pair encoding, and dense keys keep joins realistic.
