@@ -320,10 +320,10 @@ object ScaleSmoke {
     }
 
     // blocked fuzzy join at the entity-resolution scale: 10k dirty
-    // probes (one char dropped) against 100k canonical names. The
-    // digit-trigram blocking keys have df ~800 at this corpus, so the
-    // candidate join stays ~10³ candidates per probe — never the
-    // 10k × 100k cartesian levenshtein
+    // probes (one char dropped) against 100k canonical names. PassJoin
+    // segment keys are length- and position-qualified exact substrings,
+    // so per-probe candidates stay small — never the 10k × 100k
+    // cartesian levenshtein
     timed("blocked fuzzy join, 10k probes vs 100k canonical names") {
       import graft.textops.TextAnalysis.{hashBucketExpr, hashRawExpr}
       val canon = spark.range(100000).selectExpr(

@@ -336,8 +336,8 @@ object JoinQueries {
     // extension of the reference's EXACT identity resolution. Distinctive
     // canonical names are synthesized from the supplier key (the shared
     // md5 idiom, so the oracle rebuilds byte-identical strings); each
-    // dirty probe drops one character. Candidates come from the trigram
-    // equi-join — never a |dirty|×|canon| cartesian levenshtein — and
+    // dirty probe drops one character. Candidates come from the PassJoin
+    // segment equi-join — never a |dirty|×|canon| cartesian levenshtein — and
     // every probe must find its source at distance 1 (ties broken
     // (dist, key) in both engines)
     QueryDef(
@@ -397,7 +397,7 @@ object JoinQueries {
 
     // the SAME fuzzy match written NAIVELY — a plain inner join on
     // `levenshtein(d_name, c_name) <= 2` with no blocking. Planable only
-    // because plans/FuzzyJoinRewrite rewrites it to the q-gram-blocked
+    // because plans/FuzzyJoinRewrite rewrites it to the segment-blocked
     // equi-join (PlanAuditSpec's catalog-wide no-cartesian audit covers
     // this entry); the oracle states the naive join directly. All pairs,
     // not the argmax: the rewrite must preserve join multiplicity
@@ -653,7 +653,7 @@ object JoinQueries {
 
     // Jaro-Winkler re-ranking on top of the blocked fuzzy candidates:
     // the entity-resolution two-phase shape — a cheap COMPLETE blocker
-    // (the proven trigram/length machinery, levenshtein ≤ 2) generates
+    // (the proven segment/length machinery, levenshtein ≤ 2) generates
     // candidates, then the finer edit-position-sensitive score picks the
     // winner. graft_jaro_winkler is the native codegen'd expression,
     // bit-compatible with DuckDB's jaro_winkler_similarity (floored
