@@ -117,6 +117,10 @@ object Tables {
       // the names — drop it so switching back re-registers
       registered.removeIf(k => k._1 == spark && k._2 != dir)
       all.foreach(n => canonical(spark, dir, n).createOrReplaceTempView(n))
+      // catalog introspection rides along (memoized with the views): the
+      // reference's diagnostics panel pastes information_schema SQL, so
+      // the ad-hoc surface must serve it with zero extra setup
+      graft.sql.Diagnostics.buildInformationSchema(spark, dir)
     }
   }
 }

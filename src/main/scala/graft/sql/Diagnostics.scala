@@ -29,9 +29,19 @@ object Diagnostics {
 
   /** Register `information_schema.tables` / `.columns` views describing
     * every graft view over `dir`. Idempotent; re-running refreshes.
+    * `Tables.registerAll` calls [[buildInformationSchema]] automatically,
+    * so any path through `Views.adhoc` serves the reference's diagnostics
+    * SQL with no extra setup; this entrypoint remains for callers who
+    * register their own view sets.
     */
   def registerInformationSchema(spark: SparkSession, dir: String): Unit = {
-    Tables.registerAll(spark, dir)
+    Tables.registerAll(spark, dir) // memoized; triggers buildInformationSchema
+  }
+
+  /** The view construction itself — called FROM Tables.registerAll, so it
+    * must not call back into it (the memo guard is already held).
+    */
+  private[graft] def buildInformationSchema(spark: SparkSession, dir: String): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
     val tableRows = Tables.all.map { t =>
       s"(${sqlLit("spark_catalog")}, ${sqlLit("public")}, ${sqlLit(t)}, ${sqlLit("BASE TABLE")})"

@@ -189,9 +189,10 @@ class SqlSurfaceSpec extends SparkSpec {
 
   test("reference diagnostics panel renders: information_schema verbatim + SHOW/DESCRIBE") {
     // the reference's run_diagnostics (dashboard/timescaledb_model.py:600,
-    // 638-644) pastes these two Postgres information_schema queries; after
-    // registerInformationSchema they run UNCHANGED on the Spark surface
-    graft.sql.Diagnostics.registerInformationSchema(spark, sf)
+    // 638-644) pastes these two Postgres information_schema queries; they
+    // run UNCHANGED through the plain ad-hoc surface — registerAll builds
+    // the information_schema views alongside the table views, so no
+    // explicit setup call appears here on purpose
     val tables = Views.adhoc(spark, sf,
       "SELECT table_name FROM information_schema.tables WHERE table_schema='public'")
       .as[String].collect().toSet
