@@ -11,6 +11,39 @@ import org.apache.spark.sql.functions._
 object ProfileQueries {
 
   val entries: Seq[QueryDef] = Seq(
+    // global percent_rank of every customer by account balance — the
+    // whole-population ranking primitive behind percentile features and
+    // leaderboards. The naive plan (`percent_rank() OVER (ORDER BY …)`,
+    // no PARTITION BY — exactly what the oracle states) serializes every
+    // row through ONE task; the engine computes the identical value from
+    // operators/GlobalRank's two-phase range-shuffled row number as
+    // (rk−1)/(n−1), with n attached as a broadcast 1-row aggregate. The
+    // partitionless-window plan audit keeps the naive shape banned.
+    QueryDef(
+      "global_percent_rank",
+      Some("""
+        SELECT c_custkey,
+               round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 4) AS pr
+        FROM customer
+        ORDER BY c_custkey
+      """.stripMargin.trim),
+      (spark, dir) => {
+        import graft.operators.GlobalRank
+        val c = Tables.customer(spark, dir).select("c_custkey", "c_acctbal")
+        val ranked = GlobalRank.withGlobalRank(c, "_rk",
+          Seq(col("c_acctbal"), col("c_custkey")))
+        val n = c.agg(count(lit(1)).cast("long").as("_n"))
+        graft.Tails.orderedSmall(
+          ranked.crossJoin(broadcast(n))
+            .select(col("c_custkey"),
+              // SQL defines percent_rank of a 1-row population as 0, and
+              // ANSI would throw on the 0 divisor — guard like the oracle
+              round(when(col("_n") > 1,
+                (col("_rk") - 1).cast("double") / (col("_n") - 1))
+                .otherwise(lit(0.0)), 4).as("pr")),
+          col("c_custkey"))
+      }),
+
     // A/B test readout: users deterministically hash-split into two
     // variants (the same md5-bucket idiom every sampler uses — no RNG, so
     // assignment is reproducible across engines and reruns); "converted" =

@@ -62,7 +62,8 @@ class PlanAuditSpec extends SparkSpec {
     "benford_digits",                                      // 1-row digit-total attach
     "basket_lift",                                         // 1-row order-total attach
     "skew_diagnostics",                                    // 1-row corpus-stats attach
-    "rfm_segmentation")                                    // 1-row corpus-last-day attach
+    "rfm_segmentation",                                    // 1-row corpus-last-day attach
+    "global_percent_rank")                                 // 1-row population-count attach
 
   test("prefix_search pushes StringStartsWith to the parquet scan") {
     val plan = SparkEntry.queries("prefix_search")(spark, sf)
