@@ -55,8 +55,14 @@ object Bench {
     // names for fast single-query iteration; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // correctness-only entries (oracle-dictated configs whose production
+    // twin is benched instead — SparkEntry.correctnessOnly) stay out of
+    // the headline unless explicitly requested via the ONLY filter; the
+    // JSON line declares the exclusion so the omission is auditable
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) =>
+        only.map(_.contains(n))
+          .getOrElse(!SparkEntry.correctnessOnly.contains(n)) }
     // A failed query reports -1, NEVER its elapsed time: time-to-exception
     // shrinks as failures fast-fail, so a crash would otherwise read as a
     // speedup (round-4 finding: a broken query's 7.2 s → 0.4 s "win" was
@@ -98,9 +104,14 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","n_failed":${failed.size}""" +
         failed.take(15).map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    val excluded = SparkEntry.correctnessOnly.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)) && !catalog.exists(_._1 == n))
+    val excludedJson =
+      if (excluded.isEmpty) ""
+      else excluded.map("\"" + _ + "\"").mkString(""","correctness_only":[""", ",", "]")
     def line(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum$failedJson}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum$failedJson$excludedJson}"""
     }
     // trim the per-query map (slowest first) until the line fits the
     // driver's 2000-byte stdout tail with margin
@@ -120,7 +131,7 @@ object Bench {
         val failedFull =
           if (failed.isEmpty) ""
           else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-        s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail$failedFull}""".getBytes("UTF-8")
+        s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail$failedFull$excludedJson}""".getBytes("UTF-8")
       })
     System.err.println(s"[bench] full per-query detail: $detailPath")
     spark.stop()

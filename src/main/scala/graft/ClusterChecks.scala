@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Multi-JVM execution evidence beyond the Verify catalog sweep: the
+  * fault-injection case that MUST cross a real process boundary to prove
+  * anything stronger than the in-JVM GraphSpec version.
+  *
+  * Everything else in the repo runs `local[n]` — one JVM, where closure
+  * "serialization" round-trips but transport, classloading, and task
+  * retry all shortcut through shared memory. `local-cluster[2,8,4096]`
+  * forks two REAL executor JVMs (standalone-mode worker launch path):
+  * closures and broadcasts cross process boundaries, shuffle goes over
+  * the block transfer service, and a retried task can land on the OTHER
+  * executor — the cluster semantics the reference's multi-container
+  * deployment (`docker/docker-compose.yml`) has and a 1000-executor job
+  * lives by.
+  *
+  * Checks:
+  *  1. reliable-checkpoint loop (MassFlow, 3 rounds) completes
+  *     IDENTICALLY through an injected first-attempt task failure, where
+  *     the retry crosses executor processes. Fire detection is marker
+  *     FILES (same-machine executors share /tmp): the GraphSpec version's
+  *     static-counter trick only works in-JVM — an executor's static is
+  *     not the driver's.
+  *  2. broadcast + custom codegen expression (graft_dot) evaluate on
+  *     remote executors — pins codegen classloading and broadcast
+  *     transport for the expression family the catalog leans on.
+  *
+  * Usage: SPARK_HOME=/opt/spark tools/run_main.sh graft.ClusterChecks
+  * (the Verify catalog sweep under the same master is driven separately:
+  * SPARK_GRAFT_MASTER=local-cluster[2,8,4096] graft.Verify ...).
+  */
+object ClusterChecks {
+
+  def main(args: Array[String]): Unit = {
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,8,4096]")
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft-cluster-checks")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.memory", "2g")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    var failed = 0
+    def check(name: String)(body: => Unit): Unit =
+      try { body; println(s"[cluster-checks] PASS $name") }
+      catch { case e: Throwable =>
+        failed += 1
+        println(s"[cluster-checks] FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+      }
+
+    check("executors are separate JVMs (driver pid not among executor pids)") {
+      val driverPid = ProcessHandle.current().pid()
+      val execPids = spark.sparkContext.parallelize(1 to 16, 16)
+        .map(_ => ProcessHandle.current().pid()).distinct().collect().toSet
+      require(!execPids.contains(driverPid),
+        s"tasks ran in the driver JVM (pid $driverPid) — master '$master' is not multi-process")
+      require(execPids.size >= 2, s"expected >= 2 executor JVMs, saw pids $execPids")
+      println(s"[cluster-checks]   driver pid $driverPid, executor pids ${execPids.toSeq.sorted}")
+    }
+
+    check("reliable-checkpoint loop survives a cross-process task retry identically") {
+      import graft.operators.MassFlow
+      val fireDir = java.nio.file.Files.createTempDirectory("graft-cluster-fire").toFile
+      val firePath = fireDir.getAbsolutePath
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 2L), (5L, 4L), (2L, 5L))
+        .toDF("src", "dst")
+      val expected = MassFlow.propagate(edges, iters = 3)
+        .as[(Long, Long)].collect().toMap
+      // Injection: first ATTEMPT of partition 0 in any stage evaluating
+      // the flaky column throws. attemptNumber survives process
+      // boundaries (it is task metadata, not JVM state); the marker file
+      // is the cross-JVM replacement for GraphSpec's static counter.
+      val flakyOnce = udf { (x: Long) =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 0) {
+          val f = new java.io.File(firePath,
+            s"fired-stage${tc.stageId()}-pid${ProcessHandle.current().pid()}")
+          f.createNewFile()
+          throw new RuntimeException("injected first-attempt failure (cluster)")
+        }
+        x
+      }
+      val ckDir = java.nio.file.Files.createTempDirectory("graft-cluster-ckpt").toString
+      val flakyEdges = edges.repartition(4).withColumn("src", flakyOnce($"src"))
+      val got = MassFlow.propagate(flakyEdges, iters = 3, checkpointDir = Some(ckDir))
+        .as[(Long, Long)].collect().toMap
+      val fires = Option(fireDir.listFiles()).getOrElse(Array.empty).map(_.getName).toSeq
+      require(fires.nonEmpty, "fault injection never fired — the check proved nothing")
+      require(got == expected,
+        s"loop result drifted across a cross-process retry: got $got want $expected")
+      println(s"[cluster-checks]   injection fired ${fires.size}x: ${fires.sorted.mkString(", ")}")
+    }
+
+    check("codegen expression + broadcast join evaluate on remote executors") {
+      val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      Tables.registerAll(spark, "/root/testdata/sf0.001")
+      // graft_dot is a custom codegen Expression: its generated class must
+      // load in the executor JVMs, not just the driver that compiled it
+      val q = spark.sql(
+        """SELECT count(*) AS n FROM (
+          |  SELECT graft_dot(a.embedding, b.embedding) AS d
+          |  FROM embeddings a JOIN embeddings b ON a.vec_id = b.vec_id + 1
+          |) WHERE d IS NOT NULL""".stripMargin)
+      val n = q.head().getLong(0)
+      require(n > 0, "expected non-empty dot-product join result")
+      val small = emb.select($"vec_id").limit(5)
+      val joined = emb.join(broadcast(small), "vec_id").count()
+      require(joined == 5, s"broadcast join over executors returned $joined rows, want 5")
+    }
+
+    spark.stop()
+    if (failed > 0) { println(s"[cluster-checks] $failed FAILED"); sys.exit(1) }
+    println("[cluster-checks] all checks passed")
+  }
+}

@@ -44,10 +44,23 @@ object ScaleData {
     * at r=0, 1:1 (length-preserving) for all r.
     */
   private val Common = "etaoinsrhl"
-  private def rotMap(r: Int): (String, String) = {
-    val k = ((r % Common.length) + Common.length) % Common.length
-    (Common, Common.drop(k) ++ Common.take(k))
+  /** Second, DISJOINT rotation alphabet (the next 10 commonest letters):
+    * composing rotations of two disjoint sets gives 10×10 = 100 distinct
+    * 1:1 text mappings — replica r applies primary rotation (r mod 10)
+    * and secondary rotation (r div 10). Two replicas share a mapping only
+    * if BOTH components match, and every testdata document contains
+    * letters from both sets (checked corpus-wide at sf0.001/sf0.1), so
+    * cross-replica shingle distinctness — the constant-dup-rate
+    * invariant — holds through factor 100, not just 10 (the r10 cap that
+    * forced the 50× fuzzy trend check onto a bespoke generator).
+    */
+  private val Common2 = "dcumfpgwyb"
+  private def rotOf(alpha: String, k0: Int): (String, String) = {
+    val k = ((k0 % alpha.length) + alpha.length) % alpha.length
+    (alpha, alpha.drop(k) ++ alpha.take(k))
   }
+  private def rotMap(r: Int): (String, String) = rotOf(Common, r % Common.length)
+  private def rotMap2(r: Int): (String, String) = rotOf(Common2, r / Common.length)
 
   def main(args: Array[String]): Unit = {
     val inDir = args(0)
@@ -67,14 +80,13 @@ object ScaleData {
   }
 
   def run(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
-    require(factor >= 1 && factor <= Common.length,
-      s"factor must be 1..${Common.length}: the letter rotation has only " +
-        s"${Common.length} distinct mappings, so a larger factor would repeat " +
-        "text content across replicas and inflate the corpus dup rate " +
-        "quadratically — exactly the artifact this generator exists to avoid. " +
-        "For larger multiples, compose runs (sf0.1 → sf1 → sf10 re-rotates " +
-        "ALREADY-rotated text and breaks distinctness too; instead scale the " +
-        "non-text tables separately, as the 50x fuzzy trend check did).")
+    val maxFactor = Common.length * Common2.length // 100 composed text mappings
+    require(factor >= 1 && factor <= maxFactor,
+      s"factor must be 1..$maxFactor: the composed letter rotation " +
+        s"(${Common.length} primary x ${Common2.length} secondary) has exactly " +
+        s"$maxFactor distinct mappings — a larger factor would repeat text " +
+        "content across replicas and inflate the corpus dup rate " +
+        "quadratically, exactly the artifact this generator exists to avoid.")
     // key offsets = max+1 per keyspace, shared across the FK pairs. Small
     // offsets on purpose: vec_id must stay far below 2^31 for the packed
     // near-dup pair encoding, and dense keys keep joins realistic.
@@ -124,20 +136,52 @@ object ScaleData {
       shiftKeys(df, r, "event_id" -> E, "user_id" -> C)
         .withColumn("ts", expr(s"timestampadd(MICROSECOND, $r, ts)").cast("timestamp_ntz"))
     })
+    // The +r µs shift preserves GLOBAL ts uniqueness only while base
+    // events sit ≥ factor µs apart — true of the driver testdata today,
+    // but a denser feed (or a bigger factor) breaks it SILENTLY, and with
+    // it the catalog's min_by/max_by determinism contract. Assert on the
+    // written output (one cheap agg vs the generation cost), not in a
+    // small-config spec that never sees the dense case.
+    locally {
+      val scaled = Tables.events(spark, outDir)
+      val Array(total, distinct) = scaled
+        .agg(count(lit(1)).cast("long"), countDistinct(col("ts")).cast("long"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      require(total == distinct,
+        s"scaled events.ts not globally unique ($distinct distinct of $total rows): " +
+          s"base events closer than $factor µs apart — the +r µs replica shift " +
+          "collided. Use a wider shift (e.g. +r·gap) or a sparser base feed; " +
+          "min_by/max_by catalog determinism does not survive ts ties.")
+      println(s"[scaledata] events.ts uniqueness verified: $total rows, $distinct distinct")
+    }
 
     write("documents", replicate(docs, 8) { (df, r) =>
-      val (from, to) = rotMap(r)
-      shiftKeys(df, r, "doc_id" -> D)
-        .withColumn("text", if (r == 0) col("text") else translate(col("text"), from, to))
+      val (f1, t1) = rotMap(r)
+      val (f2, t2) = rotMap2(r)
+      val rotated = Seq((f1, t1), (f2, t2)).foldLeft(col("text")) {
+        case (c, (from, to)) => if (from == to) c else translate(c, from, to)
+      }
+      shiftKeys(df, r, "doc_id" -> D).withColumn("text", rotated)
     })
 
+    // embeddings: cyclic dimension rotation (r mod dim) composed with
+    // whole-vector negation ((r div dim) odd) — both orthogonal, so
+    // WITHIN-replica cosines are exact-preserved, while cross-replica
+    // cosines of noise vectors stay ~0 (rotation) or negate (which near-
+    // dup thresholds θ>0 never match). 2·dim distinct transforms covers
+    // factor 100 at dim=64.
+    require(factor <= 2 * dim,
+      s"embedding transform space is 2*dim=${2 * dim} < factor=$factor")
     write("embeddings", replicate(emb, 4) { (df, r) =>
       val rot = r % dim
+      val neg = (r / dim) % 2 == 1
+      val rotated =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
       shiftKeys(df, r, "vec_id" -> V)
         .withColumn("embedding",
-          if (rot == 0) col("embedding")
-          else concat(slice(col("embedding"), rot + 1, dim - rot),
-            slice(col("embedding"), 1, rot)))
+          if (neg) transform(rotated, x => -x) else rotated)
     })
 
     println(s"[scaledata] done: $outDir at ${factor}x of $inDir")

@@ -11,14 +11,28 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — the multi-JVM
+    // evidence run uses local-cluster[2,8,4096] (separate EXECUTOR
+    // processes: real closure serialization, broadcast transport, and
+    // shuffle-over-network instead of same-JVM shortcuts). Executors
+    // forked by the worker need this application's classes on THEIR
+    // classpath (local[] inherits them; separate JVMs do not) — pass the
+    // driver's own classpath through, same-machine by definition here.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Failures must be LOUD: a silently-absent result dir reads as "query

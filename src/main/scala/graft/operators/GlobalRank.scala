@@ -23,9 +23,28 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * RDD passes are justified here the way PrefixSum's are (SURVEY.md
   * §7.3 preference (d)): position-in-partition is inherently sequential
-  * per partition and Catalyst has no distributed primitive for it. The
-  * slim projection is persisted so both passes observe ONE partitioning
-  * (a range-boundary drift between passes would corrupt ranks).
+  * per partition and Catalyst has no distributed primitive for it.
+  *
+  * Why both passes observe ONE partitioning — structurally, with no
+  * cache in the way (the r10 form persisted the projection, which leaked
+  * MEMORY_AND_DISK partitions into the session per call and, at 10⁹
+  * rows, cached the whole population to protect against a drift that the
+  * execution model already rules out):
+  *
+  *  - `Dataset.rdd` is a memoized lazy val, so every `parted.rdd` below
+  *    is the SAME RDD instance over the same physical plan;
+  *  - the plan's ShuffleExchangeExec computes its ShuffleDependency —
+  *    and with it the RangePartitioner's sampled boundaries — exactly
+  *    once per instance (memoized field), so the range layout is FIXED
+  *    on the driver before either job runs;
+  *  - the DAGScheduler reuses a computed shuffle map stage across jobs
+  *    on the same dependency, so pass 2 reads the shuffle files pass 1
+  *    materialized (the shuffle itself is the cache — no persist);
+  *  - and if an executor dies and a partition must be recomputed, it is
+  *    re-shuffled through the SAME fixed boundaries and re-sorted under
+  *    the same total order — bit-identical, so ranks cannot drift even
+  *    across partial recomputation (the cluster-loss case a persist
+  *    could never protect anyway, since eviction recomputes too).
   *
   * The order must be a TOTAL order (include a unique tiebreak column)
   * for the ranks to be deterministic — same contract as the window
@@ -35,14 +54,24 @@ object GlobalRank {
 
   /** `df` plus `rankCol` = 1-based global row number under `order`. */
   def withGlobalRank(df: DataFrame, rankCol: String, order: Seq[Column],
-                     nParts: Int = 0): DataFrame = {
+                     nParts: Int = 0): DataFrame =
+    withGlobalRankAndCount(df, rankCol, order, nParts)._1
+
+  /** Like [[withGlobalRank]], plus the TOTAL row count — pass 1 already
+    * sums the per-partition counts on the driver, so the population size
+    * is free. Callers that would otherwise attach `count(*)` as a 1-row
+    * broadcast (percent_rank's divisor, NTILE's n) should take it from
+    * here as a literal instead: one fewer aggregate, no scalar-attach
+    * join in the plan at all.
+    */
+  def withGlobalRankAndCount(df: DataFrame, rankCol: String, order: Seq[Column],
+                             nParts: Int = 0): (DataFrame, Long) = {
     require(order.nonEmpty, "order columns required")
     val spark = df.sparkSession
     val nP = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
     val parted = df
       .repartitionByRange(nP, order: _*)
       .sortWithinPartitions(order: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = parted.rdd
       .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size.toLong)))
       .collect().toMap
@@ -54,8 +83,9 @@ object GlobalRank {
       var rk = bc.value(pid)
       it.map { row => rk += 1; Row.fromSeq(row.toSeq :+ rk) }
     }
-    spark.createDataFrame(ranked,
+    val out = spark.createDataFrame(ranked,
       StructType(parted.schema.fields :+ StructField(rankCol, LongType, nullable = false)))
+    (out, offsets(maxPid + 1))
   }
 
   /** SQL-standard NTILE(k) from a global rank: bucket sizes differ by at

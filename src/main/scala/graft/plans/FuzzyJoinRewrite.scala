@@ -54,7 +54,7 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
   *
   * Knobs: `spark.graft.fuzzyJoin.enabled` (default true),
   * `spark.graft.fuzzyJoin.q` (default 3), max rewritten distance 4:
-  * the segment fan-out is (2d+1)²·(d+1) keys per left row (225 at d=4)
+  * the segment fan-out is (2d+1)²·(d+1) keys per left row (405 at d=4)
   * and segment length L/(d+1) loses selectivity as d grows — past 4,
   * no blocking scheme rescues the predicate and the nested loop is the
   * honest plan.

@@ -30,18 +30,24 @@ object ProfileQueries {
       (spark, dir) => {
         import graft.operators.GlobalRank
         val c = Tables.customer(spark, dir).select("c_custkey", "c_acctbal")
-        val ranked = GlobalRank.withGlobalRank(c, "_rk",
+        // population size comes FREE from the rank's own pass-1 offsets —
+        // no count(*) aggregate, no 1-row broadcast attach in the plan
+        val (ranked, n) = GlobalRank.withGlobalRankAndCount(c, "_rk",
           Seq(col("c_acctbal"), col("c_custkey")))
-        val n = c.agg(count(lit(1)).cast("long").as("_n"))
-        graft.Tails.orderedSmall(
-          ranked.crossJoin(broadcast(n))
-            .select(col("c_custkey"),
-              // SQL defines percent_rank of a 1-row population as 0, and
-              // ANSI would throw on the 0 divisor — guard like the oracle
-              round(when(col("_n") > 1,
-                (col("_rk") - 1).cast("double") / (col("_n") - 1))
-                .otherwise(lit(0.0)), 4).as("pr")),
-          col("c_custkey"))
+        // The output is population-sized BY CONSTRUCTION — the one tail in
+        // the catalog that grows O(n) — so orderedSmall's single sorted
+        // partition is the wrong shape (it would re-serialize the whole
+        // ranking through one task, un-doing GlobalRank's point, and trip
+        // the funnel audit at larger SFs). Fat-output pattern (Tails doc):
+        // range-sort the NARROW columns, project the derived pr AFTER —
+        // total order preserved, no Exchange SinglePartition anywhere.
+        ranked
+          .orderBy(col("c_custkey"))
+          .select(col("c_custkey"),
+            // SQL defines percent_rank of a 1-row population as 0, and
+            // ANSI would throw on the 0 divisor — guard like the oracle
+            round(if (n > 1) (col("_rk") - 1).cast("double") / lit(n - 1.0)
+                  else lit(0.0), 4).as("pr"))
       }),
 
     // A/B test readout: users deterministically hash-split into two
@@ -1188,23 +1194,30 @@ object ProfileQueries {
         // — every user through one task, three times (the partitionless-
         // window audit's biggest catch). Now: three two-phase GlobalRank
         // passes (range-shuffled, parallel) + the SQL-standard ntile
-        // arithmetic from rank and a broadcast 1-row user count.
+        // arithmetic from rank, with the population count taken from the
+        // rank's own pass-1 offsets (r11) — no count(*) attach needed.
+        var n = 0L
         val withRanks = Seq[(String, Seq[org.apache.spark.sql.Column])](
           ("_rk_r", Seq(col("recency_days"), col("user_id"))),
           ("_rk_f", Seq(col("freq").desc, col("user_id"))),
           ("_rk_m", Seq(col("monetary_cents").desc, col("user_id"))))
           .foldLeft(r) { case (acc, (rc, ord)) =>
-            GlobalRank.withGlobalRank(acc, rc, ord)
+            val (out, cnt) = GlobalRank.withGlobalRankAndCount(acc, rc, ord)
+            n = cnt // rank passes preserve rows: any pass's total is |r|
+            out
           }
-        val n = r.agg(count(lit(1)).cast("long").as("_n"))
-        graft.Tails.orderedSmall(
-          withRanks.crossJoin(broadcast(n)).select(
+        // user-grain output grows O(population) — fat-output tail (range
+        // sort of the narrow ranked columns, quartile arithmetic projected
+        // after), not orderedSmall's single sorted partition (r11; same
+        // reasoning as global_percent_rank)
+        withRanks
+          .orderBy(col("user_id"))
+          .select(
             col("user_id"), col("recency_days"), col("freq").cast("long").as("freq"),
             col("monetary_cents"),
-            GlobalRank.ntileFromRank(col("_rk_r"), col("_n"), 4).as("r_quartile"),
-            GlobalRank.ntileFromRank(col("_rk_f"), col("_n"), 4).as("f_quartile"),
-            GlobalRank.ntileFromRank(col("_rk_m"), col("_n"), 4).as("m_quartile")),
-          col("user_id"))
+            GlobalRank.ntileFromRank(col("_rk_r"), lit(n), 4).as("r_quartile"),
+            GlobalRank.ntileFromRank(col("_rk_f"), lit(n), 4).as("f_quartile"),
+            GlobalRank.ntileFromRank(col("_rk_m"), lit(n), 4).as("m_quartile"))
       }),
 
     // Gini coefficient of activity concentration (who generates the

@@ -67,17 +67,31 @@ object Similarity {
       threshold: Double,
       targetRecall: Double = 0.95,
       maxBucketLoad: Double = 2.0,
-      sigBits: Int = 64): (Int, Int) = {
+      sigBits: Int = 64,
+      maxTables: Int = 512): (Int, Int) = {
     require(n > 0 && threshold > 0 && threshold < 1 &&
-      targetRecall > 0 && targetRecall < 1 && maxBucketLoad > 0,
+      targetRecall > 0 && targetRecall < 1 && maxBucketLoad > 0 && maxTables > 0,
       s"bad lshConfigFor args: n=$n θ=$threshold R=$targetRecall load=$maxBucketLoad")
     val bandBits = math.min(sigBits / 2, math.max(8,
       math.ceil(math.log(n / maxBucketLoad) / math.log(2)).toInt))
     val pBit = 1.0 - math.acos(threshold) / math.Pi
     val pBand = math.pow(pBit, bandBits)
-    val tables = math.min(512, math.max(4,
-      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
-    (tables, bandBits)
+    val needed = math.max(4,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+    // The cap must not bind SILENTLY: at moderate thresholds and large n
+    // (e.g. θ=0.8, n=2·10⁹ → bandBits=30, p_band≈10⁻³, ~2,900 tables)
+    // truncating to maxTables would ship a config whose actual recall is
+    // far below the stated target — a contract violation the caller
+    // cannot see. Fail loudly with the achievable recall; the caller
+    // either raises maxTables (paying the hash/shuffle cost), lowers the
+    // recall target, or moves to a denser signature (sigBits).
+    require(needed <= maxTables, {
+      val achievable = 1.0 - math.pow(1.0 - pBand, maxTables)
+      f"lshConfigFor: recall target $targetRecall at θ=$threshold, n=$n needs " +
+        f"$needed tables (cap $maxTables — achievable recall at the cap: " +
+        f"$achievable%.3f). Raise maxTables, lower targetRecall, or use more sigBits."
+    })
+    (needed, bandBits)
   }
 
   /** cosine = dot / (√norm2_a · √norm2_b); null-safe on zero vectors */

@@ -40,8 +40,27 @@ object Diagnostics {
 
   /** The view construction itself — called FROM Tables.registerAll, so it
     * must not call back into it (the memo guard is already held).
+    *
+    * Failure here must DEGRADE, not propagate: the views live in the
+    * session catalog (`CREATE DATABASE` + `CREATE VIEW`), which needs a
+    * writable warehouse/metastore. In a read-only or locked-down
+    * deployment that DDL throws — and since `Tables.registerAll` calls
+    * this on every ad-hoc path, an unguarded throw would take down ALL
+    * `Views.adhoc` queries to buy an introspection nicety. Log and
+    * continue: the data views still work; only the pasted
+    * information_schema SQL loses its target (and says so in the log).
     */
-  private[graft] def buildInformationSchema(spark: SparkSession, dir: String): Unit = {
+  private[graft] def buildInformationSchema(spark: SparkSession, dir: String): Unit =
+    try buildInformationSchemaOrThrow(spark, dir)
+    catch {
+      case e: Exception =>
+        System.err.println(
+          s"[graft] information_schema views unavailable (catalog not writable?): " +
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")} — " +
+            "data views registered; diagnostics SQL against information_schema will not resolve")
+    }
+
+  private def buildInformationSchemaOrThrow(spark: SparkSession, dir: String): Unit = {
     spark.sql("CREATE DATABASE IF NOT EXISTS information_schema")
     val tableRows = Tables.all.map { t =>
       s"(${sqlLit("spark_catalog")}, ${sqlLit("public")}, ${sqlLit(t)}, ${sqlLit("BASE TABLE")})"

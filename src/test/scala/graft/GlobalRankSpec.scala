@@ -49,4 +49,44 @@ class GlobalRankSpec extends SparkSpec {
     val out = GlobalRank.withGlobalRank(randDf(5, 9).limit(0), "rk", Seq($"v"))
     assert(out.columns.contains("rk") && out.count() == 0)
   }
+
+  test("no persisted RDDs leak from the GlobalRank catalog entries (r10 leak regression)") {
+    // r10's withGlobalRank persisted its projection MEMORY_AND_DISK and
+    // never released it: three catalog entries call it per execution and
+    // the n=5 bench loops rebuilt queries, so a long-lived session
+    // accumulated stale cached partitions until LRU pressure. The r11
+    // form holds NO storage at all (the shuffle files are the reuse
+    // mechanism) — pin that with the exact assertion the verdict asked
+    // for: back-to-back entry runs leave getPersistentRDDs empty.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    Seq("global_percent_rank", "gini_concentration", "rfm_segmentation").foreach { name =>
+      SparkEntry.queries(name)(spark, sf).count()
+      ()
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs
+    assert(leaked.isEmpty,
+      s"GlobalRank entries left ${leaked.size} persisted RDD(s) in the session: " +
+        leaked.values.map(_.name).mkString(", "))
+  }
+
+  test("ranks are stable across re-evaluation and cache clearing (no hidden cache dependence)") {
+    // The two-pass rank is correct only if pass 2 observes the SAME range
+    // partitioning pass 1 counted — guaranteed structurally (one Dataset
+    // instance, one memoized ShuffleDependency, fixed RangePartitioner
+    // boundaries), NOT by cache state. Evaluate the same ranked frame
+    // repeatedly with clearCache() in between: identical ranks each time.
+    val df = randDf(400, 17)
+    val ranked = GlobalRank.withGlobalRank(df, "rk", Seq($"v".desc, $"id"), nParts = 8)
+      .select($"id", $"rk")
+    val first = ranked.as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    val second = ranked.as[(Long, Long)].collect().toMap
+    spark.catalog.clearCache()
+    // and a FRESH build over the same input must agree too (fixed total
+    // order → unique answer regardless of sampling-boundary draw)
+    val rebuilt = GlobalRank.withGlobalRank(df, "rk", Seq($"v".desc, $"id"), nParts = 8)
+      .select($"id", $"rk").as[(Long, Long)].collect().toMap
+    assert(second == first, "re-evaluating the same ranked frame drifted after clearCache")
+    assert(rebuilt == first, "a fresh rank build over identical input disagreed")
+  }
 }

@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 /** ScaleData generates the sf1/sfN testdata the SCALE.md scaling audit
   * measures against — so its replication invariants are load-bearing:
   * if they drift, every per-query scaling ratio in the audit measures
-  * the generator, not the engine. Pinned here at factor 3 over sf0.001
-  * (same code path as the audit's factor 10 over sf0.1).
+  * the generator, not the engine. Pinned here at factor 100 over
+  * sf0.001 — the FULL composed-rotation space (same code path as the
+  * audit's factor 10/100 over sf0.1): r=10.. exercises the secondary
+  * letter rotation, r=64.. the embedding negation tier, and 100 is the
+  * exact mapping-count boundary the require() guards.
   */
 class ScaleDataSpec extends SparkSpec {
   import spark.implicits._
 
-  private val factor = 3
+  private val factor = 100
   private lazy val outDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-scaledata").toString
     ScaleData.run(spark, sf, dir, factor)
@@ -54,14 +57,14 @@ class ScaleDataSpec extends SparkSpec {
     val sDup = { val d = scaled("documents"); d.count() - d.select("text").distinct().count() }
     assert(sDup == factor * bDup,
       s"exact-dup count must be x$factor (got $sDup vs base $bDup) — letter rotation broken?")
-    // embeddings: the dimension rotation keeps replicas apart — no vector
-    // equals its replica sibling
-    val e = scaled("embeddings").select(col("vec_id"), col("embedding"))
-    val v = base("embeddings").count()
-    val crossEq = e.as("a").join(e.as("b"),
-        col("a.vec_id") + lit(v) === col("b.vec_id") &&
-          col("a.embedding") === col("b.embedding")).count()
-    assert(crossEq == 0, s"$crossEq replica-pair embeddings identical — rotation broken?")
+    // embeddings: the rotation x negation transforms keep ALL replicas
+    // apart — exact-dup vector count scales linearly like the text (any
+    // cross-replica collision would break the == factor·base identity)
+    val bEDup = { val d = base("embeddings"); d.count() - d.select("embedding").distinct().count() }
+    val sEDup = { val d = scaled("embeddings"); d.count() - d.select("embedding").distinct().count() }
+    assert(sEDup == factor * bEDup,
+      s"embedding exact-dup count must be x$factor (got $sEDup vs base $bEDup) — " +
+        "rotation/negation transform space broken?")
   }
 
   test("categorical columns and text lengths are preserved (selectivity must not scale)") {

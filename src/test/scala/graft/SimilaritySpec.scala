@@ -125,6 +125,24 @@ class SimilaritySpec extends SparkSpec {
       assert(truth.exceptAll(lsh).isEmpty, "auto-sized LSH missed exact pairs at 0.8")
   }
 
+  test("lshConfigFor refuses to silently truncate the table count at its cap") {
+    // θ=0.8 at n=2·10⁹: bandBits=30 → p_band≈10⁻³ → ~2,900 tables needed
+    // for 0.95 recall. The old code capped at 512 and returned a config
+    // whose real recall is ~0.4 — with no signal. The contract now: the
+    // cap binding is an ERROR stating the needed count and the achievable
+    // recall, and raising maxTables restores the honest config.
+    val e = intercept[IllegalArgumentException] {
+      Similarity.lshConfigFor(2_000_000_000L, threshold = 0.8)
+    }
+    assert(e.getMessage.contains("achievable recall"), e.getMessage)
+    // raised cap → the full (needed, bits) config comes back and its
+    // stated recall algebra actually clears the target
+    val (t, b) = Similarity.lshConfigFor(2_000_000_000L, threshold = 0.8, maxTables = 10000)
+    val p = math.pow(1.0 - math.acos(0.8) / math.Pi, b)
+    assert(t > 512, s"cap raise should expose the true need, got $t")
+    assert(1.0 - math.pow(1.0 - p, t) >= 0.95 - 1e-9, s"config ($t,$b) misses target")
+  }
+
   test("dedup_embedding physical plan contains no cartesian product") {
     val plan = Similarity.nearDupPairs(Tables.embeddings(spark, sf), threshold = 0.4,
         tables = 128, bandBits = 4)
