@@ -104,14 +104,23 @@ object ClusterChecks {
       val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       Tables.registerAll(spark, "/root/testdata/sf0.001")
       // graft_dot is a custom codegen Expression: its generated class must
-      // load in the executor JVMs, not just the driver that compiled it
+      // load in the executor JVMs, not just the driver that compiled it.
+      // Inputs are quantized to int64 per the expression's contract —
+      // and the raw-float misuse must die at ANALYSIS, not in an executor
       val q = spark.sql(
         """SELECT count(*) AS n FROM (
-          |  SELECT graft_dot(a.embedding, b.embedding) AS d
-          |  FROM embeddings a JOIN embeddings b ON a.vec_id = b.vec_id + 1
+          |  SELECT graft_dot(a.q, b.q) AS d
+          |  FROM (SELECT vec_id, transform(embedding, x -> cast(round(x * 10000) as bigint)) AS q
+          |        FROM embeddings) a
+          |  JOIN (SELECT vec_id, transform(embedding, x -> cast(round(x * 10000) as bigint)) AS q
+          |        FROM embeddings) b ON a.vec_id = b.vec_id + 1
           |) WHERE d IS NOT NULL""".stripMargin)
       val n = q.head().getLong(0)
       require(n > 0, "expected non-empty dot-product join result")
+      val analysisErr =
+        try { spark.sql("SELECT graft_dot(embedding, embedding) FROM embeddings").head(); false }
+        catch { case e: org.apache.spark.sql.AnalysisException => true }
+      require(analysisErr, "graft_dot on raw float arrays must fail analysis, not codegen")
       val small = emb.select($"vec_id").limit(5)
       val joined = emb.join(broadcast(small), "vec_id").count()
       require(joined == 5, s"broadcast join over executors returned $joined rows, want 5")

@@ -20,8 +20,23 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class DotProductI64(left: Expression, right: Expression)
     extends BinaryExpression {
-  // callers guarantee array<bigint> inputs (AbstractDataType — the type
-  // contract mechanism — is private[sql], so no ExpectsInputTypes here)
+  // checkInputDataTypes rather than ExpectsInputTypes (AbstractDataType is
+  // private[sql] in Spark 4): the generated loop reads elements as LONG,
+  // so a raw float embedding passed from ad-hoc SQL without quantizing
+  // must be an ANALYSIS error — unchecked it surfaces as an
+  // UnsupportedOperationException from the parquet dictionary reader deep
+  // inside codegen (found by the r11 local-cluster checks)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    import org.apache.spark.sql.types.ArrayType
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot requires two ARRAY<BIGINT> arguments, got ${l.sql} and ${r.sql}; " +
+          "quantize float embeddings first (e.g. transform(e, x -> cast(round(x * 10000) as bigint)))")
+    }
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_dot"
   // null result for ragged/null-element inputs, not only null inputs

@@ -125,6 +125,25 @@ class SimilaritySpec extends SparkSpec {
       assert(truth.exceptAll(lsh).isEmpty, "auto-sized LSH missed exact pairs at 0.8")
   }
 
+  test("graft_dot rejects raw float arrays at analysis time (codegen reads int64)") {
+    // without the type check, array<float> inputs compile to getLong over
+    // a float column vector and die in the parquet dictionary reader on
+    // the EXECUTOR (r11 local-cluster find) — the misuse must be an
+    // AnalysisException naming the quantization fix instead
+    Tables.registerAll(spark, sf)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(embedding, embedding) FROM embeddings").head()
+    }
+    assert(e.getMessage.contains("ARRAY<BIGINT>"), e.getMessage)
+    // and the quantized contract path still works
+    val ok = spark.sql(
+      """SELECT graft_dot(q, q) AS n2 FROM
+        |  (SELECT transform(embedding, x -> cast(round(x * 10000) as bigint)) AS q
+        |   FROM embeddings LIMIT 3)""".stripMargin)
+      .collect()
+    assert(ok.length == 3 && ok.forall(!_.isNullAt(0)))
+  }
+
   test("lshConfigFor refuses to silently truncate the table count at its cap") {
     // θ=0.8 at n=2·10⁹: bandBits=30 → p_band≈10⁻³ → ~2,900 tables needed
     // for 0.95 recall. The old code capped at 512 and returned a config
