@@ -37,9 +37,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions default to the thread count (right for sf0.1),
+    // but scale audits at 10-100x the data must size partitions to FIT
+    // MEMORY, not to core count — the same knob a real cluster turns
+    // (SCALE.md sf10 audit: 59M-edge graph rounds at 32 partitions put
+    // ~2M edges per task and OOMed a 24g heap; 128 partitions fit)
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
