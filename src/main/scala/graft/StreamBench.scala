@@ -45,6 +45,25 @@ object StreamBench {
     val work = java.nio.file.Files.createTempDirectory("graft-streambench").toString
     def dir(n: String) = { val d = s"$work/$n"; new java.io.File(d).mkdirs(); d }
 
+    // Write a time-ordered feed as N files whose MODIFICATION TIMES
+    // strictly increase with event time: FileStreamSource orders new
+    // files by (mtime, path), and one parallel write job finishes its
+    // part-files in arbitrary task order — replaying that delivers
+    // batches out of event-time order, the watermark jumps to the span's
+    // end after batch 1, and everything later is dropped as late
+    // (measured: 2.5M of 7.5M dedup survivors before this). Sequential
+    // per-slice writes are the replay contract a real archive loader
+    // meets by construction (files land in arrival order).
+    def writeTimeOrdered(df: org.apache.spark.sql.DataFrame, sliceExpr: org.apache.spark.sql.Column,
+                         out: String, slices: Int): Unit = {
+      val sliced = df.withColumn("_slice", sliceExpr)
+      for (i <- 0 until slices) {
+        sliced.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.mode("append").parquet(out)
+        Thread.sleep(60) // ms-resolution mtimes must strictly increase
+      }
+    }
+
     // ---- generated tick feed: 2,000 instruments, ~30 days, values move
     // ±2% around a per-key base so the compressor keeps a realistic
     // fraction (not everything, not nothing). 32 files so
@@ -53,17 +72,20 @@ object StreamBench {
     val nKeys = 2000
     val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
     val secondsSpan = 30L * 86400
-    spark.range(nRows)
-      .select(
-        (col("id") % nKeys).as("key"),
-        // deterministic pseudo-noise from the row id (no rand(): reruns
-        // must measure the same workload)
-        ((lit(t0) + (col("id") * lit(secondsSpan) / nRows).cast("long")) * 1000000L +
-          (col("id") % nKeys)).as("tsMicros"),
-        (lit(100.0) * (lit(1.0) + ((pmod(hash(col("id")), lit(1000)) - 500) / 25000.0)))
-          .as("value"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(ticksDir)
+    val slices = 32
+    writeTimeOrdered(
+      spark.range(nRows)
+        .select(
+          col("id"),
+          (col("id") % nKeys).as("key"),
+          // deterministic pseudo-noise from the row id (no rand(): reruns
+          // must measure the same workload); id is monotone in event time
+          ((lit(t0) + (col("id") * lit(secondsSpan) / nRows).cast("long")) * 1000000L +
+            (col("id") % nKeys)).as("tsMicros"),
+          (lit(100.0) * (lit(1.0) + ((pmod(hash(col("id")), lit(1000)) - 500) / 25000.0)))
+            .as("value")),
+      sliceExpr = (col("id") * slices / nRows).cast("int"),
+      out = ticksDir, slices = slices)
     val ticksSchema = spark.read.parquet(ticksDir)
 
     def progressStats(q: org.apache.spark.sql.streaming.StreamingQuery):
@@ -96,16 +118,18 @@ object StreamBench {
     // (every 4th row repeats the previous row's content + timestamp —
     // the at-least-once replay shape the stage exists to absorb)
     val docsDir = dir("docs")
-    spark.range(nRows)
-      .select(
-        col("id"),
-        timestamp_micros((lit(t0) + (col("id") * lit(secondsSpan) / nRows).cast("long")) * 1000000L)
-          .as("ts"),
-        concat(lit("doc-"), (col("id") - (col("id") % 4) / lit(3) * lit(1)).cast("string"),
-          lit(" body "), pmod(hash(col("id") - (col("id") % 4) / lit(3)), lit(100000)).cast("string"))
-          .as("text"))
-      .repartition(32)
-      .write.mode("overwrite").parquet(docsDir)
+    val srcId = when(col("id") % 4 === 3, col("id") - 1).otherwise(col("id"))
+    writeTimeOrdered(
+      spark.range(nRows)
+        .select(
+          col("id"),
+          timestamp_micros((lit(t0) + (col("id") * lit(secondsSpan) / nRows).cast("long")) * 1000000L)
+            .as("ts"),
+          concat(lit("doc-"), srcId.cast("string"),
+            lit(" body "), pmod(hash(srcId), lit(100000)).cast("string"))
+            .as("text")),
+      sliceExpr = (col("id") * slices / nRows).cast("int"),
+      out = docsDir, slices = slices)
     val docsSchema = spark.read.parquet(docsDir)
     val d0 = System.nanoTime()
     val docs = StreamingCandles.fileStream(spark, docsDir, docsSchema, maxFilesPerTrigger = 4)
