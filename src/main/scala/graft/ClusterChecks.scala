@@ -1,5 +1,6 @@
 package graft
 
+import graft.streaming.StreamingCandles
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -124,6 +125,51 @@ object ClusterChecks {
       val small = emb.select($"vec_id").limit(5)
       val joined = emb.join(broadcast(small), "vec_id").count()
       require(joined == 5, s"broadcast join over executors returned $joined rows, want 5")
+    }
+
+    check("streaming candle loop produces exact counts across executor JVMs") {
+      // Structured Streaming under separate executors exercises what
+      // local[n] cannot: per-executor state store provider loading,
+      // state checkpoint files written by remote processes, and the
+      // stateful shuffle crossing the transport. Feed: 100k ticks, 10
+      // keys, 5 days, replayed in event-time order (4 slices with
+      // strictly increasing mtimes — FileStreamSource orders by mtime);
+      // append mode must emit EXACTLY keys × closed-days candles.
+      val work = java.nio.file.Files.createTempDirectory("graft-cluster-stream").toString
+      val feed = s"$work/feed"; new java.io.File(feed).mkdirs()
+      val n = 100000L
+      val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+      val span = 5L * 86400
+      val df = spark.range(n).select(
+        (col("id") % 10).as("key"),
+        timestamp_micros((lit(t0) + (col("id") * lit(span) / n).cast("long")) * 1000000L + col("id") % 10)
+          .as("ts"),
+        (col("id") % 1000).cast("double").as("value"),
+        (col("id") * 4 / n).cast("int").as("_slice"))
+      for (i <- 0 until 4) {
+        df.filter(col("_slice") === i).drop("_slice")
+          .coalesce(1).write.mode("append").parquet(feed)
+        Thread.sleep(60)
+      }
+      val stream = spark.readStream.schema(spark.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val candles = StreamingCandles.dailyCandles(stream, "key", "ts", "value")
+      val out = s"$work/out"
+      val q = StreamingCandles.warehouseSink(candles, out, s"$work/ckpt")
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.read.parquet(out)
+      val rows = got.count()
+      // Final watermark = max event time − 1 day ≈ 3d 23:59:55 (the feed
+      // ends ~5 s short of the 5-day mark), so exactly days 0..2 have
+      // window.end ≤ watermark and emit; days 3–4 stay open. Exactness
+      // here IS the check: a duplicated or dropped state update across
+      // the executor boundary would break the count or the volume sum.
+      require(rows == 10 * 3,
+        s"expected 30 closed candles (10 keys x 3 closed days), got $rows")
+      val vol = got.agg(sum(col("volume"))).head().getLong(0)
+      require(vol == n / 5 * 3,
+        s"closed candles must cover exactly 3/5 of the feed: volume $vol vs ${n / 5 * 3}")
     }
 
     spark.stop()
