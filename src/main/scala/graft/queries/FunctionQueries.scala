@@ -103,7 +103,7 @@ object FunctionQueries {
                CAST(replace(regexp_replace(dirty_price, '\([a-zA-Z]\)|\s+', '', 'g'), ',', '.') AS DOUBLE) AS price,
                CAST(regexp_replace(dirty_volume, '[^0-9]+', '', 'g') AS DOUBLE) AS volume
         FROM d
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, price, volume
       """.stripMargin.trim),
       (spark, dir) => {
         val cents = round(col("l_extendedprice") * 100).cast("long").cast("string")
@@ -112,11 +112,15 @@ object FunctionQueries {
         // range exchange's sampling job then re-reads only the cheap
         // scan instead of re-running the regex battery, and the shuffle
         // moves 4 narrow columns, not the dirty strings (Tails scaladoc;
-        // measured 5.9 s → 2.2 s at sf0.1)
+        // measured 5.9 s → 2.2 s at sf0.1). Sort includes price/quantity:
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata (r11
+        // sf1 sweep find — tie order diverged at 10× rows), and
+        // l_extendedprice orders identically to the oracle's re-parsed
+        // `price` (2-decimal values round-trip through cents exactly).
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_extendedprice"), col("l_quantity"))
-          .orderBy("l_orderkey", "l_linenumber")
+          .orderBy("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
           .select(
             col("l_orderkey"), col("l_linenumber"),
             concat(
@@ -425,7 +429,7 @@ object FunctionQueries {
                l_extendedprice / nullif(l_quantity, 0) AS unit_price,
                l_extendedprice / nullif(l_quantity - l_quantity, 0) AS div_by_zero_is_null
         FROM lineitem
-        ORDER BY l_orderkey, l_linenumber
+        ORDER BY l_orderkey, l_linenumber, abs_diff, unit_price
       """.stripMargin.trim),
       (spark, dir) => {
         // no round(): row-level expressions are the same IEEE ops in both
@@ -440,7 +444,14 @@ object FunctionQueries {
               when(q === 0, lit(null)).otherwise(q)).as("unit_price"),
             (col("l_extendedprice") /
               when(q - q === 0, lit(null)).otherwise(q - q)).as("div_by_zero_is_null"))
-          .orderBy("l_orderkey", "l_linenumber")
+          // (l_orderkey, l_linenumber) is NOT unique in the driver
+          // testdata (143k duplicate pairs at sf0.1) — caught by the r11
+          // sf1 spot sweep as an ordered-FAIL/sorted-PASS: the tie order
+          // agreed at small SFs only because both engines read one
+          // partition stably. Extending the sort with the computed
+          // columns makes the output deterministic up to fully-identical
+          // rows, which hash equal under any order.
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_diff"), col("unit_price"))
       }),
 
     // Morton (Z-order) curve values — the multi-dimensional layout key

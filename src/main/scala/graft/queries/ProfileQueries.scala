@@ -808,8 +808,8 @@ object ProfileQueries {
       Some("""
         WITH q AS (
           SELECT event_type,
-                 quantile_cont(value, 0.05) AS lo,
-                 quantile_cont(value, 0.95) AS hi
+                 round(quantile_cont(value, 0.05), 6) AS lo,
+                 round(quantile_cont(value, 0.95), 6) AS hi
           FROM events GROUP BY event_type
         )
         SELECT event_type,
@@ -825,9 +825,17 @@ object ProfileQueries {
       """.stripMargin.trim),
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
+        // thresholds rounded to a fixed 1e-6 grid in BOTH engines: the
+        // exact-percentile interpolation ((1−f)·a + f·b) can differ by
+        // 1 ulp between engines — inside the float compare tolerance,
+        // but a STRICT `value < lo` boundary test flips on it (r11 sf1
+        // sweep: n_clamped off by 50 of 1M while lo/hi "matched").
+        // Winsorizing at a micro-rounded threshold is semantics-neutral
+        // for any data away from a 5e-7 rounding boundary and makes the
+        // boundary test engine-stable.
         val bounds = ev.groupBy(col("event_type")).agg(
-          expr("percentile(value, 0.05)").as("lo"),
-          expr("percentile(value, 0.95)").as("hi"))
+          round(expr("percentile(value, 0.05)"), 6).as("lo"),
+          round(expr("percentile(value, 0.95)"), 6).as("hi"))
         val clamped = greatest(col("lo"), least(col("hi"), col("value")))
         ev.join(broadcast(bounds), Seq("event_type"))
           .groupBy(col("event_type"), col("lo"), col("hi"))
