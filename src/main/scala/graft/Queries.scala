@@ -8,7 +8,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Conventions that make the driver's DuckDB hash-compare deterministic
   * (SURVEY.md §7.4, FIXTURES.md §3):
-  *  - every query ends in a total ORDER BY (unique key prefix);
+  *  - every query ends in a total ORDER BY — and "total" must be proven
+  *    against the DATA, not assumed from column names: the testdata's
+  *    (l_orderkey, l_linenumber) is NOT unique (143k duplicate pairs at
+  *    sf0.1), which let two entries pass small SFs on lucky tie order
+  *    and diverge at sf1 (r11 sweep). When in doubt, extend the sort
+  *    with the value columns — deterministic up to fully-identical
+  *    rows, which hash equal under any order;
+  *  - a STRICT comparison against a float aggregate (value < percentile
+  *    threshold) flips on 1-ulp cross-engine interpolation differences
+  *    that the float tolerance hides — round such thresholds to a fixed
+  *    grid (1e-6) in BOTH engines before comparing (winsorize_stats,
+  *    r11);
   *  - every floating aggregate is `round(x, 4)` in BOTH engines
   *    (kills last-ulp summation-order differences);
   *  - integer-ish outputs are cast to BIGINT in both engines
