@@ -63,6 +63,15 @@ object GlobalRank {
     * broadcast (percent_rank's divisor, NTILE's n) should take it from
     * here as a literal instead: one fewer aggregate, no scalar-attach
     * join in the plan at all.
+    *
+    * EAGER: pass 1 runs AT CONSTRUCTION TIME — calling this triggers two
+    * Spark jobs (RangePartitioner boundary sampling + the per-partition
+    * count collect) before the caller ever runs an action, because the
+    * offsets must be known to build the returned plan. That is what makes
+    * the count free and lets pass 2 reuse pass 1's shuffle files, but it
+    * means `explain()` on a query built from this is not free, and a
+    * query abandoned before its action still paid pass 1. Both collects
+    * are O(numPartitions) scalars — bounded, never per-row.
     */
   def withGlobalRankAndCount(df: DataFrame, rankCol: String, order: Seq[Column],
                              nParts: Int = 0): (DataFrame, Long) = {

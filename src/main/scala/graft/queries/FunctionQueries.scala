@@ -103,7 +103,7 @@ object FunctionQueries {
                CAST(replace(regexp_replace(dirty_price, '\([a-zA-Z]\)|\s+', '', 'g'), ',', '.') AS DOUBLE) AS price,
                CAST(regexp_replace(dirty_volume, '[^0-9]+', '', 'g') AS DOUBLE) AS volume
         FROM d
-        ORDER BY l_orderkey, l_linenumber, price, volume
+        ORDER BY l_orderkey, l_linenumber, price NULLS FIRST, volume NULLS FIRST
       """.stripMargin.trim),
       (spark, dir) => {
         val cents = round(col("l_extendedprice") * 100).cast("long").cast("string")
@@ -117,6 +117,9 @@ object FunctionQueries {
         // sf1 sweep find — tie order diverged at 10× rows), and
         // l_extendedprice orders identically to the oracle's re-parsed
         // `price` (2-decimal values round-trip through cents exactly).
+        // The oracle's parsed price/volume are NULL on parse failure, so
+        // its ORDER BY pins NULLS FIRST — matching Spark's ASC default
+        // here — rather than resting on DuckDB's NULLS LAST default.
         Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_extendedprice"), col("l_quantity"))
@@ -429,7 +432,7 @@ object FunctionQueries {
                l_extendedprice / nullif(l_quantity, 0) AS unit_price,
                l_extendedprice / nullif(l_quantity - l_quantity, 0) AS div_by_zero_is_null
         FROM lineitem
-        ORDER BY l_orderkey, l_linenumber, abs_diff, unit_price
+        ORDER BY l_orderkey, l_linenumber, abs_diff NULLS FIRST, unit_price NULLS FIRST
       """.stripMargin.trim),
       (spark, dir) => {
         // no round(): row-level expressions are the same IEEE ops in both
@@ -450,8 +453,13 @@ object FunctionQueries {
           // agreed at small SFs only because both engines read one
           // partition stably. Extending the sort with the computed
           // columns makes the output deterministic up to fully-identical
-          // rows, which hash equal under any order.
-          .orderBy(col("l_orderkey"), col("l_linenumber"), col("abs_diff"), col("unit_price"))
+          // rows, which hash equal under any order. Null placement is
+          // PINNED on the nullable computed keys (unit_price is NULL at
+          // l_quantity=0): Spark defaults ASC NULLS FIRST, DuckDB NULLS
+          // LAST — both sides say NULLS FIRST explicitly so ordering
+          // never rests on an engine default (r11 ADVICE).
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("abs_diff").asc_nulls_first, col("unit_price").asc_nulls_first)
       }),
 
     // Morton (Z-order) curve values — the multi-dimensional layout key

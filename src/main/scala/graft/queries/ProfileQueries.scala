@@ -17,8 +17,10 @@ object ProfileQueries {
     // no PARTITION BY — exactly what the oracle states) serializes every
     // row through ONE task; the engine computes the identical value from
     // operators/GlobalRank's two-phase range-shuffled row number as
-    // (rk−1)/(n−1), with n attached as a broadcast 1-row aggregate. The
-    // partitionless-window plan audit keeps the naive shape banned.
+    // (rk−1)/(n−1), with n a driver-side literal that comes free from
+    // rank pass-1's per-partition offsets — no count(*) aggregate, no
+    // scalar-attach join anywhere in the plan. The partitionless-window
+    // plan audit keeps the naive shape banned.
     QueryDef(
       "global_percent_rank",
       Some("""

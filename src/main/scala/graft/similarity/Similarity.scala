@@ -61,6 +61,16 @@ object Similarity {
     * to. Catalog entries keep their PINNED configs (their DuckDB oracles
     * state those constants); new indexes at unknown scale should size
     * through this.
+    *
+    * BEHAVIOR CHANGE (round 11): this used to return a silently capped
+    * `(maxTables, bandBits)` config when the recall target was
+    * unreachable; it now THROWS `IllegalArgumentException` instead (see
+    * the require below). Callers that auto-size at large n / moderate θ
+    * must either pass an explicit `maxTables`/`targetRecall` they have
+    * verified reachable, or catch and degrade deliberately — the old
+    * silent degradation shipped a config whose real recall was far below
+    * the stated contract. All in-repo call sites (LshSizingSmoke, specs)
+    * pass reachable arguments; catalog entries do not auto-size.
     */
   def lshConfigFor(
       n: Long,
