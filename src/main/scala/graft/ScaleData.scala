@@ -163,6 +163,31 @@ object ScaleData {
       }
       shiftKeys(df, r, "doc_id" -> D).withColumn("text", rotated)
     })
+    // Composed-rotation distinctness is only as strong as the corpus:
+    // replicas sharing a primary component (r=0 vs r=10) differ ONLY in
+    // Common2 letters, so a document missing all ten of them would
+    // collide cross-replica and quietly inflate the dup rate the
+    // generator exists to hold constant. Like the events.ts check, prove
+    // it on the WRITTEN output, not on a comment-level corpus claim
+    // (r11 ADVICE): each replica's translate is 1:1, so per-replica
+    // distinct-text count equals the base's; cross-replica distinctness
+    // holds iff the scaled count is exactly factor × base. (Text-level —
+    // a SHINGLE lacking both alphabets could still collide, but every
+    // text-level collision the sweep could produce implies shingle
+    // collisions too, and ScaleDataSpec pins the shingle-level invariant
+    // at factor 100 on the fixture corpus.)
+    locally {
+      val baseDistinct = docs.agg(countDistinct(col("text"))).head().getLong(0)
+      val scaledDistinct = Tables.documents(spark, outDir)
+        .agg(countDistinct(col("text"))).head().getLong(0)
+      require(scaledDistinct == factor * baseDistinct,
+        s"scaled documents.text distinct count $scaledDistinct != " +
+          s"$factor x $baseDistinct: some document's text collides across " +
+          "replicas (alphabet-poor documents defeat the composed letter " +
+          "rotation) — the corpus dup rate is no longer scale-invariant.")
+      println(s"[scaledata] documents.text cross-replica distinctness verified: " +
+        s"$scaledDistinct = $factor x $baseDistinct")
+    }
 
     // embeddings: cyclic dimension rotation (r mod dim) composed with
     // whole-vector negation ((r div dim) odd) — both orthogonal, so

@@ -33,6 +33,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("etl_pipeline")(spark, "/root/testdata/sf0.001")
 
+  /** Full QueryDefs (name + oracle + runner) for audit harnesses that
+    * need the oracle TEXT next to the runner (DeterminismAudit). */
+  def catalogEntries: Seq[QueryDef] = catalog
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     // toMap keeps the LAST duplicate key — a name collision would

@@ -32,13 +32,23 @@ object StreamBench {
     val nRows = if (args.nonEmpty) args(0).toLong else 10000000L
     val outJson = if (args.length > 1) Some(args(1)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER (e.g. local-cluster[2,8,4096]) measures the
+    // loops over real executor JVMs — the state store, checkpoint and
+    // stateful shuffle crossing processes (same override as Verify)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .appName("graft-stream-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      builder
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -54,13 +64,29 @@ object StreamBench {
     // (measured: 2.5M of 7.5M dedup survivors before this). Sequential
     // per-slice writes are the replay contract a real archive loader
     // meets by construction (files land in arrival order).
+    // Mtimes are set EXPLICITLY (strictly increasing 2 s apart) rather
+    // than trusted to write-time clocks: a filesystem with coarse (1 s)
+    // timestamp resolution would tie consecutive slices and the source's
+    // (mtime, path) order would fall back to random part-file UUID
+    // names — silently reintroducing the late-drop this helper exists to
+    // prevent (r11 ADVICE). The result asserts below would catch it, but
+    // the stamp removes the dependence on fs resolution entirely.
     def writeTimeOrdered(df: org.apache.spark.sql.DataFrame, sliceExpr: org.apache.spark.sql.Column,
                          out: String, slices: Int): Unit = {
       val sliced = df.withColumn("_slice", sliceExpr)
+      val stamped = scala.collection.mutable.Set.empty[String]
+      var clock = System.currentTimeMillis()
       for (i <- 0 until slices) {
         sliced.filter(col("_slice") === i).drop("_slice")
           .coalesce(1).write.mode("append").parquet(out)
-        Thread.sleep(60) // ms-resolution mtimes must strictly increase
+        new java.io.File(out).listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !stamped.contains(f.getName))
+          .foreach { f =>
+            java.nio.file.Files.setLastModifiedTime(f.toPath,
+              java.nio.file.attribute.FileTime.fromMillis(clock))
+            stamped += f.getName
+          }
+        clock += 2000
       }
     }
 
@@ -147,8 +173,24 @@ object StreamBench {
     val (b2, mean2, max2, srows2, sbytes2) = progressStats(q2)
     q2.stop()
 
+    // The throughput number is only meaningful if the replay actually
+    // delivered in order: a regression to out-of-order delivery shows up
+    // as late-dropped rows — i.e. a QUIETLY FASTER rows/s over less work.
+    // Assert the exact expected outputs before emitting (r11 ADVICE):
+    // every 4th doc row repeats its predecessor → survivors = n − n/4;
+    // candles = keys × emitted days, where the 1-day watermark delay
+    // holds back the last two calendar days of a [t0, t0+span) feed.
+    val expectedSurvivors = nRows - nRows / 4
+    require(survivors.get() == expectedSurvivors,
+      s"dedup survivors ${survivors.get()} != expected $expectedSurvivors - " +
+        "the replay delivered out of event-time order (late drops)")
+    val expectedCandles = nKeys.toLong * (secondsSpan / 86400 - 2)
+    require(candleRows == expectedCandles,
+      s"candles written $candleRows != expected $expectedCandles - " +
+        "late drops or watermark regression in the candle loop")
+
     val json =
-      f"""{"n_rows":$nRows,"candle_loop":{"secs":$candleSecs%.1f,""" +
+      f"""{"n_rows":$nRows,"master":"$master","candle_loop":{"secs":$candleSecs%.1f,""" +
         f""""rows_per_sec":${nRows / candleSecs}%.0f,"batches":$b1,""" +
         f""""mean_batch_secs":$mean1%.2f,"max_batch_secs":$max1%.2f,""" +
         f""""peak_state_rows":$srows1,"peak_state_mb":${sbytes1 / 1e6}%.1f,""" +

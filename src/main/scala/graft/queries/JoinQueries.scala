@@ -552,7 +552,7 @@ object JoinQueries {
       "skew_join_salted",
       Some("""
         WITH ua AS (
-          SELECT user_id, AVG(value) AS mu FROM events GROUP BY user_id
+          SELECT user_id, round(AVG(value), 6) AS mu FROM events GROUP BY user_id
         )
         SELECT e.user_id, COUNT(*) AS n_above
         FROM events e JOIN ua ON e.user_id = ua.user_id
@@ -563,7 +563,13 @@ object JoinQueries {
       (spark, dir) => {
         val Salt = 8
         val ev = Tables.events(spark, dir)
-        val ua = ev.groupBy("user_id").agg(avg(col("value")).as("mu"))
+        // mu grid-rounded to 1e-6 in BOTH engines: `value > mu` is a
+        // strict boundary test against a float aggregate, the class the
+        // r11 sf1 sweep caught in winsorize_stats — cross-engine
+        // summation order can move an unrounded avg by 1 ulp and flip a
+        // value sitting exactly on it (QueryDef scaladoc convention;
+        // flagged mechanically by DeterminismAudit.strictFloatFlags).
+        val ua = ev.groupBy("user_id").agg(round(avg(col("value")), 6).as("mu"))
           .withColumn("salt", explode(lit((0 until Salt).toArray)))
         val fact = ev.withColumn("salt", pmod(col("event_id"), lit(Salt)).cast("int"))
         graft.Tails.orderedSmall(

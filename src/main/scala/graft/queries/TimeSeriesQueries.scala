@@ -76,6 +76,53 @@ object TimeSeriesQueries {
           .orderBy("incident_id", "event_id")
       }),
 
+    // the AGGREGATE-FUSED form of the same range join: per-incident
+    // count/avg/first/last, never materializing the match pairs. The two
+    // pair-producing entries above are output-bound at scale (sf10: 4.29B
+    // pairs emitted — SCALE.md tail table); a 100 TB deployment asking
+    // "events per incident window" wants THIS shape, where the bucketed
+    // join's matches stream straight into a same-stage partial hash agg
+    // keyed by incident_id — what crosses the only post-join shuffle is
+    // one partial row per (task, incident), O(#incidents), not O(#pairs).
+    // The reference itself only ever aggregates matched ranges
+    // (dashboard/timescaledb_model.py:557-572); the raw-pair forms stay
+    // for the rarer attribution-listing use.
+    QueryDef(
+      "interval_join_agg",
+      Some("""
+        WITH iv AS (
+          SELECT event_id AS incident_id, ts AS start_ts, ts + INTERVAL 3 HOUR AS end_ts
+          FROM events WHERE event_id % 97 = 0
+        )
+        SELECT iv.incident_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(e.value), 4) AS avg_value,
+               min(e.ts) AS first_ts,
+               max(e.ts) AS last_ts
+        FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        GROUP BY iv.incident_id
+        ORDER BY incident_id
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val ev = Tables.events(spark, dir)
+        val incidents = ev.filter(col("event_id") % 97 === 0)
+          .select(
+            col("event_id").as("incident_id"),
+            col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 3 HOUR")).as("end_ts"))
+        RangeJoin.pointInInterval(
+            ev.select("ts", "value"), "ts",
+            incidents, "start_ts", "end_ts", bucketSeconds = 3600L)
+          .groupBy("incident_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            round(avg(col("value")), 4).as("avg_value"),
+            min(col("ts")).as("first_ts"),
+            max(col("ts")).as("last_ts"))
+          // incident_id is unique (one row per GROUP BY key) → total order
+          .orderBy("incident_id")
+      }),
+
     // calendar gap-fill + forward-fill: complete per-user daily spine,
     // missing days flagged and filled with the last prior close (LOCF).
     // `filled` is a carried RAW value (max_by of ticks), not a float

@@ -217,6 +217,96 @@ object Dedup {
     (362910473L, 758293041L))
   val bandSize = 4 // 16 hashes → 4 bands of 4 → Jaccard ~0.7+ candidates
 
+  /** Size the MinHash banding (bands b × rows r) from corpus size and
+    * threshold — the `Similarity.lshConfigFor` discipline applied to the
+    * MinHash tier (r11 verdict #5). A FROZEN (b, r) decays two ways as n
+    * grows:
+    *  - recall is fixed below any stated target: the pinned 4×4 catches a
+    *    pair at exactly θ=0.7 with only 1−(1−0.7⁴)⁴ ≈ 0.67 probability —
+    *    fine for its DuckDB-oracled entry (the oracle states the same
+    *    constants), not a production recall contract;
+    *  - background collisions grow QUADRATICALLY: a non-dup pair shares a
+    *    band with probability ≈ s₀^r, so expected false candidates are
+    *    b·n²/2·s₀^r — for fixed r that is n² scaled by a constant, the
+    *    spill pressure the sf10 audit measured on the pinned config.
+    * Sizing: smallest r whose per-doc false-candidate load b·n·s₀^r stays
+    * ≤ `maxBucketLoad` (r grows like log n — the same role as
+    * lshConfigFor's bandBits), then b from the recall algebra
+    * 1−(1−θ^r)^b ≥ targetRecall. `bgSim` is the modeled background
+    * (non-dup) Jaccard scale; 0.02 is 2× above the measured background
+    * for df-capped 5-gram shingles of independent documents (≲0.01 —
+    * unrelated prose shares almost no exact 5-grams), so the load bound
+    * holds with margin while the defaults stay feasible through n≈10¹⁰
+    * (beyond that the refuse message says which knob to turn).
+    *
+    * REFUSES (like lshConfigFor — no silent truncation) when no (b, r)
+    * under `maxHashes` total hash functions meets both bounds: the caller
+    * raises maxHashes (paying signature compute), lowers targetRecall,
+    * or accepts a higher bucket load knowingly.
+    */
+  def minhashConfigFor(
+      n: Long,
+      threshold: Double,
+      targetRecall: Double = 0.95,
+      bgSim: Double = 0.02,
+      maxBucketLoad: Double = 2.0,
+      maxHashes: Int = 256): (Int, Int) = {
+    require(n > 0 && threshold > 0 && threshold < 1 &&
+      targetRecall > 0 && targetRecall < 1 &&
+      bgSim > 0 && bgSim < threshold && maxBucketLoad > 0 && maxHashes > 0,
+      s"bad minhashConfigFor args: n=$n θ=$threshold R=$targetRecall s0=$bgSim")
+    // Long-valued: at large r the band count explodes past Int range and
+    // an Int ceil would saturate/overflow the b·r cap check silently
+    def bandsFor(r: Int): Long = {
+      val pBand = math.pow(threshold, r)
+      math.max(1L, math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toLong)
+    }
+    val feasible = (2 to maxHashes).iterator.map { r =>
+      val b = bandsFor(r)
+      // b <= maxHashes before the product: a 10^18-band count would
+      // overflow even Long multiplication past the cap check
+      (b, r, b.toDouble * n * math.pow(bgSim, r) <= maxBucketLoad,
+        b <= maxHashes && b * r <= maxHashes)
+    }
+    feasible.collectFirst { case (b, r, true, true) => (b.toInt, r) }.getOrElse {
+      // diagnose: the largest r fitting under the hash cap, and the
+      // recall/load actually achievable there
+      val rCap = (2 to maxHashes)
+        .filter(r => { val b = bandsFor(r); b <= maxHashes && b * r <= maxHashes })
+        .lastOption.getOrElse(2)
+      val bCap = bandsFor(rCap)
+      val load = bCap.toDouble * n * math.pow(bgSim, rCap)
+      throw new IllegalArgumentException(
+        f"minhashConfigFor: no (bands, rows) under $maxHashes hashes meets recall " +
+          f"$targetRecall at θ=$threshold AND per-doc false-candidate load ≤ $maxBucketLoad " +
+          f"for n=$n (best under cap: ${bCap}x$rCap, load $load%.1f). Raise maxHashes, " +
+          f"lower targetRecall, or raise maxBucketLoad.")
+    }
+  }
+
+  /** Deterministic universal-hash parameters for a k-hash signature —
+    * a fixed SplitMix64 stream reduced into [1, P) × [0, P), so a sized
+    * config is reproducible across runs/engines without carrying a
+    * constants table. The first 16 PINNED [[minhashParams]] stay frozen
+    * (their DuckDB oracles state those exact constants).
+    */
+  def minhashParamsFor(k: Int): Seq[(Long, Long)] = {
+    require(k > 0 && k <= 4096, s"bad k=$k")
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.fill(k) {
+      val a = java.lang.Long.remainderUnsigned(next(), minhashP - 1) + 1
+      val b = java.lang.Long.remainderUnsigned(next(), minhashP)
+      (a, b)
+    }
+  }
+
   /** 60-bit md5-prefix key of a shingle, reduced mod P (both engines). */
   val shingleKeyExpr =
     s"cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint) % $minhashP"
@@ -257,10 +347,14 @@ object Dedup {
   }
 
   /** LSH band keys: unpivot the signature into (doc_id, band, band_key). */
-  def lshBands(signatures: DataFrame): DataFrame = {
-    val nBands = minhashParams.size / bandSize
+  def lshBands(signatures: DataFrame): DataFrame =
+    lshBandsWith(signatures, minhashParams.size, bandSize)
+
+  /** [[lshBands]] for an arbitrary (k-hash, r-row) banding. */
+  def lshBandsWith(signatures: DataFrame, k: Int, rows: Int): DataFrame = {
+    val nBands = k / rows
     val bands = (0 until nBands).map { bnd =>
-      val cols = (0 until bandSize).map(j => col(s"mh${bnd * bandSize + j}").cast("string"))
+      val cols = (0 until rows).map(j => col(s"mh${bnd * rows + j}").cast("string"))
       signatures.select(
         col("doc_id"), lit(bnd).as("band"),
         concat_ws("_", cols: _*).as("band_key"))
@@ -269,18 +363,42 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup pairs: docs sharing any band bucket, verified
-    * with true shingle Jaccard ≥ `minJaccard`.
+    * with true shingle Jaccard ≥ `minJaccard`. The PINNED 16-hash 4×4
+    * banding — frozen because its DuckDB oracle states these constants;
+    * production indexes at known corpus size should size through
+    * [[minhashLshPairsSized]] instead (recall contract + bounded
+    * candidate load).
     */
-  def minhashLshPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.7): DataFrame = {
+  def minhashLshPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.7): DataFrame =
+    minhashLshPairsWith(documents, n, minJaccard, minhashParams, bandSize)
+
+  /** [[minhashLshPairs]] with the banding SIZED by [[minhashConfigFor]]
+    * for a corpus of `nDocs` documents — refuses configs it cannot honor.
+    */
+  def minhashLshPairsSized(documents: DataFrame, nDocs: Long, n: Int = 5,
+                           minJaccard: Double = 0.7,
+                           targetRecall: Double = 0.95): DataFrame = {
+    val (bands, rows) = minhashConfigFor(nDocs, minJaccard, targetRecall)
+    minhashLshPairsWith(documents, n, minJaccard, minhashParamsFor(bands * rows), rows)
+  }
+
+  /** Parameterized MinHash-LSH pairs core: any hash-parameter list, any
+    * band width. Same plan shape as the pinned path — one signature
+    * groupBy, band-bucket candidate join, shingle-Jaccard verification.
+    */
+  def minhashLshPairsWith(documents: DataFrame, n: Int, minJaccard: Double,
+                          params: Seq[(Long, Long)], rows: Int): DataFrame = {
+    require(params.size % rows == 0, s"k=${params.size} not divisible by rows=$rows")
     // recompute shingles per use instead of cache(): materializing the
     // cache blocks pipelining and hides size stats from AQE's broadcast
     // planning — measured 3× slower cached at sf0.1
     val sh0 = shingles(documents, n)
     val keyed = sh0.withColumn("s", expr(shingleKeyExpr))
-    val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("s") + lit(b)) % lit(minhashP)).as(s"mh$i")
     }
-    val bands = lshBands(keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*))
+    val bands = lshBandsWith(
+      keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*), params.size, rows)
     val candidates = bands.as("x")
       .join(bands.as("y"), Seq("band", "band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))

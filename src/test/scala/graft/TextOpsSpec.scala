@@ -27,6 +27,43 @@ class TextOpsSpec extends SparkSpec {
     assert(missed.count() == 0)
   }
 
+  test("minhashConfigFor: rows grow with n, recall algebra holds, refuse is loud") {
+    // r grows like log n (the anti-quadratic lever), never shrinks
+    val rs = Seq(1e4, 1e6, 1e8, 1e10).map(n =>
+      Dedup.minhashConfigFor(n.toLong, threshold = 0.7)._2)
+    assert(rs == rs.sorted && rs.distinct.size > 1, s"rows must grow with n: $rs")
+    // every returned config meets the stated recall target
+    for (n <- Seq(1e4, 1e7); theta <- Seq(0.6, 0.7, 0.8)) {
+      val (b, r) = Dedup.minhashConfigFor(n.toLong, theta)
+      val recall = 1.0 - math.pow(1.0 - math.pow(theta, r), b)
+      assert(recall >= 0.95, f"($b,$r) at θ=$theta n=$n%.0f → recall $recall%.3f")
+      assert(b * r <= 256)
+    }
+    // refuse-don't-truncate: an unreachable recall/load combination
+    // throws with the achievable numbers, never silently degrades
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashConfigFor(1e12.toLong, threshold = 0.5, targetRecall = 0.999,
+        bgSim = 0.4, maxHashes = 64)
+    }
+    assert(e.getMessage.contains("Raise maxHashes"))
+  }
+
+  test("sized minhash banding preserves the planted-pair recall of the pinned config") {
+    val truth = Dedup.jaccardPairs(docs, n = 5, minJaccard = 0.95)
+      .select("doc_a", "doc_b")
+    val nDocs = docs.count()
+    val sized = Dedup.minhashLshPairsSized(docs, nDocs, n = 5, minJaccard = 0.7)
+      .select("doc_a", "doc_b")
+    // the sized config states recall ≥0.95 AT θ=0.7; at j≈0.95+ the
+    // per-pair catch probability is ≈1, so every planted pair surfaces
+    val missed = truth.join(sized, Seq("doc_a", "doc_b"), "left_anti")
+    assert(missed.count() == 0)
+    // and the deterministic parameter stream is reproducible
+    assert(Dedup.minhashParamsFor(8) == Dedup.minhashParamsFor(8))
+    assert(Dedup.minhashParamsFor(8).forall { case (a, b) =>
+      a >= 1 && a < Dedup.minhashP && b >= 0 && b < Dedup.minhashP })
+  }
+
   test("near-dup clusters: canonical is cluster-minimum, pairs share a cluster") {
     val labels = Dedup.nearDupClusters(docs, n = 5, minJaccard = 0.8)
     assert(labels.filter($"canonical_id" > $"doc_id").count() == 0)
