@@ -225,6 +225,10 @@ class GraphSpec extends SparkSpec {
     assert(got == (0L to 4L).map(_ -> 4L).toMap, got.toString)
     // above the clique degree the core is empty
     assert(KCore.kCore(e, k = 5).count() == 0)
+    // the delta-peeling variant is output-identical on both cases
+    val gotD = KCore.kCoreDelta(e, k = 4).as[(Long, Long)].collect().toMap
+    assert(gotD == got, gotD.toString)
+    assert(KCore.kCoreDelta(e, k = 5).count() == 0)
   }
 
   test("property: distributed k-core equals local peeling on random graphs") {
@@ -239,8 +243,10 @@ class GraphSpec extends SparkSpec {
       k <- Gen.choose(1, 5)
     } yield (edges, k)
     val prop = Prop.forAll(genCase) { case (edges, k) =>
+      val truth = bruteKCore(edges, k)
       val got = KCore.kCore(triDf(edges: _*), k).as[(Long, Long)].collect().toMap
-      got == bruteKCore(edges, k)
+      val gotD = KCore.kCoreDelta(triDf(edges: _*), k).as[(Long, Long)].collect().toMap
+      got == truth && gotD == truth
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(12).withWorkers(1), prop)
