@@ -27,6 +27,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - order-sensitive first/last use `min_by/max_by(value, ts)` — event
   *    timestamps are globally unique in the testdata, so ties cannot
   *    occur (verified at sf0.001/0.01/0.1).
+  *
+  * The first two classes are enforced MECHANICALLY over the whole
+  * catalog by [[DeterminismAudit]] (ORDER-BY-prefix uniqueness probed
+  * against the sf0.01 AND sf0.1 data; strict-float comparisons walked
+  * out of the oracle SQL) — run it when adding an entry. Every entry
+  * also needs a ≥sf1 correctness signal: the sf1 oracle sweep if its
+  * oracle is feasible there (tools/probe_sf1_oracles.py decides), a
+  * planted invariant in [[ScaleInvariants]] otherwise
+  * (tools/sf1_signal_r12.json is the per-entry ledger).
   */
 final case class QueryDef(
     name: String,

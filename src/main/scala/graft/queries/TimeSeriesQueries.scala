@@ -96,7 +96,7 @@ object TimeSeriesQueries {
         )
         SELECT iv.incident_id,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(avg(e.value), 4) AS avg_value,
+               round(CAST(sum(CAST(round(e.value * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*), 4) AS avg_value,
                min(e.ts) AS first_ts,
                max(e.ts) AS last_ts
         FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
@@ -116,7 +116,15 @@ object TimeSeriesQueries {
           .groupBy("incident_id")
           .agg(
             count(lit(1)).as("n_events"),
-            round(avg(col("value")), 4).as("avg_value"),
+            // avg via an EXACT quantized BIGINT sum, one float division at
+            // the end: a float avg over the largest match stream in the
+            // catalog (42.9M pairs at sf1) is summation-order-dependent,
+            // and round(.,4) amplifies a sub-ulp cross-engine diff into a
+            // visible digit whenever a group's mean lands on a rounding
+            // boundary (caught by the r12 sf1 sweep: 1 of 26k incidents).
+            // Identical int operands → identical IEEE divisions → stable.
+            round(sum(expr("cast(round(value * 10000) as bigint)"))
+              .cast("double") / lit(10000.0) / count(lit(1)), 4).as("avg_value"),
             min(col("ts")).as("first_ts"),
             max(col("ts")).as("last_ts"))
           // incident_id is unique (one row per GROUP BY key) → total order
