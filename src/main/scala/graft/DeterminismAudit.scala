@@ -30,6 +30,22 @@ import org.apache.spark.sql.types.MapType
   *     not grid-rounded (`round(agg, k)`) or integer-cast is flagged.
   *     Flags must be answered by [[strictFloatWhitelist]] with a reason.
   *
+  *  3. FLOAT-AGGREGATE OUTPUT COLUMNS (r12 sf1 sweep find) — even a
+  *     grid-ROUNDED float aggregate output hashes differently the moment
+  *     a group's unrounded value drifts across a rounding boundary:
+  *     summation order is partition-/thread-dependent in both engines,
+  *     so `round(avg(...), 4)` flips its last digit with probability
+  *     ∝ (summation drift / grid) per group — interval_join_agg hit it
+  *     at sf1 on 1 of 26k groups over a 42.9M-value match stream. The
+  *     EXACT form (integer-cast the argument, divide once:
+  *     `sum(CAST(round(v*10000) AS BIGINT)) / 10000.0 / count(*)`) has
+  *     no boundary at all. [[floatAggOutputGuards]] classifies every
+  *     float-aggregate output alias (int_exact / rounded / raw); any
+  *     alias that is float-typed in the Spark output and not int_exact
+  *     must carry a [[floatOutputWhitelist]] reason — typically the
+  *     measured sf1 hash-match plus a bounded-drift argument, with the
+  *     exact pattern prescribed for new large-stream aggregations.
+  *
   * The sort-key extraction is from the ORACLE SQL text (the single
   * source both engines mirror by convention): the outermost ORDER BY is
   * the last one at paren depth 0 outside string literals. Keys must
@@ -195,26 +211,106 @@ object DeterminismAudit {
     * Select-item boundaries: commas/clause keywords at the aggregate
     * call's own paren depth.
     */
+  private val stopClauseRe =
+    "(?i)\\b(FROM|WHERE|GROUP|ORDER|WINDOW|HAVING|QUALIFY|UNION|EXCEPT|INTERSECT)\\b".r
+
+  /** The full SELECT-item span containing position `pos` — delimited at
+    * the depth of the GOVERNING SELECT (the nearest SELECT to the left
+    * never exited on the walk), not at `pos`'s own depth, so an
+    * aggregate nested inside `round(...)`/arithmetic still maps to its
+    * item and alias (the original same-depth walk silently dropped
+    * `round(avg(v),4) AS a` — found while building the class-3 scan).
+    */
+  private def selectItemSpan(sql: String, d: Array[Int], pos: Int): Option[(Int, Int)] = {
+    // governing SELECT: scan left tracking the minimum depth seen; a
+    // SELECT keyword counts only at that running minimum (an embedded
+    // completed subquery's SELECT sits above it and is skipped)
+    var i = pos
+    var minD = d(pos)
+    var sel = -1
+    while (i >= 0 && sel < 0) {
+      if (d(i) >= 0 && d(i) < minD) minD = d(i)
+      if (d(i) == minD && sql.regionMatches(true, i, "SELECT", 0, 6) &&
+        (i == 0 || !Character.isLetterOrDigit(sql.charAt(i - 1))))
+        sel = i
+      i -= 1
+    }
+    if (sel < 0) return None
+    val dS = d(sel)
+    // item start: last comma at depth dS between the SELECT and pos
+    var s = sel + 6
+    var j = s
+    while (j < pos) {
+      if (d(j) == dS && sql.charAt(j) == ',') s = j + 1
+      j += 1
+    }
+    // item end: next comma/clause keyword at depth dS, or exiting dS
+    var e = pos
+    var stop = false
+    while (!stop && e < sql.length) {
+      if (d(e) >= 0 && d(e) < dS) stop = true
+      else if (d(e) == dS && (sql.charAt(e) == ',' ||
+        stopClauseRe.findPrefixMatchOf(sql.substring(e)).isDefined)) stop = true
+      else e += 1
+    }
+    Some((s, e))
+  }
+
   def floatAggAliases(sqlRaw: String): Map[String, Boolean] = {
     val sql = stripLineComments(sqlRaw)
     val d = depths(sql)
     val asRe = "(?i)\\bAS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
-    val stopRe = "(?i)\\b(FROM|WHERE|GROUP|ORDER|WINDOW|HAVING|QUALIFY|UNION|EXCEPT|INTERSECT)\\b".r
     floatAggRe.findAllMatchIn(sql).toSeq.flatMap { m =>
-      val depth = d(m.start)
-      // walk back to the start of this select item (previous same-depth
-      // comma or SELECT keyword)
-      var s = m.start
-      while (s > 0 && !(d(s - 1) == depth && (sql.charAt(s - 1) == ',' ||
-        sql.regionMatches(true, s - 7, "SELECT ", 0, 7)))) s -= 1
-      // walk forward to its end (next same-depth comma or clause keyword)
-      var e = m.end
-      while (e < sql.length && !(d(e) == depth && (sql.charAt(e) == ',' ||
-        stopRe.findPrefixMatchOf(sql.substring(e)).isDefined))) e += 1
-      val item = sql.substring(s, e).trim
-      val guarded = item.toLowerCase.contains("round(") || intCastRe.findFirstIn(item).isDefined
-      asRe.findFirstMatchIn(item).map(am => am.group(1) -> guarded)
+      selectItemSpan(sql, d, m.start).flatMap { case (s, e) =>
+        val item = sql.substring(s, e).trim
+        val guarded = item.toLowerCase.contains("round(") || intCastRe.findFirstIn(item).isDefined
+        asRe.findFirstMatchIn(item).map(am => am.group(1) -> guarded)
+      }
     }.groupMapReduce(_._1)(_._2)(_ && _) // alias reused → guarded only if ALL defs guard
+  }
+
+  /** Classification of every float-aggregate OUTPUT alias in `sql`
+    * (determinism class 3):
+    *
+    *  - "int_exact" — the aggregate's ARGUMENT is integer-cast
+    *    (`sum(CAST(round(v*10000) AS BIGINT))`): the aggregation is
+    *    exact integer arithmetic in both engines, any trailing division
+    *    sees identical operands — no boundary exists.
+    *  - "rounded"  — `round(...)` wraps the aggregate: stable except
+    *    when a group's value lands within summation drift of a rounding
+    *    boundary (the interval_join_agg sf1 flip).
+    *  - "raw"      — neither: any 1-ulp drift fails the exact hash.
+    *
+    * When one alias is defined from several aggregates (`avg(x)/avg(y)`)
+    * the WORST class wins. Whether an alias actually matters is decided
+    * against the Spark output schema (integral outputs — e.g. sums the
+    * detector can't type — are exact regardless).
+    */
+  def floatAggOutputGuards(sqlRaw: String): Map[String, String] = {
+    val sql = stripLineComments(sqlRaw)
+    val d = depths(sql)
+    val asRe = "(?i)\\bAS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$".r
+    def worse(a: String, b: String): String =
+      Seq("raw", "rounded", "int_exact").find(c => a == c || b == c).get
+    floatAggRe.findAllMatchIn(sql).toSeq.flatMap { m =>
+      selectItemSpan(sql, d, m.start).flatMap { case (s, e) =>
+        val item = sql.substring(s, e).trim
+        // argument span: from the aggregate's '(' to its matching ')'
+        var k = m.end - 1
+        var bal = 0
+        while (k < sql.length && { val ch = sql.charAt(k)
+          if (ch == '(' && d(k) >= 0) bal += 1
+          else if (ch == ')' && d(k) >= 0) bal -= 1
+          bal != 0 }) k += 1
+        val arg = sql.substring(m.end - 1, math.min(k + 1, sql.length))
+        val outside = sql.substring(s, m.start) + sql.substring(math.min(k + 1, e), e)
+        val guard =
+          if (intCastRe.findFirstIn(arg).isDefined) "int_exact"
+          else if (outside.toLowerCase.contains("round(")) "rounded"
+          else "raw"
+        asRe.findFirstMatchIn(item).map(am => am.group(1) -> guard)
+      }
+    }.groupMapReduce(_._1)(_._2)(worse)
   }
 
   /** Strict comparisons whose operands touch an unguarded float-aggregate
@@ -330,6 +426,12 @@ object DeterminismAudit {
     "corr_stats" -> ("sd_v/sd_u > 0 are zero-variance guards on " +
       "stddev_samp - exact 0 in both engines iff the column is constant, " +
       "else >> 1 ulp from 0; same class as acf_lags"),
+    "zscore_anomaly" -> ("|z| > 2.5 where z derives from unrounded " +
+      "mu/sd: safe because cross-engine summation drift is ~1e-13 " +
+      "RELATIVE while no |z| in the data sits within 1e-6 of 2.5 - and " +
+      "the filtered rows' own z output is round(4), so a flip would " +
+      "surface as a row-count mismatch at the next oracle sweep, not " +
+      "silently (argued in the entry's comment)"),
     "dedup_simhash" -> ("w0..w63 > 0 compare INTEGER sums (token count " +
       "x +-1 bit weight) - SUM over integers is exact BIGINT in both " +
       "engines, no float boundary exists; the detector cannot see types"),
@@ -339,12 +441,109 @@ object DeterminismAudit {
     "twap_daily" -> ("SUM(wt) > 0 where wt is CAST(date_diff AS BIGINT) " +
       "- an integer sum, exact in both engines; the detector sees only " +
       "the alias, not its integer definition"),
-    "zscore_anomaly" -> ("|z| > 2.5 where z derives from unrounded " +
-      "mu/sd: safe because cross-engine summation drift is ~1e-13 " +
-      "RELATIVE while no |z| in the data sits within 1e-6 of 2.5 - and " +
-      "the filtered rows' own z output is round(4), so a flip would " +
-      "surface as a row-count mismatch at the next oracle sweep, not " +
-      "silently (argued in the entry's comment)"))
+    "token_budget_sample" -> ("cum_tokens <= budget compares a running " +
+      "SUM of integer token counts - exact BIGINT in both engines, no " +
+      "float boundary exists; the detector cannot see the sum's type"))
+
+  /** Entries with float-typed aggregate OUTPUT columns that are not the
+    * exact integer-sum pattern, plus the reason the residual
+    * boundary-flip risk is accepted (class 3 — see the object scaladoc).
+    * Every entry here hash-matched the exact DuckDB oracle at sf1 in the
+    * r12 200/200 sweep (tools/sf1_signal_r12.json), so the listed risk
+    * is the RESIDUAL beyond a measured 10× driver scale. The flip
+    * probability per group is ≈ summation-drift/grid, and drift grows
+    * with values-per-group — so the rule of thumb encoded here: rounded
+    * outputs over SMALL bounded groups (ticks per day, dims per label)
+    * are accepted on measurement; any aggregation over an UNBOUNDED or
+    * join-product stream must use the exact quantized-BIGINT pattern
+    * (the interval_join_agg fix, the one entry that actually flipped).
+    * A new flag without a row here fails DeterminismAuditSpec.
+    */
+  val floatOutputWhitelist: Map[String, String] = Map(
+    // -- exact already, detector cannot see the types involved --------
+    "embedding_stats" -> ("avg_norm2 = CAST(SUM(norm2) AS DOUBLE)/COUNT " +
+      "where norm2 is BIGINT: exact integer sum both engines, one " +
+      "division of identical operands - IS the exact pattern; the " +
+      "detector cannot see the column type"),
+    "gini_concentration" -> ("SUM(rk*cents)/(COUNT*SUM(cents)) over " +
+      "BIGINT rank x cents: exact integer aggregates both engines " +
+      "(HUGEINT / long), divisions see identical operands"),
+    "dup_rate_by_source" -> ("dup_rate = integer-count ratio " +
+      "(sum(CASE 1/0) / count): exact operands, single division"),
+    "event_transitions" -> ("p = count(*)/sum(count(*)) OVER - ratio of " +
+      "exact integer counts, identical operands both engines"),
+    "tokenizer_fertility" -> ("fertility and single_token_frac are " +
+      "ratios of exact integer token/word counts per language"),
+    "dup_span_stats" -> ("dup_frac = integer span-count ratio; exact " +
+      "operands, single division"),
+    "zorder_curve" -> ("sum_qty sums l_quantity - INTEGRAL doubles " +
+      "(1..50): float addition of small integers is exact below 2^53, " +
+      "no summation drift exists"),
+    // -- order-statistic interpolation, no drift accumulation ---------
+    "mad_stats" -> ("med/mad are exact-percentile interpolations " +
+      "(1-f)a+fb over order statistics - data values, not accumulated " +
+      "sums: no drift grows with n; the residual 1-ulp formula-" +
+      "difference class (the r11 winsorize find) is measured absent " +
+      "through sf1, and output count is bounded by key count"),
+    "time_to_convert" -> ("p50/p90_days: same order-statistic " +
+      "interpolation class as mad_stats; sf1-matched"),
+    "value_quantiles" -> ("p50/p90/p99: same order-statistic " +
+      "interpolation class, 3 output values total; sf1-matched"),
+    // -- rounded float sums over BOUNDED groups, sf1-matched ----------
+    "ohlcv_daily" -> ("turnover = round(sum(price*volume),4) per " +
+      "(key,day): ticks-per-day bounded, drift << the 1e-4 grid; " +
+      "sf1-matched. An UNBOUNDED turnover stream must use the exact " +
+      "quantized pattern (interval_join_agg)"),
+    "ohlcv_typed" -> ("same turnover as ohlcv_daily via the typed " +
+      "aggregator; same bounded-group argument"),
+    "candles_incremental" -> ("same turnover, incremental union shape; " +
+      "bounded per-(key,day) groups"),
+    "etl_pipeline" -> ("same turnover inside the replicated reference " +
+      "job; bounded per-(key,day) groups"),
+    "twap_daily" -> ("twap = sum(value*wt)/sum(wt) per (user,day): " +
+      "bounded intraday groups; wt is exact integer micros"),
+    "bigram_lm_perplexity" -> ("avg_nll/ppl per document: bigrams-per-" +
+      "doc bounded by text length; log/exp of identical operands"),
+    "perplexity_filter" -> ("same per-document avg_nll/ppl class as " +
+      "bigram_lm_perplexity"),
+    "tfidf_search" -> ("score sums <= 3 query-term tf*idf products per " +
+      "doc - bounded tiny groups"),
+    "bm25_search" -> ("score sums <= 3 query-term BM25 terms per doc - " +
+      "same bounded tiny-group class as tfidf_search"),
+    "embedding_dim_stats" -> ("per-(label,dim) mean/std over ≤ n/labels " +
+      "int-quantized values promoted to double; sf1-matched"),
+    "embedding_quantize_int8" -> ("reconstruction-error ppm: avg over " +
+      "per-vector |err| of int8-grid values; sf1-matched"),
+    "label_centroids" -> ("per-(label,dim) avg of int-quantized doubles; " +
+      "bounded groups, sf1-matched"),
+    "pricing_summary_q1" -> ("TPC-H Q1 avgs per returnflag/linestatus: 4 " +
+      "groups, values exact-representable cents; r11 sf1-matched"),
+    "resample_daily" -> ("per-(key,day) avg over intraday ticks; bounded " +
+      "small groups, sf1-matched"),
+    "seasonal_decompose" -> ("per-(key,dow) avg of daily closes (≤ span/7 " +
+      "values); bounded groups, sf1-matched"),
+    "unpivot_quartiles" -> ("per-quartile avg over n/4 int-quantized " +
+      "doubles; sf1-matched"),
+    "winsorize_stats" -> ("clamped-mean/std per key AFTER the r11 grid-" +
+      "rounded thresholds; bounded per-key groups, sf1-matched"))
+
+  /** The class-3 flag set for one entry: float-aggregate output aliases
+    * (from the oracle SQL) that are NOT int_exact AND are float-typed in
+    * the Spark output schema (plan analysis only — no job runs, except
+    * for entries whose construction itself runs bounded pass-1 jobs,
+    * documented on GlobalRank). Returned as "alias:guard" strings.
+    */
+  def floatOutputAliases(spark: SparkSession, sfDir: String, qd: QueryDef): Seq[String] = {
+    val guards = floatAggOutputGuards(qd.oracle.get).filter(_._2 != "int_exact")
+    if (guards.isEmpty) return Nil
+    val floatCols =
+      try qd.run(spark, sfDir).schema.fields
+        .filter(f => f.dataType == org.apache.spark.sql.types.DoubleType ||
+          f.dataType == org.apache.spark.sql.types.FloatType)
+        .map(_.name).toSet
+      catch { case e: Exception => return Seq(s"SCHEMA_ERROR:${e.getMessage.take(80)}") }
+    guards.collect { case (a, g) if floatCols.contains(a) => s"$a:$g" }.toSeq.sorted
+  }
 
   // ---------------------------------------------------------------- data probe
 
@@ -465,6 +664,13 @@ object DeterminismAudit {
       if (flags.isEmpty) None
       else Some(qd.name -> (flags, strictFloatWhitelist.get(qd.name)))
     }
+    // class 3: float-typed aggregate output columns not int_exact
+    val floatOutputs = entries.flatMap { qd =>
+      floatOutputAliases(spark, sfDirs.head, qd) match {
+        case Seq() => None
+        case as => Some(qd.name -> (as, floatOutputWhitelist.get(qd.name)))
+      }
+    }
 
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replace("\n", " ").replace("\t", " ")
@@ -480,12 +686,19 @@ object DeterminismAudit {
     }
     val bad = perSf.flatMap(_._2).filter(a =>
       a.status == "VIOLATION" || a.status == "UNPARSEABLE" || a.status == "ERROR") ++
-      floatFlags.collect { case (n, (f, None)) => Audit(n, Nil, "FLOAT_FLAG", f.mkString("; ")) }
+      floatFlags.collect { case (n, (f, None)) => Audit(n, Nil, "FLOAT_FLAG", f.mkString("; ")) } ++
+      floatOutputs.collect { case (n, (as, None)) =>
+        Audit(n, Nil, "FLOAT_OUTPUT", as.mkString("; ")) }
 
     val json = new StringBuilder
     json.append("{\n  \"strict_float_flags\": {")
     json.append(floatFlags.map { case (n, (f, wl)) =>
       s"\n    \"${esc(n)}\": {\"snippets\": [${f.map(x => "\"" + esc(x) + "\"").mkString(", ")}], " +
+        s"\"whitelisted\": ${wl.isDefined}${wl.map(w => s", \"reason\": \"${esc(w)}\"").getOrElse("")}}"
+    }.mkString(","))
+    json.append("\n  },\n  \"float_output_flags\": {")
+    json.append(floatOutputs.map { case (n, (as, wl)) =>
+      s"\n    \"${esc(n)}\": {\"aliases\": [${as.map(x => "\"" + esc(x) + "\"").mkString(", ")}], " +
         s"\"whitelisted\": ${wl.isDefined}${wl.map(w => s", \"reason\": \"${esc(w)}\"").getOrElse("")}}"
     }.mkString(","))
     json.append("\n  },\n")

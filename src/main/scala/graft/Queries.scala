@@ -21,17 +21,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    grid (1e-6) in BOTH engines before comparing (winsorize_stats,
   *    r11);
   *  - every floating aggregate is `round(x, 4)` in BOTH engines
-  *    (kills last-ulp summation-order differences);
+  *    (kills last-ulp summation-order differences) — but round() is a
+  *    MITIGATION, not a proof: a group whose unrounded value drifts
+  *    across a rounding boundary still flips the last digit
+  *    (interval_join_agg at sf1, 1 of 26k groups over a 42.9M-value
+  *    match stream). Aggregations over UNBOUNDED or join-product
+  *    streams must use the exact quantized form instead —
+  *    `sum(cast(round(v*10000) as bigint)) / 10000.0 / count(*)` —
+  *    which has no boundary at all;
   *  - integer-ish outputs are cast to BIGINT in both engines
   *    (DuckDB `year()`/`count()` are BIGINT, Spark's are INT/LONG);
   *  - order-sensitive first/last use `min_by/max_by(value, ts)` — event
   *    timestamps are globally unique in the testdata, so ties cannot
   *    occur (verified at sf0.001/0.01/0.1).
   *
-  * The first two classes are enforced MECHANICALLY over the whole
+  * The first three classes are enforced MECHANICALLY over the whole
   * catalog by [[DeterminismAudit]] (ORDER-BY-prefix uniqueness probed
-  * against the sf0.01 AND sf0.1 data; strict-float comparisons walked
-  * out of the oracle SQL) — run it when adding an entry. Every entry
+  * against the sf0.01 AND sf0.1 data; strict-float comparisons and
+  * float-aggregate output columns walked out of the oracle SQL, the
+  * latter cross-checked against the Spark output schema) — run it when
+  * adding an entry. Every entry
   * also needs a ≥sf1 correctness signal: the sf1 oracle sweep if its
   * oracle is feasible there (tools/probe_sf1_oracles.py decides), a
   * planted invariant in [[ScaleInvariants]] otherwise

@@ -58,7 +58,34 @@ class DeterminismAuditSpec extends SparkSpec {
     assert(strictFloatFlags(direct).nonEmpty, "direct aggregate boundary must flag")
   }
 
+  test("floatAggOutputGuards classifies the interval_join_agg fix and its broken form") {
+    val broken = "SELECT k, round(avg(v), 4) AS a, avg(w) AS b, " +
+      "sum(CAST(round(v*10000) AS BIGINT)) AS c FROM t GROUP BY k ORDER BY k"
+    val g = floatAggOutputGuards(broken)
+    assert(g("a") == "rounded", "round(avg) is still boundary-flippable")
+    assert(g("b") == "raw")
+    assert(g("c") == "int_exact", "integer-cast argument is exact arithmetic")
+    val fixed = "SELECT k, round(CAST(sum(CAST(round(v*10000) AS BIGINT)) AS DOUBLE)" +
+      " / 10000.0 / count(*), 4) AS a FROM t GROUP BY k ORDER BY k"
+    assert(floatAggOutputGuards(fixed)("a") == "int_exact")
+  }
+
   // ---------------------------------------------------------------- catalog-wide static scan
+
+  test("every float-typed aggregate output column is exact-int or whitelisted (sf0.001)") {
+    val flagged = entries.flatMap { qd =>
+      val as = floatOutputAliases(spark, sf, qd)
+      if (as.isEmpty) None else Some(qd.name -> as)
+    }.toMap
+    val unanswered = flagged.keySet.diff(floatOutputWhitelist.keySet)
+    assert(unanswered.isEmpty,
+      "float-aggregate output columns that can flip a rounded digit on summation " +
+        "drift (use the exact quantized-BIGINT pattern like interval_join_agg, or " +
+        "whitelist with a bounded-drift reason):\n" +
+        unanswered.toSeq.sorted.map(n => s"  $n: ${flagged(n).mkString("; ")}").mkString("\n"))
+    val dead = floatOutputWhitelist.keySet.diff(flagged.keySet)
+    assert(dead.isEmpty, s"float-output whitelist rows no longer flagged - delete them: ${dead.mkString(", ")}")
+  }
 
   test("every strict float-aggregate comparison in the catalog is grid-rounded or whitelisted") {
     val flagged = entries.flatMap { qd =>
