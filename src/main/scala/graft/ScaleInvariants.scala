@@ -118,14 +118,19 @@ object ScaleInvariants {
         () => restrictedEq("dedup_incremental_sig", col("doc_new") < D && col("doc_store") < D)),
       "dedup_embedding" -> Check("restricted_eq",
         () => restrictedEq("dedup_embedding", col("vec_a") < V && col("vec_b") < V)),
-      // the strict entry UNIONS 200 planted near-dups at vec_id+100000 —
-      // replica-0-verbatim at any factor (replica vec_ids stay ≪ 100000),
-      // so base keys = (< V) ∪ (≥ 100000)
+      // the strict entry UNIONS 200 planted near-dups at vec_id+1e9 —
+      // replica-0-verbatim at any factor. The offset was 100000 until
+      // the r12 sf10 run caught it colliding with replica-50+ keyspace
+      // at factor 100 (V=2000 ⟹ replicas 50–99 span exactly
+      // 100000..199999): the restriction admitted 100k foreign vectors
+      // and the id collision silently changed cluster sizes. 1e9 clears
+      // any realistic replication factor (collision needs factor ≥
+      // 1e9/V = 500k). Base keys = (< V) ∪ (≥ 1e9)
       "dedup_embedding_strict" -> Check("restricted_eq",
         () => restrictedEq("dedup_embedding_strict",
-          (col("vec_a") < V || col("vec_a") >= 100000L) &&
-            (col("vec_b") < V || col("vec_b") >= 100000L))),
-      // new batch = (vec_id < 200) + 100000 — replica-0-verbatim by
+          (col("vec_a") < V || col("vec_a") >= 1000000000L) &&
+            (col("vec_b") < V || col("vec_b") >= 1000000000L))),
+      // new batch = (vec_id < 200) + 1e9 — replica-0-verbatim by
       // construction at any factor, so only the STORE side needs the
       // base-key restriction (vec_new < V would select nothing)
       "dedup_embedding_incremental" -> Check("restricted_eq",
@@ -166,10 +171,10 @@ object ScaleInvariants {
         } finally { j.unpersist() }
       }),
       // θ=0.9 forbids cross-replica edges in practice; planted batch at
-      // vec_id+100000 is replica-0-verbatim (see dedup_embedding_strict)
+      // vec_id+1e9 is replica-0-verbatim (see dedup_embedding_strict)
       "embedding_clusters_strict" -> Check("restricted_eq",
         () => restrictedEq("embedding_clusters_strict",
-          col("vec_id") < V || col("vec_id") >= 100000L)),
+          col("vec_id") < V || col("vec_id") >= 1000000000L)),
 
       // ---- graphs: replica subgraphs are node-disjoint isomorphic
       // copies (all key columns co-shifted), so per-node outputs of the
@@ -277,7 +282,10 @@ object ScaleInvariants {
       // restricted_eq passes above; the law here covers the columns the
       // replica construction preserves.
       "multimodal_rollup" -> Check("times_factor_law", () => {
-        val f = lit(10L)
+        // replication factor derived from the data itself (10 at sf1,
+        // 100 at sf10) — documents replicate exactly ×factor
+        val f = lit(Tables.documents(spark, scaledDir).count() /
+          Tables.documents(spark, baseDir).count())
         val b = base("multimodal_rollup").select(col("media_type"),
           (col("n_items") * f).as("n_items"),
           (col("total_bytes") * f).as("total_bytes"))

@@ -121,7 +121,7 @@ object SimilarityQueries {
     // the oracle-threshold config's 128 × 4-bit (8× fewer candidate
     // instances, wider bands → far fewer spurious bucket collisions).
     // The synthetic embeddings top out at cos ≈ 0.6, so the corpus gets
-    // 200 PLANTED near-dups (vec_id < 200 copied to vec_id+100000 with
+    // 200 PLANTED near-dups (vec_id < 200 copied to vec_id+1e9 with
     // dim 1 shifted +0.05 → cos ≈ 0.999) constructed identically in both
     // engines; the oracle stays the exact all-pairs definition.
     QueryDef(
@@ -131,7 +131,7 @@ object SimilarityQueries {
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings
           UNION ALL
-          SELECT vec_id + 100000 AS vec_id,
+          SELECT vec_id + 1000000000 AS vec_id,
                  list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
                              list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS emb
           FROM embeddings WHERE vec_id < 200
@@ -159,7 +159,7 @@ object SimilarityQueries {
         val base = e.select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("embedding"))
         val planted = e.filter(col("vec_id") < 200)
-          .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
             expr("transform(embedding, (x, i) -> cast(x as double) + IF(i = 0, 0.05D, 0D))")
               .as("embedding"))
         Similarity.nearDupPairs(base.unionByName(planted),
@@ -233,7 +233,7 @@ object SimilarityQueries {
                  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(q, v -> v * v)), (a, v) -> a + v) AS norm2
           FROM st
         ), nw0 AS (
-          SELECT vec_id + 100000 AS vec_id,
+          SELECT vec_id + 1000000000 AS vec_id,
                  list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
                              list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS emb
           FROM embeddings WHERE vec_id < 200
@@ -254,7 +254,7 @@ object SimilarityQueries {
       (spark, dir) => {
         val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
         val newBatch = e.filter(col("vec_id") < 200)
-          .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
             expr("transform(embedding, (x, i) -> cast(x as double) + IF(i = 0, 0.05D, 0D))")
               .as("embedding"))
         val storeIndex = Similarity.buildEmbeddingIndex(e)
@@ -276,7 +276,7 @@ object SimilarityQueries {
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
           FROM embeddings
           UNION ALL
-          SELECT vec_id + 100000 AS vec_id,
+          SELECT vec_id + 1000000000 AS vec_id,
                  list_concat([CAST(embedding[1] AS DOUBLE) + 0.05],
                              list_transform(embedding[2:], x -> CAST(x AS DOUBLE))) AS emb
           FROM embeddings WHERE vec_id < 200
@@ -315,7 +315,7 @@ object SimilarityQueries {
         val base = e.select(col("vec_id"),
           expr("transform(embedding, x -> cast(x as double))").as("embedding"))
         val planted = e.filter(col("vec_id") < 200)
-          .select((col("vec_id") + lit(100000L)).as("vec_id"),
+          .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
             expr("transform(embedding, (x, i) -> cast(x as double) + IF(i = 0, 0.05D, 0D))")
               .as("embedding"))
         val corpus = base.unionByName(planted)
