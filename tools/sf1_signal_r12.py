@@ -50,7 +50,9 @@ def main():
 
     r12 = {}
     for line in open(a.r12_check):
-        m = re.match(r"(PASS|FAIL)\s+(\S+)", line.strip())
+        # FAIL lines carry a trailing colon on the name ("FAIL x: rows..."),
+        # and ordered-FAIL is a distinct (still failing) verdict
+        m = re.match(r"(ordered-FAIL|PASS|FAIL)\s+([^\s:]+)", line.strip())
         if m:
             r12[m.group(2)] = m.group(1) == "PASS"
 
