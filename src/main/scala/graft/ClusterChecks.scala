@@ -101,6 +101,37 @@ object ClusterChecks {
       println(s"[cluster-checks]   injection fired ${fires.size}x: ${fires.sorted.mkString(", ")}")
     }
 
+    check("kCoreDelta reliable-checkpoint peel survives a cross-process task retry identically") {
+      import graft.operators.KCore
+      val fireDir = java.nio.file.Files.createTempDirectory("graft-cluster-fire-kcore").toFile
+      val firePath = fireDir.getAbsolutePath
+      // a 2-core (triangle + node 4) with a pendant chain 6-7-8 that
+      // peels over three waves — the multi-round delta loop, not a
+      // single-pass degenerate case
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (2L, 4L),
+        (6L, 1L), (7L, 6L), (8L, 7L)).toDF("u", "v")
+      val expected = KCore.kCoreDelta(edges, k = 2)
+        .as[(Long, Long)].collect().toMap
+      val flakyOnce = udf { (x: Long) =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null && tc.attemptNumber() == 0 && tc.partitionId() == 0) {
+          new java.io.File(firePath,
+            s"fired-stage${tc.stageId()}-pid${ProcessHandle.current().pid()}").createNewFile()
+          throw new RuntimeException("injected first-attempt failure (kcore)")
+        }
+        x
+      }
+      val ckDir = java.nio.file.Files.createTempDirectory("graft-cluster-ckpt-kcore").toString
+      val flakyEdges = edges.repartition(4).withColumn("u", flakyOnce($"u"))
+      val got = KCore.kCoreDelta(flakyEdges, k = 2, checkpointDir = Some(ckDir))
+        .as[(Long, Long)].collect().toMap
+      val fires = Option(fireDir.listFiles()).getOrElse(Array.empty).map(_.getName).toSeq
+      require(fires.nonEmpty, "fault injection never fired — the check proved nothing")
+      require(got == expected,
+        s"delta peel drifted across a cross-process retry: got $got want $expected")
+      println(s"[cluster-checks]   injection fired ${fires.size}x: ${fires.sorted.mkString(", ")}")
+    }
+
     check("codegen expression + broadcast join evaluate on remote executors") {
       val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
       Tables.registerAll(spark, "/root/testdata/sf0.001")

@@ -256,6 +256,42 @@ object DeterminismAudit {
     Some((s, e))
   }
 
+  /** Matching close paren of the '(' at `open` (positions with d<0 are
+    * inside string literals and don't count); -1 if unbalanced.
+    */
+  private def matchingParen(sql: String, d: Array[Int], open: Int): Int = {
+    var k = open
+    var bal = 0
+    while (k < sql.length) {
+      val ch = sql.charAt(k)
+      if (d(k) >= 0) {
+        if (ch == '(') bal += 1
+        else if (ch == ')') { bal -= 1; if (bal == 0) return k }
+      }
+      k += 1
+    }
+    -1
+  }
+
+  private val roundCallRe = "(?i)\\bround\\s*\\(".r
+
+  /** Positional guard test: does some `round(...)` call inside the item
+    * span [s,e) WRAP the aggregate call occupying [aggS,aggE]? Substring
+    * containment ("round(" anywhere in the item) was a false negative:
+    * `quantile_cont(round(v,2), 0.5) AS lo` and `round(a,2)+avg(v) AS x`
+    * both contain round( without guarding the aggregate's output.
+    */
+  private def roundWrapsAgg(sql: String, d: Array[Int], s: Int, e: Int,
+                            aggS: Int, aggE: Int): Boolean =
+    roundCallRe.findAllMatchIn(sql.substring(s, e)).exists { rm =>
+      val open = s + rm.end - 1
+      if (d(open) < 0) false
+      else {
+        val closed = matchingParen(sql, d, open)
+        closed >= 0 && open < aggS && aggE <= closed
+      }
+    }
+
   def floatAggAliases(sqlRaw: String): Map[String, Boolean] = {
     val sql = stripLineComments(sqlRaw)
     val d = depths(sql)
@@ -263,7 +299,9 @@ object DeterminismAudit {
     floatAggRe.findAllMatchIn(sql).toSeq.flatMap { m =>
       selectItemSpan(sql, d, m.start).flatMap { case (s, e) =>
         val item = sql.substring(s, e).trim
-        val guarded = item.toLowerCase.contains("round(") || intCastRe.findFirstIn(item).isDefined
+        val aggE = matchingParen(sql, d, m.end - 1)
+        val guarded = (aggE >= 0 && roundWrapsAgg(sql, d, s, e, m.start, aggE)) ||
+          intCastRe.findFirstIn(item).isDefined
         asRe.findFirstMatchIn(item).map(am => am.group(1) -> guarded)
       }
     }.groupMapReduce(_._1)(_._2)(_ && _) // alias reused → guarded only if ALL defs guard
@@ -296,17 +334,12 @@ object DeterminismAudit {
       selectItemSpan(sql, d, m.start).flatMap { case (s, e) =>
         val item = sql.substring(s, e).trim
         // argument span: from the aggregate's '(' to its matching ')'
-        var k = m.end - 1
-        var bal = 0
-        while (k < sql.length && { val ch = sql.charAt(k)
-          if (ch == '(' && d(k) >= 0) bal += 1
-          else if (ch == ')' && d(k) >= 0) bal -= 1
-          bal != 0 }) k += 1
-        val arg = sql.substring(m.end - 1, math.min(k + 1, sql.length))
-        val outside = sql.substring(s, m.start) + sql.substring(math.min(k + 1, e), e)
+        val k = matchingParen(sql, d, m.end - 1)
+        val arg = sql.substring(m.end - 1,
+          math.min((if (k >= 0) k else sql.length - 1) + 1, sql.length))
         val guard =
           if (intCastRe.findFirstIn(arg).isDefined) "int_exact"
-          else if (outside.toLowerCase.contains("round(")) "rounded"
+          else if (k >= 0 && roundWrapsAgg(sql, d, s, e, m.start, k)) "rounded"
           else "raw"
         asRe.findFirstMatchIn(item).map(am => am.group(1) -> guard)
       }
@@ -438,9 +471,6 @@ object DeterminismAudit {
     "ab_test_zscore" -> ("5*sum(CASE..1..0) > count(*) compares two " +
       "INTEGER aggregates - exact in both engines; the detector cannot " +
       "see that the sum argument is 0/1"),
-    "twap_daily" -> ("SUM(wt) > 0 where wt is CAST(date_diff AS BIGINT) " +
-      "- an integer sum, exact in both engines; the detector sees only " +
-      "the alias, not its integer definition"),
     "token_budget_sample" -> ("cum_tokens <= budget compares a running " +
       "SUM of integer token counts - exact BIGINT in both engines, no " +
       "float boundary exists; the detector cannot see the sum's type"))
@@ -490,18 +520,15 @@ object DeterminismAudit {
     "value_quantiles" -> ("p50/p90/p99: same order-statistic " +
       "interpolation class, 3 output values total; sf1-matched"),
     // -- rounded float sums over BOUNDED groups, sf1-matched ----------
-    "ohlcv_daily" -> ("turnover = round(sum(price*volume),4) per " +
-      "(key,day): ticks-per-day bounded, drift << the 1e-4 grid; " +
-      "sf1-matched. An UNBOUNDED turnover stream must use the exact " +
-      "quantized pattern (interval_join_agg)"),
-    "ohlcv_typed" -> ("same turnover as ohlcv_daily via the typed " +
-      "aggregator; same bounded-group argument"),
-    "candles_incremental" -> ("same turnover, incremental union shape; " +
-      "bounded per-(key,day) groups"),
-    "etl_pipeline" -> ("same turnover inside the replicated reference " +
-      "job; bounded per-(key,day) groups"),
-    "twap_daily" -> ("twap = sum(value*wt)/sum(wt) per (user,day): " +
-      "bounded intraday groups; wt is exact integer micros"),
+    // (the candle-family turnover rows — ohlcv_daily/typed/incremental,
+    // etl_pipeline, resample_daily — plus twap_daily, unpivot_quartiles
+    // and seasonal_decompose were converted to the exact fixed-point
+    // pattern in r13: quantize on the value grid (price cents; 7·n−sum7
+    // for the detrended counts), sum integers, divide once. The rows
+    // that remain here aggregate values with NO decimal grid — logs,
+    // arbitrary float32 embeddings — or need sums of squares whose
+    // quantized magnitudes overflow int64; for those the bounded-group
+    // + sf1-measured argument stands.)
     "bigram_lm_perplexity" -> ("avg_nll/ppl per document: bigrams-per-" +
       "doc bounded by text length; log/exp of identical operands"),
     "perplexity_filter" -> ("same per-document avg_nll/ppl class as " +
@@ -518,12 +545,6 @@ object DeterminismAudit {
       "bounded groups, sf1-matched"),
     "pricing_summary_q1" -> ("TPC-H Q1 avgs per returnflag/linestatus: 4 " +
       "groups, values exact-representable cents; r11 sf1-matched"),
-    "resample_daily" -> ("per-(key,day) avg over intraday ticks; bounded " +
-      "small groups, sf1-matched"),
-    "seasonal_decompose" -> ("per-(key,dow) avg of daily closes (≤ span/7 " +
-      "values); bounded groups, sf1-matched"),
-    "unpivot_quartiles" -> ("per-quartile avg over n/4 int-quantized " +
-      "doubles; sf1-matched"),
     "winsorize_stats" -> ("clamped-mean/std per key AFTER the r11 grid-" +
       "rounded thresholds; bounded per-key groups, sf1-matched"))
 

@@ -37,6 +37,73 @@ object ScaleInvariants {
 
   final case class Check(kind: String, run: () => (Boolean, String))
 
+  /** Entries with NO registered invariant, each with its feasibility
+    * reason (verdict r12 #4: exclusions must be argued, not silent).
+    * Every one of these has the STRONGER sf1 signal — the DuckDB
+    * hash-match sweep — because its oracle is cheap at sf1; what they
+    * lack is a semantics-preserving restriction under replication.
+    */
+  val excludedReasons: Map[String, String] = Map(
+    // global top-k / ranking: 10× more candidates legitimately displace
+    // or interleave with the base winners (ties duplicated across
+    // replicas; ranks are corpus-positional)
+    "ann_cosine_topk" -> "global top-k; rotated replicas can crack the base top-10 (cos noise ~N(0,1/sqrt(d)))",
+    "ann_ivf_topk" -> "global top-k over 10x candidates (see ann_cosine_topk)",
+    "ann_ivf_external" -> "global top-k over 10x candidates",
+    "ann_lsh_topk" -> "global top-k over 10x candidates; bucket occupancy changes",
+    "ann_pq_adc_topk" -> "global top-k over 10x candidates",
+    "ann_pq_codes" -> "PQ codebook trained on the corpus; replica rotation changes centroids",
+    "ann_topk_bounded" -> "global top-k over 10x candidates",
+    "ann_recall_eval" -> "recall of a pinned config legitimately collapses at 10x corpus (lshConfigFor argument)",
+    "sql_adhoc_similarity" -> "global top-k over 10x candidates",
+    "time_range_topk" -> "top-k by time over a 10x-densified feed re-ranks by construction",
+    "top_unshipped_q3" -> "global top-10 with replica-duplicated revenues",
+    "big_order_customers_q18" -> "global top-10 by quantity with replica-duplicated dq ties",
+    "top_quality_docs" -> "per-lang top-k; rotated replica quality scores compete",
+    "cap_per_source" -> "per-source hash top-5; replica hashes compete within unchanged sources",
+    "class_balance" -> "cap = min class size scales x f and replica hashes re-rank within classes",
+    "global_percent_rank" -> "percent_rank is corpus-positional by definition",
+    "rfm_segmentation" -> "global ntile quartiles over a replica-interleaved distribution",
+    "group_max_next_id" -> "dense-id from global max key: scaled max = base max + (f-1)*keyspace",
+    "company_registration" -> "dense-id assignment is corpus-positional by definition",
+    "weighted_sample" -> "fixed-size weighted sample over 10x competitors selects differently",
+    "token_budget_sample" -> "fixed global token budget over a 10x corpus fills from different docs",
+    "basket_lift" -> "top-20 by lift where lift scales x f uniformly - replicas tie the ranking",
+    // corpus-global text statistics: the letter rotation guarantees
+    // SHINGLE distinctness, but single TOKENS can collide across
+    // rotations ('eat'->'tao' could equal another corpus token), so
+    // token/ngram df-based outputs are not replica-separable
+    "ngram_top" -> "corpus bigram counts; rotated tokens can collide with base tokens",
+    "collocation_pmi" -> "corpus PMI over rotated tokens (see ngram_top)",
+    "heavy_hitter_tokens" -> "corpus token counts (see ngram_top)",
+    "bpe_merges" -> "merge list trained on the rotated corpus changes by construction",
+    "bpe_pair_counts" -> "corpus pair counts change under rotation",
+    "bpe_encode" -> "encodes with corpus-trained merges (bpe_encode_fixed covers the frozen path)",
+    "tokenizer_fertility" -> "single_token_frac tests membership in a corpus-trained vocab",
+    "bigram_lm_perplexity" -> "LM probabilities are corpus-trained; rotation perturbs them",
+    "perplexity_filter" -> "unigram LM corpus-trained (see bigram_lm_perplexity)",
+    // replication-sensitive statistics by formula
+    "ab_test_zscore" -> "z scales with sqrt(n) by definition",
+    "gini_concentration" -> "finite-population terms make gini scale-dependent by formula",
+    "k_anonymity" -> "size buckets of group sizes shift when group sizes scale x f",
+    "skew_diagnostics" -> "share = cnt/total scales 1/f while per-user cnt is constant",
+    "corr_stats" -> "covar_samp/var_samp n-1 corrections are not replication-invariant",
+    "value_quantiles" -> "exact-percentile interpolation is not replication-invariant at tie boundaries",
+    "time_to_convert" -> "percentile interpolation over a duplicated population (see value_quantiles)",
+    "winsorize_stats" -> "p05/p95 bounds interpolate over the duplicated distribution",
+    "unpivot_quartiles" -> "global ntile per metric over replica-interleaved values",
+    "seasonal_decompose" -> "every column scales linearly with feed density but through different division roundings (sub-ulp)",
+    // embedding dimension mixing
+    "embedding_dim_stats" -> "replica embeddings are dimension-rotated: per-dim stats mix dims by construction",
+    "embedding_quantize_int8" -> "per-dim stats under dimension rotation (see embedding_dim_stats)",
+    "label_centroids" -> "per-(label,dim) means under dimension rotation",
+    // construction-specific
+    "table_checksum" -> "whole-table checksum is corpus-global by definition",
+    "partition_checksums" -> "per-month checksums absorb replica rows (months are replica-invariant)",
+    "snapshot_diff" -> "synthetic churn's +1e7 insert keyspace collides with replica>=17 keys at factor 100",
+    "sql_adhoc_recursive" -> "key-arithmetic parent chains are not shift-equivariant at replica boundaries",
+    "pricing_summary_q1" -> "unrounded float avg columns drift sub-ulp across run orderings; sums covered by the sf1 oracle")
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val scaledDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -53,9 +120,22 @@ object ScaleInvariants {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = runAll(spark, baseDir, scaledDir, only)
-    val json = results.toSeq.sortBy(_._1).map { case (n, (kind, pass, detail)) =>
-      s""""$n": {"check": "$kind", "pass": $pass, "detail": "${detail.replace("\"", "'")}"}"""
-    }.mkString("{\n", ",\n", "\n}")
+    // full JSON string escaping: the ERR path embeds e.getMessage, which
+    // can carry backslashes/newlines — quote-only replacement produced a
+    // file the ledger combiner could not parse
+    def esc(s: String) = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    }
+    val body = results.toSeq.sortBy(_._1).map { case (n, (kind, pass, detail)) =>
+      s""""$n": {"check": "$kind", "pass": $pass, "detail": "${esc(detail)}"}"""
+    }.mkString(",\n")
+    val excl = excludedReasons.toSeq.sortBy(_._1).map { case (n, why) =>
+      s""""$n": "${esc(why)}""""
+    }.mkString(",\n")
+    val json = s"{\n$body,\n\"_excluded\": {\n$excl\n}\n}"
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         json.getBytes("UTF-8"))
@@ -81,6 +161,7 @@ object ScaleInvariants {
     val V = maxOf(Tables.embeddings(spark, baseDir), "vec_id")
     val E = maxOf(Tables.events(spark, baseDir), "event_id")
     val C = maxOf(Tables.customer(spark, baseDir), "c_custkey")
+    val O = maxOf(Tables.orders(spark, baseDir), "o_orderkey")
     val S = maxOf(Tables.supplier(spark, baseDir), "s_suppkey")
     val P = maxOf(Tables.part(spark, baseDir), "p_partkey")
 
@@ -98,6 +179,41 @@ object ScaleInvariants {
           s"base=$n0 restricted=$n1 missing=$missing extra=$extra")
       } finally { r0.unpersist(); r1.unpersist() }
     }
+    def req(name: String, restrict: org.apache.spark.sql.Column): (String, Check) =
+      name -> Check("restricted_eq", () => restrictedEq(name, restrict))
+
+    // replication factor derived from the data itself (10 at sf1, 100 at
+    // sf10) — documents replicate exactly ×factor by construction
+    lazy val factor: Long = Tables.documents(spark, scaledDir).count() /
+      Tables.documents(spark, baseDir).count()
+
+    /** Exact ×factor law for rollups grouped by replica-INVARIANT
+      * attributes (days, event types, statuses, nations — unchanged per
+      * replica, so every replica contributes an isomorphic copy to each
+      * group): additive columns (`times`) must scale by exactly `factor`;
+      * ratio / extremum / constant columns (`eq`) must be bit-equal —
+      * a ratio of two exactly-×f integers divides to the identical
+      * correctly-rounded double. Columns in `drop` are excluded with the
+      * reason stated at the registration site (they scale non-linearly
+      * or through intermediate roundings).
+      */
+    def factorLaw(name: String, times: Seq[String], eqCols: Seq[String],
+                  drop: Seq[String] = Nil): (String, Check) =
+      name -> Check("times_factor_law", () => {
+        val outCols = eqCols ++ times
+        val b = base(name)
+          .select(eqCols.map(col) ++ times.map(c => (col(c) * factor).as(c)): _*)
+          .cache()
+        val s1 = scaled(name).select(outCols.map(col): _*).cache()
+        try {
+          val n = b.count()
+          val missing = b.exceptAll(s1).count()
+          val extra = s1.exceptAll(b).count()
+          (missing == 0 && extra == 0 && n > 0,
+            s"rows=$n missing=$missing extra=$extra factor=$factor" +
+              (if (drop.nonEmpty) s" dropped=${drop.mkString(",")}" else ""))
+        } finally { b.unpersist(); s1.unpersist() }
+      })
 
     val checks: Map[String, Check] = Map(
       // ---- pair outputs: the pair predicate (exact jaccard / cosine /
@@ -110,6 +226,14 @@ object ScaleInvariants {
         () => restrictedEq("dedup_jaccard_prefix", col("doc_a") < D && col("doc_b") < D)),
       "dedup_minhash_lsh" -> Check("restricted_eq",
         () => restrictedEq("dedup_minhash_lsh", col("doc_a") < D && col("doc_b") < D)),
+      // sized banding CHANGES with corpus size, so restricted_eq is only
+      // deterministic because every qualifying pair (θ=0.995) is an exact
+      // duplicate — certain recall at any banding. Planted exact dups sit
+      // at doc_id+1e9 (replica-0-verbatim, clears any realistic factor)
+      "dedup_minhash_sized" -> Check("restricted_eq",
+        () => restrictedEq("dedup_minhash_sized",
+          (col("doc_a") < D || col("doc_a") >= 1000000000L) &&
+            (col("doc_b") < D || col("doc_b") >= 1000000000L))),
       "dedup_containment" -> Check("restricted_eq",
         () => restrictedEq("dedup_containment", col("doc_a") < D && col("doc_b") < D)),
       "dedup_incremental" -> Check("restricted_eq",
@@ -295,15 +419,167 @@ object ScaleInvariants {
         (d == 0 && s1.count() > 0, s"rows_diff=$d (n_items/total_bytes law)")
       }),
 
-      // NOT registered: ann_recall_eval and sql_adhoc_similarity. Both
-      // are global top-k/recall evaluations whose base results are
-      // legitimately displaced by 10× more candidates (measured: the
-      // pinned 6-bit-bucket recall collapses to 0.06 at 10× corpus —
-      // the lshConfigFor argument, not a correctness bug), so no
-      // replica-restriction invariant exists — and both oracles are
-      // cheap SQL arithmetic that completes at sf1 (probe: 1 s / 13 s),
-      // so they take the STRONGER signal, the DuckDB hash-match sweep.
-    )
+    ) ++ Seq(
+      // ---- r13 bulk extension (verdict #4): restricted_eq for every
+      // entry whose output is keyed by a replica-SHIFTED key and whose
+      // per-key semantics touch only replica-local data (per-key
+      // windows/groups; joins whose FKs co-shift). Replica 0 is the
+      // base corpus verbatim, so scaled output restricted to base keys
+      // must recover the known-correct base output exactly.
+      // events.user_id co-shifts with c_custkey:
+      req("acf_lags", col("user_id") < C),
+      req("bollinger", col("user_id") < C),
+      req("drawdown", col("user_id") < C),
+      req("ewma_smooth", col("user_id") < C),
+      req("first_last_day", col("user_id") < C),
+      req("funnel_stages", col("user_id") < C),
+      req("gapfill_daily", col("user_id") < C),
+      req("golden_record", col("user_id") < C),
+      req("interpolate_linear", col("user_id") < C),
+      req("lag_pct_change", col("user_id") < C),
+      req("mad_stats", col("user_id") < C),
+      req("mode_event_type", col("user_id") < C),
+      req("nav_functions", col("user_id") < C),
+      req("pivot_user_event_types", col("user_id") < C),
+      req("rank_functions", col("user_id") < C),
+      req("row_stats", col("user_id") < C),
+      req("salted_agg_events", col("user_id") < C),
+      req("scd2_intervals", col("user_id") < C),
+      req("sessionization", col("user_id") < C),
+      req("skew_join_salted", col("user_id") < C),
+      req("sql_adhoc_window", col("user_id") < C),
+      req("tick_compression", col("user_id") < C),
+      req("tick_compression_scaled", col("user_id") < C),
+      req("trailing_window_1h", col("user_id") < C),
+      req("trend_slope", col("user_id") < C),
+      req("twap_daily", col("user_id") < C),
+      req("union_distinct", col("user_id") < C),
+      req("vwap_daily", col("user_id") < C),
+      req("zscore_anomaly", col("user_id") < C),
+      req("weekly_candles", col("user_id") < C),
+      // c_name is replica-UNCHANGED by design, so the literal lookup
+      // also matches replica customers — the key restriction recovers
+      // exactly the base rows
+      req("company_chart_data", col("user_id") < C),
+      req("ohlcv_daily", col("user_id") < C),
+      req("ohlcv_typed", col("user_id") < C),
+      req("candles_incremental", col("user_id") < C),
+      req("etl_pipeline", col("user_id") < C),
+      // customer / order keyspaces:
+      req("anti_join_inactive", col("c_custkey") < C),
+      req("semi_join_active", col("c_custkey") < C),
+      req("prefix_search", col("c_custkey") < C),
+      req("market_map_text", col("c_custkey") < C),
+      req("symbol_normalize", col("c_custkey") < C),
+      req("sql_adhoc_exists", col("c_custkey") < C),
+      req("sql_adhoc_lateral", col("c_custkey") < C),
+      req("set_operations", col("k") < C),
+      req("dedup_keep_first", col("o_custkey") < C),
+      req("scd_last_writer", col("o_custkey") < C),
+      req("filename_dates", col("o_orderkey") < O),
+      req("point_lookup", col("o_orderkey") < O),
+      req("math_functions", col("l_orderkey") < O),
+      req("price_parse", col("l_orderkey") < O),
+      // ORDER BY o_orderkey LIMIT 50 OFFSET 200: base keys sort first at
+      // any factor, so the scaled page IS the base page, unrestricted
+      req("limit_offset_page", lit(true)),
+      // event keyspace:
+      req("asof_join_enrich", col("event_id") < E),
+      req("broadcast_enrich", col("event_id") < E),
+      req("click_attribution", col("click_id") < E),
+      req("range_cleanup", col("event_id") < E),
+      req("stratified_sample", col("event_id") < E),
+      // document keyspace (cross-replica shingle/text distinctness is
+      // asserted at generation, so corpus-df terms on base docs are
+      // untouched by rotated replicas):
+      req("char_entropy", col("doc_id") < D),
+      req("chunk_documents", col("doc_id") < D),
+      req("curate_pipeline", col("doc_id") < D),
+      req("decontaminate", col("doc_id") < D),
+      req("decontaminate_bloom", col("doc_id") < D),
+      req("decontaminate_incremental", col("doc_id") < D),
+      req("dedup_exact", col("canonical_id") < D),
+      req("dedup_keep_best", col("canonical_id") < D && col("kept_doc") < D),
+      req("doc_fingerprint", col("doc_id") < D),
+      req("dup_span_stats", col("doc_id") < D),
+      req("lang_id", col("doc_id") < D),
+      // mixture weights are count RATIOS (invariant under ×f) and the
+      // accept test is a per-doc hash threshold — replica-local
+      req("mixture_temperature_sample", col("doc_id") < D),
+      // exclusive prefix sum ordered by doc_id: base docs prefix first
+      req("pack_sequences", col("doc_id") < D),
+      req("repetition_stats", col("doc_id") < D),
+      req("string_functions_doc", col("doc_id") < D),
+      req("text_quality", col("doc_id") < D),
+      req("token_counts", col("doc_id") < D),
+      req("train_test_split", col("doc_id") < D),
+      req("unicode_normalize", col("doc_id") < D),
+      req("url_extract", col("doc_id") < D),
+      req("array_functions_emb", col("vec_id") < V),
+
+      // ---- r13 bulk extension: exact ×factor laws for rollups grouped
+      // by replica-invariant attributes (see factorLaw scaladoc)
+      factorLaw("activity_heatmap", times = Seq("n", "cents"), eqCols = Seq("dow", "hr")),
+      factorLaw("benford_digits", times = Seq("n"),
+        eqCols = Seq("digit", "observed", "expected", "abs_dev")),
+      factorLaw("cohort_retention", times = Seq("n_active"),
+        eqCols = Seq("cohort", "day_offset", "retention")),
+      factorLaw("cube_orders", times = Seq("n"), eqCols = Seq("y", "status", "g_y", "g_s")),
+      factorLaw("data_profile",
+        times = Seq("n_rows", "orderkey_nonnull", "orderkey_distinct", "qty_cents_sum"),
+        eqCols = Seq("qty_min", "qty_max", "shipdate_min", "shipdate_max", "returnflag_card")),
+      factorLaw("dau_wau_stickiness", times = Seq("dau", "wau"),
+        eqCols = Seq("day", "stickiness")),
+      factorLaw("embedding_stats", times = Seq("n_vectors", "sum_norm2"),
+        eqCols = Seq("label", "avg_norm2")),
+      // counts scale uniformly ×f, so the top-20 SET and its order are
+      // preserved (ties broken by the invariant path strings)
+      factorLaw("event_paths_top", times = Seq("n"), eqCols = Seq("e1", "e2", "e3")),
+      factorLaw("event_transitions", times = Seq("n"),
+        eqCols = Seq("prev_type", "next_type", "p")),
+      factorLaw("expectations_report", times = Seq("n_violations"),
+        eqCols = Seq("check_name")),
+      factorLaw("feature_binning", times = Seq("n"), eqCols = Seq("bin", "lo_v", "hi_v")),
+      factorLaw("hopping_candles", times = Seq("n_events", "cents"), eqCols = Seq("w_start")),
+      factorLaw("ivm_join_agg", times = Seq("cnt", "sum_cents"), eqCols = Seq("grp")),
+      factorLaw("join_agg_revenue", times = Seq("n_items", "revenue_cents"),
+        eqCols = Seq("c_mktsegment", "o_orderstatus")),
+      factorLaw("json_extract_props", times = Seq("n", "k_sum"),
+        eqCols = Seq("event_type", "k_min", "k_max")),
+      factorLaw("month_histogram", times = Seq("n", "total_cents"), eqCols = Seq("y", "m")),
+      factorLaw("null_safe_join", times = Seq("n_events", "n_users"), eqCols = Seq("sector")),
+      factorLaw("pivot_event_types",
+        times = Seq("n_click", "n_purchase", "n_view", "cents_click", "cents_purchase", "cents_view"),
+        eqCols = Seq("day")),
+      // mean_value dropped: (f·S/100)/(f·n) rounds through a different
+      // intermediate than (S/100)/n — sub-ulp, but exceptAll is exact;
+      // the column's cross-engine exactness is pinned by the sf1 oracle
+      factorLaw("resample_daily", times = Seq("volume"),
+        eqCols = Seq("day", "open", "high", "low", "close"), drop = Seq("mean_value")),
+      factorLaw("rollup_orders", times = Seq("n", "total_cents"), eqCols = Seq("y", "m")),
+      factorLaw("sql_adhoc_agg", times = Seq("n_orders", "total_cents"),
+        eqCols = Seq("o_orderpriority")),
+      factorLaw("sql_adhoc_grouping_sets", times = Seq("n", "total_cents"),
+        eqCols = Seq("o_orderstatus", "o_orderpriority")),
+      factorLaw("sql_adhoc_join", times = Seq("n_customers", "acctbal_cents"),
+        eqCols = Seq("n_name")),
+      factorLaw("sql_adhoc_pivot",
+        times = Seq("f_n", "f_cents", "o_n", "o_cents", "p_n", "p_cents"),
+        eqCols = Seq("c_mktsegment")),
+      factorLaw("sql_adhoc_unpivot", times = Seq("v"), eqCols = Seq("c_mktsegment", "metric")),
+      factorLaw("star_join_q5", times = Seq("n_items", "revenue_cents"), eqCols = Seq("n_name")),
+      factorLaw("string_agg_segments", times = Seq("n_customers"),
+        eqCols = Seq("n_name", "segments")),
+      factorLaw("table_stats", times = Seq("n_events", "n_users"),
+        eqCols = Seq("n_types", "min_day", "max_day")),
+      factorLaw("table_stats_approx", times = Seq("n_events", "n_users_exact"),
+        eqCols = Seq("n_types_exact", "users_within_5pct", "types_within_5pct")),
+      factorLaw("union_schema_drift", times = Seq("n_rows", "n_with_value", "cents"),
+        eqCols = Seq("event_type")),
+      factorLaw("variant_extract_props", times = Seq("n", "k_sum"),
+        eqCols = Seq("event_type", "k_decade")),
+      factorLaw("zorder_curve", times = Seq("n", "sum_qty"), eqCols = Seq("zval"))
+    ).toMap
 
     val selected = only.map(names => checks.filter(c => names(c._1))).getOrElse(checks)
     selected.map { case (name, c) =>

@@ -33,7 +33,7 @@ object Pipeline {
       .select(
         col("user_id"), col("day"), col("c_name"), col("c_mktsegment"),
         col("open"), col("high"), col("low"), col("close"),
-        col("volume"), round(col("turnover"), 4).as("turnover"),
+        col("volume"), col("turnover"),
         round(col("mean"), 4).as("mean"))
   }
 }

@@ -26,29 +26,33 @@ object KCore {
     *
     * @param edges undirected (u, v); duplicates/reversals/self-loops
     *              canonicalized away.
+    * @param checkpointDir opts into reliable checkpoints for the
+    *              per-round lineage truncation (see [[Checkpoints]]) —
+    *              on a preemptible cluster an executor lost mid-peel
+    *              otherwise kills the job.
     * @return (node, core_degree), every core_degree ≥ k.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 50,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
+    def ck(df: DataFrame) = Checkpoints.truncate(df, checkpointDir)
     val und = edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val dedges = und.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint() // read every round; never re-derive
-    var alive = dedges.select(col("src").as("node")).distinct().localCheckpoint()
+    val dedges = ck(und.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(und.select(col("v").as("src"), col("u").as("dst")))) // read every round; never re-derive
+    var alive = ck(dedges.select(col("src").as("node")).distinct())
     var n = alive.count()
     var rounds = 0
     var converged = n == 0L
     while (!converged && rounds < maxRounds) {
-      val next = dedges
+      val next = ck(dedges
         .join(alive.select(col("node").as("src")), Seq("src"))
         .join(alive.select(col("node").as("dst")), Seq("dst"))
         .groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
-        .select(col("src").as("node"))
-        .localCheckpoint()
+        .select(col("src").as("node")))
       val n2 = next.count()
       converged = n2 == n || n2 == 0L
       alive = next
@@ -78,23 +82,30 @@ object KCore {
     * (`repartition` + `localCheckpoint`, which preserves the physical
     * partitioning): each round's probe join re-uses that layout and only
     * the small removed side shuffles. Identical output to [[kCore]]
-    * (KCoreSpec proves it on the fixture graphs); same `maxRounds`
-    * runaway guard — delta rounds are the same peel rounds.
+    * (KCoreSpec proves it on the fixture graphs). `maxRounds` is the
+    * same runaway guard, but the counters differ by one near the limit:
+    * delta counts only removal waves, while [[kCore]] spends one extra
+    * confirming round on the fixpoint (n2 == n) — so delta needs peel
+    * waves ≤ maxRounds where kCore needs waves + 1. Copy maxRounds
+    * values between the two intentionally. `checkpointDir` opts into
+    * reliable per-round checkpoints exactly as in [[kCore]].
     */
-  def kCoreDelta(edges: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+  def kCoreDelta(edges: DataFrame, k: Int, maxRounds: Int = 50,
+                 checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
+    def ck(df: DataFrame) = Checkpoints.truncate(df, checkpointDir)
     val und = edges
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val dedges = und.select(col("u").as("src"), col("v").as("dst"))
+    // reliable checkpoint() preserves outputPartitioning too (LogicalRDD
+    // carries it), so the once-partitioned layout survives either mode
+    val dedges = ck(und.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(und.select(col("v").as("src"), col("u").as("dst")))
-      .repartition(col("src"))
-      .localCheckpoint()
+      .repartition(col("src")))
     // full degrees: partial agg over the already-src-partitioned edges
-    var deg = dedges.groupBy("src").agg(count(lit(1)).as("d"))
-      .select(col("src").as("node"), col("d"))
-      .localCheckpoint()
+    var deg = ck(dedges.groupBy("src").agg(count(lit(1)).as("d"))
+      .select(col("src").as("node"), col("d")))
     var removed = deg.filter(col("d") < k).select("node")
     var aliveDeg = deg.filter(col("d") >= k)
     var nRemoved = removed.count()
@@ -105,10 +116,9 @@ object KCore {
         .groupBy("dst").agg(count(lit(1)).as("dec"))
       // left join: an alive node untouched by this round's removals
       // keeps its degree; a removed dst is absent from aliveDeg (no-op)
-      deg = aliveDeg
+      deg = ck(aliveDeg
         .join(decr.select(col("dst").as("node"), col("dec")), Seq("node"), "left")
-        .select(col("node"), (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
-        .localCheckpoint()
+        .select(col("node"), (col("d") - coalesce(col("dec"), lit(0L))).as("d")))
       removed = deg.filter(col("d") < k).select("node")
       aliveDeg = deg.filter(col("d") >= k)
       nRemoved = removed.count()

@@ -19,18 +19,21 @@ case class OhlcBuf(
     firstTs: Long, open: Double,
     lastTs: Long, close: Double,
     high: Double, low: Double,
-    n: Long, sum: Double)
+    n: Long, sumUnits: Long)
 
 /** Typed single-pass OHLCV aggregator (SURVEY.md §7.3 optional showcase):
   * computes open/high/low/close/volume/turnover in ONE traversal instead
   * of six separate aggregate expressions. Semantically equal to
   * `Candles.ohlcvDaily` (checked against the same DuckDB oracle).
+  * Turnover accumulates in integer price units (`priceScale` per 1.0 —
+  * Candles' fixed-point contract), so partial/final merge order cannot
+  * drift the sum.
   */
-class OhlcAggregator extends Aggregator[Tick, OhlcBuf, OhlcBuf] {
+class OhlcAggregator(priceScale: Long = 100L) extends Aggregator[Tick, OhlcBuf, OhlcBuf] {
 
   override def zero: OhlcBuf =
     OhlcBuf(Long.MaxValue, 0.0, Long.MinValue, 0.0,
-      Double.NegativeInfinity, Double.PositiveInfinity, 0L, 0.0)
+      Double.NegativeInfinity, Double.PositiveInfinity, 0L, 0L)
 
   override def reduce(b: OhlcBuf, t: Tick): OhlcBuf = {
     val tFirst = b.n == 0 ||
@@ -45,7 +48,7 @@ class OhlcAggregator extends Aggregator[Tick, OhlcBuf, OhlcBuf] {
       math.max(b.high, t.value),
       math.min(b.low, t.value),
       b.n + 1,
-      b.sum + t.value)
+      b.sumUnits + Math.round(t.value * priceScale))
   }
 
   override def merge(a: OhlcBuf, b: OhlcBuf): OhlcBuf = {
@@ -61,7 +64,7 @@ class OhlcAggregator extends Aggregator[Tick, OhlcBuf, OhlcBuf] {
       math.max(a.high, b.high),
       math.min(a.low, b.low),
       a.n + b.n,
-      a.sum + b.sum)
+      a.sumUnits + b.sumUnits)
   }
 
   override def finish(r: OhlcBuf): OhlcBuf = r
@@ -72,11 +75,12 @@ class OhlcAggregator extends Aggregator[Tick, OhlcBuf, OhlcBuf] {
 object OhlcAggregator {
 
   /** Daily candles through the typed aggregator; output schema matches
-    * `Candles.ohlcvDaily`. The float `turnover` sum is order-dependent in
-    * the last ulp (like any float sum) — callers round it for
-    * engine-comparison, same as the expression path.
+    * `Candles.ohlcvDaily`, including the exact fixed-point turnover
+    * (integer units accumulated, one final division — no float-sum
+    * order dependence).
     */
-  def dailyCandles(ticks: DataFrame, key: String, ts: String, value: String): DataFrame = {
+  def dailyCandles(ticks: DataFrame, key: String, ts: String, value: String,
+                   priceScale: Long = 100L): DataFrame = {
     val spark = ticks.sparkSession
     import spark.implicits._
     // a tick without a key, a time, or a price is not a tick — dropped by
@@ -90,10 +94,10 @@ object OhlcAggregator {
         col(value).cast("double").as("value")).as[Tick]
     typed
       .groupByKey(t => (t.user_id, Math.floorDiv(t.tsMicros, 86400000000L)))
-      .agg(new OhlcAggregator().toColumn.name("c"))
+      .agg(new OhlcAggregator(priceScale).toColumn.name("c"))
       .map { case ((uid, epochDay), c) =>
         (uid, java.time.LocalDate.ofEpochDay(epochDay).toString,
-          c.open, c.high, c.low, c.close, c.n, c.sum)
+          c.open, c.high, c.low, c.close, c.n, c.sumUnits.toDouble / priceScale)
       }
       .toDF(key, "day_s", "open", "high", "low", "close", "volume", "turnover")
       .withColumn("day", to_date(col("day_s"))).drop("day_s")

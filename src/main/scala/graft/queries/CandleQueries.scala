@@ -22,7 +22,7 @@ object CandleQueries {
                min(value) AS low,
                max_by(value, ts) AS close,
                COUNT(*) AS volume,
-               ROUND(SUM(value), 4) AS turnover,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS turnover,
                ROUND((min_by(value, ts) + max(value) + min(value) + max_by(value, ts)) / 4, 4) AS mean
         FROM events
         GROUP BY user_id, CAST(ts AS DATE)
@@ -36,7 +36,6 @@ object CandleQueries {
       (spark, dir) => {
         val candles = Candles.ohlcvDaily(Tables.events(spark, dir), "user_id", "ts", "value")
         candles
-          .withColumn("turnover", round(col("turnover"), 4))
           .withColumn("mean", round(col("mean"), 4))
           .orderBy("user_id", "day")
       }),
@@ -57,7 +56,6 @@ object CandleQueries {
             "user_id", "ts", "value"))
         val merged = chunks.reduce(Candles.mergeCandleStates(_, _, "user_id"))
         Candles.finishCandles(merged)
-          .withColumn("turnover", round(col("turnover"), 4))
           .withColumn("mean", round(col("mean"), 4))
           .orderBy("user_id", "day")
       }),
@@ -71,7 +69,6 @@ object CandleQueries {
       (spark, dir) => {
         graft.operators.OhlcAggregator.dailyCandles(
           Tables.events(spark, dir), "user_id", "ts", "value")
-          .withColumn("turnover", round(col("turnover"), 4))
           .withColumn("mean", round(col("mean"), 4))
           .select("user_id", "day", "open", "high", "low", "close", "volume", "turnover", "mean")
           .orderBy("user_id", "day")
@@ -161,7 +158,7 @@ object CandleQueries {
                max(value) AS high,
                min(value) AS low,
                max_by(value, ts) AS close,
-               ROUND(AVG(value), 4) AS mean_value,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS mean_value,
                COUNT(*) AS volume
         FROM events
         GROUP BY CAST(ts AS DATE)
@@ -169,7 +166,6 @@ object CandleQueries {
       """.stripMargin.trim),
       (spark, dir) => {
         Candles.resampleDaily(Tables.events(spark, dir), "ts", "value")
-          .withColumn("mean_value", round(col("mean_value"), 4))
           .orderBy("day")
       })
   )

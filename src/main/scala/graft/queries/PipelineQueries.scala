@@ -37,7 +37,7 @@ object PipelineQueries {
                  min(value) AS low,
                  max_by(value, ts) AS close,
                  COUNT(*) AS volume,
-                 ROUND(SUM(value), 4) AS turnover,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS turnover,
                  ROUND((min_by(value, ts) + max(value) + min(value) + max_by(value, ts)) / 4, 4) AS mean
           FROM kept
           GROUP BY user_id, day

@@ -460,8 +460,11 @@ object ProfileQueries {
 
     // TWAP (time-weighted average price) per (user, day): each tick's
     // value weighted by the micros until the next tick of the same day.
-    // Weights are exact int64; the weighted mean is a float aggregate →
-    // rounded per the determinism contract
+    // EXACT fixed-point form: price quantized to cent units, so the
+    // weighted numerator sum(cents*wt) is pure int64 arithmetic — the
+    // intraday weights sum to at most a day of micros (8.64e10), so
+    // cents·wt totals stay < 5e15 at ANY corpus scale — and the two
+    // final divisions see identical operands in both engines.
     QueryDef(
       "twap_daily",
       Some("""
@@ -470,12 +473,14 @@ object ProfileQueries {
                  lead(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts) AS next_ts
           FROM events
         ), w AS (
-          SELECT user_id, day, value,
+          SELECT user_id, day, CAST(round(value * 100) AS BIGINT) AS cents,
                  CAST(date_diff('microsecond', ts, next_ts) AS BIGINT) AS wt
           FROM t WHERE next_ts IS NOT NULL
         )
         SELECT user_id, day, COUNT(*) AS n,
-               ROUND(CASE WHEN SUM(wt) > 0 THEN SUM(value * wt) / SUM(wt) END, 4) AS twap
+               CASE WHEN SUM(CAST(wt AS BIGINT)) > 0
+                    THEN CAST(SUM(CAST(cents AS BIGINT) * wt) AS DOUBLE) / 100.0 / SUM(CAST(wt AS BIGINT))
+               END AS twap
         FROM w
         GROUP BY user_id, day
         ORDER BY user_id, day
@@ -487,6 +492,7 @@ object ProfileQueries {
           .withColumn("next_ts", lead(col("ts"), 1).over(
             Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"))))
           .filter(col("next_ts").isNotNull)
+          .withColumn("cents", round(col("value") * 100).cast("long"))
           .withColumn("wt", (unix_micros(col("next_ts")) - unix_micros(col("ts"))))
           .groupBy(col("user_id"), col("day"))
           .agg(
@@ -494,8 +500,9 @@ object ProfileQueries {
             // guarded: duplicate timestamps make every weight 0 in a
             // group, and ANSI division would throw where the oracle
             // semantics (and DuckDB) say NULL (degenerate-gauntlet find)
-            round(when(sum(col("wt")) > 0,
-              sum(col("value") * col("wt")) / sum(col("wt"))), 4).as("twap"))
+            when(sum(col("wt")) > 0,
+              sum(col("cents") * col("wt")).cast("double") / 100.0 / sum(col("wt")))
+              .as("twap"))
           .orderBy("user_id", "day")
       }),
 
@@ -749,7 +756,7 @@ object ProfileQueries {
         )
         SELECT metric, CAST(quartile AS BIGINT) AS quartile,
                CAST(count(*) AS BIGINT) AS n,
-               round(avg(v), 4) AS mean_v,
+               CAST(SUM(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS mean_v,
                min(v) AS min_v, max(v) AS max_v
         FROM binned
         GROUP BY metric, quartile
@@ -767,7 +774,11 @@ object ProfileQueries {
           .partitionBy(col("metric")).orderBy(col("v"), col("user_id"), col("day"))
         tall.withColumn("quartile", ntile(4).over(w).cast("long"))
           .groupBy(col("metric"), col("quartile"))
-          .agg(count(lit(1)).as("n"), round(avg(col("v")), 4).as("mean_v"),
+          .agg(count(lit(1)).as("n"),
+            // exact fixed-point mean on the cent price grid — no
+            // summation-order drift (r13 whitelist-conversion pattern)
+            (sum(round(col("v") * 100).cast("long")).cast("double") / 100.0 / count(lit(1)))
+              .as("mean_v"),
             min(col("v")).as("min_v"), max(col("v")).as("max_v"))
           .orderBy("metric", "quartile")
       }),

@@ -1046,6 +1046,64 @@ object TextQueries {
         Dedup.minhashLshPairs(Tables.documents(spark, dir), n = 5, minJaccard = 0.7)
           .transform(graft.Tails.ordSmall("doc_a", "doc_b"))),
 
+    // the PRODUCTION configuration of the same operator: banding SIZED
+    // from the corpus size + recall target by Dedup.minhashConfigFor
+    // (refuse-don't-truncate) instead of the pinned 4×4 the oracle above
+    // states — at sf10 the sized config finds 0.984 of planted boundary
+    // pairs vs the pinned one's 0.816 (tools/minhash_sizing_sf10_r12.json).
+    // Determinism at a banding that CHANGES with corpus size needs pairs
+    // whose recall is certain, not 0.95: at θ=0.995 every qualifying pair
+    // is an exact duplicate (the corpus' max non-identical jaccard is
+    // 0.9896 at sf0.1), and identical shingle sets give identical
+    // signatures that collide in EVERY band — so the output equals the
+    // exact all-pairs definition at any banding, and the oracle stays
+    // banding-free. 200 planted exact dups (doc_id+1e9, text verbatim —
+    // the dedup_embedding_strict twin pattern) make the result non-trivial
+    // at every SF. Recall at the margin is measured by MinhashSizingSmoke,
+    // not asserted here.
+    QueryDef(
+      "dedup_minhash_sized",
+      Some("""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id < 200
+        ), tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM corpus
+        ), sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id, unnest(list_transform(toks, (x, i) ->
+              CASE WHEN i + 4 <= len(toks)
+                   THEN toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] END)) AS shingle
+            FROM tok) t
+          WHERE shingle IS NOT NULL
+        ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.995
+        ORDER BY doc_a, doc_b
+      """.stripMargin.trim),
+      (spark, dir) => {
+        val d = Tables.documents(spark, dir)
+        val planted = d.filter(col("doc_id") < 200)
+          .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        val corpus = d.unionByName(planted)
+        // one bounded driver round-trip: production sizes the index from
+        // the (known or counted) corpus size the same way. max(1,·):
+        // an EMPTY corpus must yield an empty pair set, not a sizing
+        // refusal (minhashConfigFor requires n > 0 — gauntlet finding)
+        val nDocs = math.max(1L, corpus.count())
+        Dedup.minhashLshPairsSized(corpus, nDocs, n = 5, minJaccard = 0.995,
+            targetRecall = 0.999999)
+          .transform(graft.Tails.ordSmall("doc_a", "doc_b"))
+      }),
+
     QueryDef(
       "dedup_simhash",
       Some(s"""

@@ -390,21 +390,23 @@ object TimeSeriesQueries {
           SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n FROM events GROUP BY day
         ), t AS (
           SELECT day, n,
-                 AVG(n) OVER w AS trend,
+                 SUM(CAST(n AS BIGINT)) OVER w AS sum7,
                  COUNT(*) OVER w AS wn
           FROM daily
           WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
         ), interior AS (
-          SELECT day, n, trend, CAST(isodow(day) - 1 AS BIGINT) AS dow,
-                 n - trend AS detrended
+          SELECT day, n, sum7, CAST(isodow(day) - 1 AS BIGINT) AS dow,
+                 CAST(7 * n - sum7 AS BIGINT) AS det_units
           FROM t WHERE wn = 7
         ), seas AS (
-          SELECT dow, AVG(detrended) AS seasonal FROM interior GROUP BY dow
+          SELECT dow,
+                 CAST(SUM(CAST(det_units AS BIGINT)) AS DOUBLE) / 7.0 / COUNT(*) AS seasonal
+          FROM interior GROUP BY dow
         )
         SELECT i.day, CAST(i.n AS BIGINT) AS n,
-               round(i.trend, 4) AS trend,
-               round(s.seasonal, 4) AS seasonal,
-               round(i.n - i.trend - s.seasonal, 4) AS residual
+               CAST(i.sum7 AS DOUBLE) / 7.0 AS trend,
+               s.seasonal AS seasonal,
+               i.n - CAST(i.sum7 AS DOUBLE) / 7.0 - s.seasonal AS residual
         FROM interior i JOIN seas s ON i.dow = s.dow
         ORDER BY i.day
       """.stripMargin.trim),
@@ -413,20 +415,26 @@ object TimeSeriesQueries {
         val daily = Tables.events(spark, dir)
           .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
         val w = Window.orderBy("day").rowsBetween(-3, 3)
+        // EXACT fixed-point algebra on the integer counts: trend = sum7/7
+        // and detrended·7 = 7n − sum7 is a pure integer, so the per-dow
+        // seasonal mean is an integer sum divided twice by identical
+        // operands — no float-summation drift anywhere (r13
+        // whitelist-conversion; was round(4) over avg-of-k/7 values)
         val interior = daily
-          .withColumn("trend", avg(col("n")).over(w))
+          .withColumn("sum7", sum(col("n")).over(w))
           .withColumn("wn", count(lit(1)).over(w))
           .filter(col("wn") === 7)
           .withColumn("dow", weekday(col("day")).cast("long"))
-          .withColumn("detrended", col("n") - col("trend"))
-        val seas = interior.groupBy("dow").agg(avg(col("detrended")).as("seasonal"))
+          .withColumn("det_units", lit(7L) * col("n") - col("sum7"))
+        val seas = interior.groupBy("dow")
+          .agg((sum(col("det_units")).cast("double") / 7.0 / count(lit(1))).as("seasonal"))
         graft.Tails.orderedSmall(
           interior.join(broadcast(seas), Seq("dow"))
             .select(
               col("day"), col("n").cast("long").as("n"),
-              round(col("trend"), 4).as("trend"),
-              round(col("seasonal"), 4).as("seasonal"),
-              round(col("n") - col("trend") - col("seasonal"), 4).as("residual")),
+              (col("sum7").cast("double") / 7.0).as("trend"),
+              col("seasonal"),
+              (col("n") - col("sum7").cast("double") / 7.0 - col("seasonal")).as("residual")),
           col("day"))
       })
   )

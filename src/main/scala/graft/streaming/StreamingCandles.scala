@@ -19,7 +19,8 @@ object StreamingCandles {
     * (the reference would emit a duplicate candle — T5; documented
     * improvement).
     */
-  def dailyCandles(ticks: DataFrame, key: String, ts: String, value: String): DataFrame =
+  def dailyCandles(ticks: DataFrame, key: String, ts: String, value: String,
+                   priceScale: Long = 100L): DataFrame =
     ticks
       .withWatermark(ts, "1 day")
       .groupBy(window(col(ts), "1 day").as("w"), col(key))
@@ -29,7 +30,10 @@ object StreamingCandles {
         min(col(value)).as("low"),
         max_by(col(value), col(ts)).as("close"),
         count(lit(1)).as("volume"),
-        sum(col(value)).as("turnover"))
+        // exact fixed-point turnover (Candles' priceScale contract):
+        // stateful partial sums of integer units never drift
+        (sum(graft.etl.Candles.priceUnits(col(value), priceScale)).cast("double") / priceScale)
+          .as("turnover"))
       .select(
         to_date(col("w.start")).as("day"), col(key),
         col("open"), col("high"), col("low"), col("close"),

@@ -352,6 +352,10 @@ object Dedup {
 
   /** [[lshBands]] for an arbitrary (k-hash, r-row) banding. */
   def lshBandsWith(signatures: DataFrame, k: Int, rows: Int): DataFrame = {
+    // a truncated banding (k % rows trailing hashes dropped) is a silent
+    // recall cut — refuse here too, not only in minhashLshPairsWith,
+    // so direct callers of this public method get the loud contract
+    require(rows > 0 && k % rows == 0, s"k=$k not divisible by rows=$rows")
     val nBands = k / rows
     val bands = (0 until nBands).map { bnd =>
       val cols = (0 until rows).map(j => col(s"mh${bnd * rows + j}").cast("string"))

@@ -229,6 +229,14 @@ class GraphSpec extends SparkSpec {
     val gotD = KCore.kCoreDelta(e, k = 4).as[(Long, Long)].collect().toMap
     assert(gotD == got, gotD.toString)
     assert(KCore.kCoreDelta(e, k = 5).count() == 0)
+    // the reliable-checkpoint fault-model path is output-identical for
+    // both variants (the cross-process retry proof lives in ClusterChecks)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-kcore").toString
+    val gotCk = KCore.kCore(e, k = 4, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    val gotDCk = KCore.kCoreDelta(e, k = 4, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(gotCk == got && gotDCk == got, (gotCk, gotDCk).toString)
   }
 
   test("property: distributed k-core equals local peeling on random graphs") {

@@ -852,7 +852,7 @@ class StreamingSpec extends SparkSpec {
     // the maintained store == the one-shot batch candles over everything
     val got = Candles.finishCandles(spark.read.parquet(storePath)
       .select(ev.columns.head, "day", "first_ts", "open", "high", "low",
-        "last_ts", "close", "volume", "turnover"))
+        "last_ts", "close", "volume", "turnover_units"))
       .select($"user_id", $"day".cast("string"), $"open", $"high", $"low", $"close", $"volume")
     val want = Candles.ohlcvDaily(ev, "user_id", "ts", "value")
       .select($"user_id", $"day".cast("string"), $"open", $"high", $"low", $"close", $"volume")
