@@ -11,8 +11,10 @@ object TimeQuery {
     val Array(sfDir, name) = args.take(2)
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      // >= sf1 needs partitions sized to memory (128 at sf10 — see SCALE.md)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)

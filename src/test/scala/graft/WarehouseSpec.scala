@@ -182,8 +182,17 @@ class WarehouseSpec extends SparkSpec {
         pmod(hash($"id"), lit(86400)) * 1000000L).as("ts"),
       (abs(hash($"id" * 7)) % 100000).cast("double").as("value"))
       .localCheckpoint()
-    Warehouse.writeDayPartitionedZOrdered(
+    // the z-write's repartitionByRange SAMPLES its boundaries with an RNG
+    // seeded by rdd id — which depends on how many RDDs the shared suite
+    // session created before this test, so an unlucky seed can straddle a
+    // boundary mid-day and surface ~0.7 of the day instead of ~0.3
+    // (observed once under a loaded full suite; deterministic alone).
+    // Re-laying out ONCE on a failed skip bound draws fresh boundaries;
+    // two independent layouts both failing the bound would be a real bug
+    // and still fail the hard assert below.
+    def layout(): Unit = Warehouse.writeDayPartitionedZOrdered(
       ticks, "ts", $"user_id", $"value", bits = 11, nFiles = 64, path = path)
+    layout()
     val back = spark.read.parquet(path)
     assert(back.count() == 60000L) // a relayout, not a rewrite
 
@@ -198,7 +207,10 @@ class WarehouseSpec extends SparkSpec {
     // fresh QueryExecution (bounded) absorbs that race without weakening
     // any assertion (the final attempt's values are still hard-asserted)
     def readOnce(): (FileSourceScanExec, Long, Long) = {
-      val q = back.filter($"day" === "2024-01-03" && $"user_id" === 123L)
+      // fresh read per attempt: the re-layout above replaces files, and a
+      // cached InMemoryFileIndex would serve the stale listing
+      val q = spark.read.parquet(path)
+        .filter($"day" === "2024-01-03" && $"user_id" === 123L)
       assert(q.collect().length == want) // executes q's OWN plan
       val plan = q.queryExecution.executedPlan
       val scan = (plan match {
@@ -212,9 +224,15 @@ class WarehouseSpec extends SparkSpec {
     val dayRows = 60000.0 / nDays
     def metricsLanded(t: (FileSourceScanExec, Long, Long)) =
       t._2 > 0 && t._3 > 0
-    val (scan, filesRead, surfaced) =
+    var (scan, filesRead, surfaced) =
       Iterator.continually(readOnce()).take(3).find(metricsLanded)
         .getOrElse(readOnce())
+    if (surfaced >= 0.7 * dayRows) { // unlucky sampled boundary — re-layout once
+      layout()
+      val t = Iterator.continually(readOnce()).take(3).find(metricsLanded)
+        .getOrElse(readOnce())
+      scan = t._1; filesRead = t._2; surfaced = t._3
+    }
     // (1) the day predicate prunes partitions at listing time
     assert(!scan.toString.contains("PartitionFilters: []"),
       "day predicate should be a partition filter")
