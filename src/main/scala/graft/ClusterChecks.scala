@@ -203,6 +203,55 @@ object ClusterChecks {
         s"closed candles must cover exactly 3/5 of the feed: volume $vol vs ${n / 5 * 3}")
     }
 
+    check("concurrent ad-hoc readers stay isolated from a streaming upsert loop across executor JVMs") {
+      // ConcurrentSqlSpec proves the contract in-JVM; here the reader
+      // scans, the staging writes, and the dynamic partition overwrite
+      // all cross REAL executor processes — the actual dashboard-vs-ETL
+      // concurrency of the reference's two containers
+      import graft.sources.{Sources, Warehouse}
+      val ev = Tables.events(spark, "/root/testdata/sf0.001")
+        .select($"event_id", $"user_id", $"ts", $"value")
+      val maxDay = ev.agg(max(to_date($"ts"))).as[java.sql.Date].head().toLocalDate
+      val cut = maxDay.minusDays(7).toString
+      val history = ev.filter(to_date($"ts") < cut)
+      val live = ev.filter(to_date($"ts") >= cut).localCheckpoint(true)
+      val whPath = java.nio.file.Files.createTempDirectory("graft-cc-wh").toString
+      Sources.writeDayPartitioned(history, "ts", "user_id", whPath)
+      val pinned = history
+        .agg(count(lit(1)), sum(round($"value" * 100).cast("long")))
+        .as[(Long, Long)].head()
+      val readerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val iters = new java.util.concurrent.atomic.AtomicInteger(0)
+      @volatile var stop = false
+      val readers = (0 until 3).map(_ => new Thread(() => {
+        try while (!stop) {
+          val r = spark.read.parquet(whPath)
+            .filter($"day" < lit(cut))
+            .select($"value", input_file_name().as("f"))
+            .agg(count(lit(1)), sum(round($"value" * 100).cast("long")), collect_set($"f"))
+            .as[(Long, Long, Seq[String])].head()
+          require((r._1, r._2) == pinned, s"history drifted: $r vs $pinned")
+          require(!r._3.exists(_.contains("_staging-")), "reader saw staging files")
+          iters.incrementAndGet()
+        } catch { case t: Throwable => readerError.compareAndSet(null, t) }
+      }))
+      readers.foreach(_.start())
+      try {
+        // 3 upsert batches by event_id stripe — same write path a
+        // micro-batch loop drives, each crossing the executor boundary
+        (0 to 2).foreach { i =>
+          Warehouse.upsertDayPartitioned(spark, whPath,
+            live.filter(pmod($"event_id", lit(3)) === i), "ts", Seq("event_id"))
+        }
+      } finally { stop = true; readers.foreach(_.join(120000)) }
+      require(readerError.get() == null, s"concurrent reader failed: ${readerError.get()}")
+      require(iters.get() >= 3, s"readers starved: ${iters.get()} iterations")
+      val after = spark.read.parquet(whPath).select($"event_id", $"user_id", $"ts", $"value")
+      require(after.exceptAll(ev).isEmpty && ev.exceptAll(after).isEmpty,
+        "warehouse after the concurrent upsert loop != history ∪ live")
+      println(s"[cluster-checks]   ${iters.get()} reader iterations overlapped 3 upserts")
+    }
+
     spark.stop()
     if (failed > 0) { println(s"[cluster-checks] $failed FAILED"); sys.exit(1) }
     println("[cluster-checks] all checks passed")
