@@ -490,25 +490,13 @@ object DeterminismAudit {
     * A new flag without a row here fails DeterminismAuditSpec.
     */
   val floatOutputWhitelist: Map[String, String] = Map(
-    // -- exact already, detector cannot see the types involved --------
-    "embedding_stats" -> ("avg_norm2 = CAST(SUM(norm2) AS DOUBLE)/COUNT " +
-      "where norm2 is BIGINT: exact integer sum both engines, one " +
-      "division of identical operands - IS the exact pattern; the " +
-      "detector cannot see the column type"),
-    "gini_concentration" -> ("SUM(rk*cents)/(COUNT*SUM(cents)) over " +
-      "BIGINT rank x cents: exact integer aggregates both engines " +
-      "(HUGEINT / long), divisions see identical operands"),
-    "dup_rate_by_source" -> ("dup_rate = integer-count ratio " +
-      "(sum(CASE 1/0) / count): exact operands, single division"),
-    "event_transitions" -> ("p = count(*)/sum(count(*)) OVER - ratio of " +
-      "exact integer counts, identical operands both engines"),
-    "tokenizer_fertility" -> ("fertility and single_token_frac are " +
-      "ratios of exact integer token/word counts per language"),
-    "dup_span_stats" -> ("dup_frac = integer span-count ratio; exact " +
-      "operands, single division"),
-    "zorder_curve" -> ("sum_qty sums l_quantity - INTEGRAL doubles " +
-      "(1..50): float addition of small integers is exact below 2^53, " +
-      "no summation drift exists"),
+    // -- (r13: the seven "exact already, detector cannot see the types"
+    // rows were converted to STRUCTURAL proofs: their oracle SQL now
+    // int-casts the aggregate arguments - a no-op on values that makes
+    // the int_exact classification mechanically derivable from the SQL
+    // instead of argued here. embedding_stats, gini_concentration,
+    // dup_rate_by_source, event_transitions, tokenizer_fertility,
+    // dup_span_stats, zorder_curve.)
     // -- order-statistic interpolation, no drift accumulation ---------
     "mad_stats" -> ("med/mad are exact-percentile interpolations " +
       "(1-f)a+fb over order statistics - data values, not accumulated " +

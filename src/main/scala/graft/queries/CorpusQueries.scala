@@ -227,7 +227,7 @@ object CorpusQueries {
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_spans,
                CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-               round(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+               round(SUM(CAST(CASE WHEN nd > 1 THEN 1 ELSE 0 END AS BIGINT)) * 1.0 / count(*), 4) AS dup_frac
         FROM pos JOIN freq USING (shingle)
         GROUP BY doc_id
         ORDER BY doc_id
@@ -418,8 +418,8 @@ object CorpusQueries {
         SELECT lang,
                CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(ns) AS BIGINT) AS n_subwords,
-               round(CAST(sum(ns) AS DOUBLE) / count(*), 4) AS fertility,
-               round(CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS single_token_frac
+               round(CAST(sum(CAST(ns AS BIGINT)) AS DOUBLE) / count(*), 4) AS fertility,
+               round(CAST(sum(CAST(CASE WHEN ns = 1 THEN 1 ELSE 0 END AS BIGINT)) AS DOUBLE) / count(*), 4) AS single_token_frac
         FROM seg
         GROUP BY lang
         ORDER BY lang

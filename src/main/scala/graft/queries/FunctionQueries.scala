@@ -477,7 +477,7 @@ object FunctionQueries {
         )
         SELECT CAST(zval AS BIGINT) AS zval,
                CAST(count(*) AS BIGINT) AS n,
-               round(sum(l_quantity), 4) AS sum_qty
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty
         FROM z
         GROUP BY zval
         ORDER BY zval

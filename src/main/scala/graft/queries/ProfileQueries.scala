@@ -610,7 +610,7 @@ object ProfileQueries {
         SELECT prev_type, event_type AS next_type,
                CAST(count(*) AS BIGINT) AS n,
                round(CAST(count(*) AS DOUBLE) /
-                     sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p
+                     sum(CAST(count(*) AS BIGINT)) OVER (PARTITION BY prev_type), 4) AS p
         FROM seq WHERE prev_type IS NOT NULL
         GROUP BY prev_type, event_type
         ORDER BY prev_type, next_type
@@ -1259,7 +1259,7 @@ object ProfileQueries {
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
                CAST(SUM(cents) AS BIGINT) AS total_cents,
-               round(2.0 * SUM(rk * cents) / (COUNT(*) * SUM(cents))
+               round(2.0 * SUM(CAST(rk * cents AS BIGINT)) / (COUNT(*) * SUM(CAST(cents AS BIGINT)))
                      - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
         FROM ranked
       """.stripMargin.trim),

@@ -44,7 +44,7 @@ object SimilarityQueries {
         WITH $quantDuck
         SELECT label, COUNT(*) AS n_vectors,
                CAST(SUM(norm2) AS BIGINT) AS sum_norm2,
-               CAST(SUM(norm2) AS DOUBLE) / COUNT(*) AS avg_norm2
+               CAST(SUM(CAST(norm2 AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_norm2
         FROM n
         GROUP BY label
         ORDER BY label

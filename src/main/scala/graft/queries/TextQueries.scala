@@ -602,7 +602,7 @@ object TextQueries {
                CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS duped_docs,
                CAST(sum(CASE WHEN g.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_source_docs,
-               round(CAST(sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               round(CAST(sum(CAST(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END AS BIGINT)) AS DOUBLE)
                      / COUNT(*), 4) AS dup_rate
         FROM h JOIN g ON h.text_hash = g.text_hash
         GROUP BY h.source ORDER BY h.source
