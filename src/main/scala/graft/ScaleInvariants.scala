@@ -138,7 +138,10 @@ object ScaleInvariants {
     val excl = excludedReasons.toSeq.sortBy(_._1).map { case (n, why) =>
       s""""$n": "${esc(why)}""""
     }.mkString(",\n")
-    val json = s"{\n$body,\n\"_excluded\": {\n$excl\n}\n}"
+    // body can be empty (an --only filter matching no check) — joining
+    // unconditionally would emit a leading comma and an unparseable file
+    val exclBlock = s""""_excluded": {\n$excl\n}"""
+    val json = "{\n" + Seq(body, exclBlock).filter(_.nonEmpty).mkString(",\n") + "\n}"
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
         json.getBytes("UTF-8"))

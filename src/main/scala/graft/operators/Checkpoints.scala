@@ -31,19 +31,40 @@ object Checkpoints {
   // compared against the caller's raw path directly.
   private val configured =
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, String]()
+  // read/write lock per context: concurrent truncates with the SAME dir
+  // share the read side (eager checkpoints run as parallel jobs), while a
+  // dir CHANGE takes the write side — so one loop's df.checkpoint() can
+  // never land under a dir another thread swapped in between the check
+  // and the checkpoint (check-then-act on shared SparkContext state).
+  private val locks = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, java.util.concurrent.locks.ReentrantReadWriteLock]()
 
   def truncate(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case Some(dir) =>
         val sc = df.sparkSession.sparkContext
-        // record AFTER the set succeeds: caching first would latch a
-        // failed configuration (transient FS error on the first call)
-        // and every later call would skip the retry, failing forever
+        val lock = locks.computeIfAbsent(sc,
+          _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+        val read = lock.readLock()
+        read.lock()
         if (configured.get(sc) != dir) {
-          sc.setCheckpointDir(dir)
-          configured.put(sc, dir)
+          // upgrade: drop read, take write, re-check, set, downgrade.
+          // record AFTER the set succeeds: caching first would latch a
+          // failed configuration (transient FS error on the first call)
+          // and every later call would skip the retry, failing forever
+          read.unlock()
+          val write = lock.writeLock()
+          write.lock()
+          try {
+            if (configured.get(sc) != dir) {
+              sc.setCheckpointDir(dir)
+              configured.put(sc, dir)
+            }
+            read.lock() // downgrade before releasing write
+          } finally write.unlock()
         }
-        df.checkpoint(eager = true)
+        try df.checkpoint(eager = true)
+        finally read.unlock()
       case None => df.localCheckpoint(eager = true)
     }
 }

@@ -48,8 +48,17 @@ class OhlcAggregator(priceScale: Long = 100L) extends Aggregator[Tick, OhlcBuf, 
       math.max(b.high, t.value),
       math.min(b.low, t.value),
       b.n + 1,
-      b.sumUnits + Math.round(t.value * priceScale))
+      b.sumUnits + roundHalfUp(t.value * priceScale))
   }
+
+  /** HALF_UP (away from zero), matching Spark's `round()` used by
+    * `Candles.priceUnits` — `Math.round` alone is half-toward-positive-
+    * infinity, which diverges for negative values landing exactly on a
+    * half-unit (off the declared price grid). Branch, not BigDecimal:
+    * this runs per row in the typed hot path.
+    */
+  private def roundHalfUp(x: Double): Long =
+    if (x >= 0) Math.round(x) else -Math.round(-x)
 
   override def merge(a: OhlcBuf, b: OhlcBuf): OhlcBuf = {
     if (a.n == 0) return b

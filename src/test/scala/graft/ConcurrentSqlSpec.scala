@@ -54,10 +54,16 @@ class ConcurrentSqlSpec extends SparkSpec {
     val readerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val duringStream = new java.util.concurrent.atomic.AtomicInteger(0)
     val total = new java.util.concurrent.atomic.AtomicInteger(0)
+    // the first micro-batch waits on this until every reader has finished
+    // one full lap — otherwise on a fast machine the 3 micro-batches can
+    // drain before any reader overlaps the stream and the >=5 assert
+    // below flakes on pure timing
+    val firstLap = new java.util.concurrent.CountDownLatch(5)
     @volatile var streaming = true
     @volatile var stop = false
     val readers = (0 until 5).map { _ =>
       new Thread(() => {
+        var lapped = false
         try {
           while (!stop) {
             // fresh read = fresh file listing, like every dashboard query
@@ -77,6 +83,7 @@ class ConcurrentSqlSpec extends SparkSpec {
             assert(n > 0)
             if (streaming) duringStream.incrementAndGet()
             total.incrementAndGet()
+            if (!lapped) { lapped = true; firstLap.countDown() }
           }
         } catch { case t: Throwable => readerError.compareAndSet(null, t) }
       })
@@ -87,6 +94,10 @@ class ConcurrentSqlSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(feedDir.toString + "/*")
     val q = stream.writeStream.foreachBatch {
       (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // bounded gate, not a hard await: if a reader errors before its
+        // first lap it never counts down — proceed and let the
+        // readerError assert report the real failure
+        firstLap.await(60, java.util.concurrent.TimeUnit.SECONDS)
         if (!batch.isEmpty)
           Warehouse.upsertDayPartitioned(spark, whPath, batch, "ts", Seq("event_id"))
     }.start()
