@@ -115,16 +115,10 @@ object Bench {
     val excludedJson =
       if (excluded.isEmpty) ""
       else excluded.map("\"" + _ + "\"").mkString(""","correctness_only":[""", ",", "]")
-    def line(rs: Seq[(String, Double)]): String = {
+    def line(rs: Seq[(String, Double)], driftJson: String): String = {
       val qs = rs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum$failedJson$excludedJson}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum$failedJson$excludedJson$driftJson}"""
     }
-    // trim the per-query map (slowest first) until the line fits the
-    // driver's 2000-byte stdout tail with margin
-    var kept = results.sortBy(-_._2)
-    while (line(kept.sortBy(_._1)).length > 1900 && kept.nonEmpty) kept = kept.dropRight(8)
-    val out = line(kept.sortBy(_._1))
-
     val detail = results.map { case (k, v) =>
       val runs = samples.map(_(k)).mkString("[", ",", "]")
       "\"" + k + s"""":{"median":$v,"runs":$runs}"""
@@ -132,15 +126,35 @@ object Bench {
     // overridable so side-by-side runs (the SCALE.md sf1 audit) don't
     // clobber the driver's sf0.1 detail file
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-      {
-        val failedFull =
-          if (failed.isEmpty) ""
-          else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-        s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail$failedFull$excludedJson}""".getBytes("UTF-8")
-      })
+    val detailBytes = {
+      val failedFull =
+        if (failed.isEmpty) ""
+        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+      s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail$failedFull$excludedJson}""".getBytes("UTF-8")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detailBytes)
+    // full-catalog runs ALSO land the detail at a stable committed path —
+    // the NEXT round's drift control reads it from the previous tree's
+    // worktree as "what these queries scored when recorded" (BenchDrift)
+    if (only.isEmpty && new java.io.File("tools").isDirectory)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("tools/bench_detail_latest.json"), detailBytes)
     System.err.println(s"[bench] full per-query detail: $detailPath")
     spark.stop()
+
+    // same-day drift control (BenchDrift Scaladoc): full-catalog runs
+    // only — dev ONLY-filtered runs and the control's own child probes
+    // (which set SPARK_GRAFT_BENCH_DRIFT=off) skip it
+    val driftJson =
+      if (only.isEmpty && !sys.env.get("SPARK_GRAFT_BENCH_DRIFT").contains("off"))
+        BenchDrift.control(sfDir, cpus, shuffleParts)
+      else ""
+
+    // trim the per-query map (slowest first) until the line fits the
+    // driver's 2000-byte stdout tail with margin
+    var kept = results.sortBy(-_._2)
+    while (line(kept.sortBy(_._1), driftJson).length > 1900 && kept.nonEmpty) kept = kept.dropRight(8)
+    val out = line(kept.sortBy(_._1), driftJson)
     println(out) // final stdout line — nothing may follow it
   }
 }
