@@ -497,26 +497,30 @@ object DeterminismAudit {
     // instead of argued here. embedding_stats, gini_concentration,
     // dup_rate_by_source, event_transitions, tokenizer_fertility,
     // dup_span_stats, zorder_curve.)
-    // -- order-statistic interpolation, no drift accumulation ---------
-    "mad_stats" -> ("med/mad are exact-percentile interpolations " +
-      "(1-f)a+fb over order statistics - data values, not accumulated " +
-      "sums: no drift grows with n; the residual 1-ulp formula-" +
-      "difference class (the r11 winsorize find) is measured absent " +
-      "through sf1, and output count is bounded by key count"),
-    "time_to_convert" -> ("p50/p90_days: same order-statistic " +
-      "interpolation class as mad_stats; sf1-matched"),
-    "value_quantiles" -> ("p50/p90/p99: same order-statistic " +
-      "interpolation class, 3 output values total; sf1-matched"),
+    // -- (r14: eight more rows converted to STRUCTURAL proofs:
+    //  * order-statistic interpolation — mad_stats, time_to_convert,
+    //    value_quantiles, and winsorize_stats' lo/hi bounds — now use
+    //    graft.operators.ExactQuantiles: explicit rank selection plus
+    //    ONE shared interpolation formula, so both engines evaluate
+    //    identical operands through identical operations and no
+    //    built-in quantile_cont/percentile appears in the SQL at all;
+    //  * the int64-overflow sum-of-squares family — embedding_dim_stats,
+    //    embedding_quantize_int8, winsorize_stats' wins_std — quantizes
+    //    per VALUE (one deterministic round of an identical double) and
+    //    sums in int128: HUGEINT on the DuckDB side (matched by
+    //    intCastRe, so int_exact is mechanically derived), DECIMAL(38,0)
+    //    on the Spark side;
+    //  * label_centroids / pricing_summary_q1 avgs became plain exact
+    //    quantized-integer sums divided once.)
     // -- rounded float sums over BOUNDED groups, sf1-matched ----------
     // (the candle-family turnover rows — ohlcv_daily/typed/incremental,
     // etl_pipeline, resample_daily — plus twap_daily, unpivot_quartiles
     // and seasonal_decompose were converted to the exact fixed-point
     // pattern in r13: quantize on the value grid (price cents; 7·n−sum7
     // for the detrended counts), sum integers, divide once. The rows
-    // that remain here aggregate values with NO decimal grid — logs,
-    // arbitrary float32 embeddings — or need sums of squares whose
-    // quantized magnitudes overflow int64; for those the bounded-group
-    // + sf1-measured argument stands.)
+    // that remain here aggregate values that are THEMSELVES transcendental
+    // per-row doubles (ln/exp outputs) — a value grid would change the
+    // semantics, and the bounded-group + sf1-measured argument stands.)
     "bigram_lm_perplexity" -> ("avg_nll/ppl per document: bigrams-per-" +
       "doc bounded by text length; log/exp of identical operands"),
     "perplexity_filter" -> ("same per-document avg_nll/ppl class as " +
@@ -524,17 +528,7 @@ object DeterminismAudit {
     "tfidf_search" -> ("score sums <= 3 query-term tf*idf products per " +
       "doc - bounded tiny groups"),
     "bm25_search" -> ("score sums <= 3 query-term BM25 terms per doc - " +
-      "same bounded tiny-group class as tfidf_search"),
-    "embedding_dim_stats" -> ("per-(label,dim) mean/std over ≤ n/labels " +
-      "int-quantized values promoted to double; sf1-matched"),
-    "embedding_quantize_int8" -> ("reconstruction-error ppm: avg over " +
-      "per-vector |err| of int8-grid values; sf1-matched"),
-    "label_centroids" -> ("per-(label,dim) avg of int-quantized doubles; " +
-      "bounded groups, sf1-matched"),
-    "pricing_summary_q1" -> ("TPC-H Q1 avgs per returnflag/linestatus: 4 " +
-      "groups, values exact-representable cents; r11 sf1-matched"),
-    "winsorize_stats" -> ("clamped-mean/std per key AFTER the r11 grid-" +
-      "rounded thresholds; bounded per-key groups, sf1-matched"))
+      "same bounded tiny-group class as tfidf_search"))
 
   /** The class-3 flag set for one entry: float-aggregate output aliases
     * (from the oracle SQL) that are NOT int_exact AND are float-typed in

@@ -165,9 +165,9 @@ object AggQueries {
                CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
                CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
                CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
-               round(AVG(l_quantity), 4) AS avg_qty,
-               round(AVG(l_extendedprice), 4) AS avg_price,
-               round(AVG(l_discount), 4) AS avg_disc,
+               round(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100e0 / COUNT(*), 4) AS avg_qty,
+               round(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100e0 / COUNT(*), 4) AS avg_price,
+               round(CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100e0 / COUNT(*), 4) AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -185,9 +185,16 @@ object AggQueries {
               .cast("long")).as("sum_disc_cents"),
             sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
               * (lit(1) + col("l_tax")) * 100).cast("long")).as("sum_charge_cents"),
-            round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_extendedprice")), 4).as("avg_price"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+            // avgs from the exact cent sums (r14 whitelist conversion):
+            // quantity/price/discount all live on a 0.01 grid, so the
+            // integer sums are exact and the single trailing division
+            // sees identical operands in both engines
+            round(sum(round(col("l_quantity") * 100).cast("long")).cast("double")
+              / 100.0 / count(lit(1)), 4).as("avg_qty"),
+            round(sum(round(col("l_extendedprice") * 100).cast("long")).cast("double")
+              / 100.0 / count(lit(1)), 4).as("avg_price"),
+            round(sum(round(col("l_discount") * 100).cast("long")).cast("double")
+              / 100.0 / count(lit(1)), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       }),

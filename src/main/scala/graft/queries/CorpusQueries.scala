@@ -728,35 +728,59 @@ object CorpusQueries {
     // posexplode + one 64-group agg; the applying transform is an
     // elementwise map against these 64 broadcast rows. Tall per-value
     // output is deliberately avoided: 128k round(4)-boundary doubles is
-    // a cross-engine tie minefield; the stats table is the operator
+    // a cross-engine tie minefield; the stats table is the operator.
+    // Moments are EXACT (r14 whitelist conversion): the raw float32 has
+    // no decimal grid, so each value is quantized at 1e-8 (below
+    // float32's own resolution at this magnitude; one deterministic
+    // round of an identical double per row), then summed as exact
+    // integers — int128 HUGEINT in DuckDB, DECIMAL(38,0) in Spark,
+    // headroom to n ≈ 1e21 values per dim for the sum of squares — and
+    // mu/sd are one trailing float expression over identical operands.
     QueryDef(
       "embedding_dim_stats",
       Some("""
         WITH e AS (
           SELECT u.i - 1 AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        ), q AS (
+          SELECT dim, v, CAST(round(v * 100000000e0) AS BIGINT) AS vq FROM e
+        ), s AS (
+          SELECT dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(vq AS HUGEINT)) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(vq AS HUGEINT) * vq) AS DOUBLE) AS s2,
+                 round(min(v), 4) AS vmin,
+                 round(max(v), 4) AS vmax
+          FROM q GROUP BY dim
         )
-        SELECT dim,
-               CAST(count(*) AS BIGINT) AS n,
-               round(avg(v), 4) AS mu,
-               round(stddev_samp(v), 4) AS sd,
-               round(min(v), 4) AS vmin,
-               round(max(v), 4) AS vmax
-        FROM e
-        GROUP BY dim
+        SELECT dim, n,
+               round(s1 / 100000000e0 / n, 4) AS mu,
+               round(sqrt(greatest((s2 / 10000000000000000e0 - (s1 / 100000000e0) * (s1 / 100000000e0) / n) / (n - 1), 0e0)), 4) AS sd,
+               vmin, vmax
+        FROM s
         ORDER BY dim
       """.stripMargin.trim),
       (spark, dir) => {
-        Tables.embeddings(spark, dir)
+        import org.apache.spark.sql.types.DecimalType
+        val e = Tables.embeddings(spark, dir)
           .select(posexplode(col("embedding")).as(Seq("dim", "v0")))
           .select(col("dim").cast("long").as("dim"), col("v0").cast("double").as("v"))
-          .groupBy("dim")
+          .withColumn("vq", round(col("v") * 100000000L).cast("long"))
+        val s = e.groupBy("dim")
           .agg(
             count(lit(1)).as("n"),
-            round(avg(col("v")), 4).as("mu"),
-            round(stddev_samp(col("v")), 4).as("sd"),
+            sum(col("vq").cast(DecimalType(38, 0))).cast("double").as("s1"),
+            sum(col("vq").cast(DecimalType(38, 0)) * col("vq")).cast("double").as("s2"),
             round(min(col("v")), 4).as("vmin"),
             round(max(col("v")), 4).as("vmax"))
+        s.select(col("dim"), col("n"),
+            round(col("s1") / 100000000.0 / col("n"), 4).as("mu"),
+            round(sqrt(greatest(
+              (col("s2") / 10000000000000000.0
+                - (col("s1") / 100000000.0) * (col("s1") / 100000000.0) / col("n"))
+                / (col("n") - 1),
+              lit(0.0))), 4).as("sd"),
+            col("vmin"), col("vmax"))
           .orderBy("dim")
       }),
 
@@ -785,14 +809,18 @@ object CorpusQueries {
           SELECT dim, lo, hi, code,
                  v - (lo + code * (hi - lo) / 255.0) AS err
           FROM q
+        ), x AS (
+          SELECT dim, lo, hi, code,
+                 CAST(round(err * err * 1000000000000000000e0) AS BIGINT) AS e2q
+          FROM r
         )
         SELECT dim,
                CAST(count(*) AS BIGINT) AS n,
                CAST(SUM(code) AS BIGINT) AS code_sum,
                round(lo, 4) AS lo_r,
                round(hi, 4) AS hi_r,
-               round(avg(err * err) * 1000000, 4) AS mse_ppm
-        FROM r
+               round(CAST(SUM(CAST(e2q AS HUGEINT)) AS DOUBLE) / 1000000000000e0 / count(*), 4) AS mse_ppm
+        FROM x
         GROUP BY dim, lo, hi
         ORDER BY dim
       """.stripMargin.trim),
@@ -809,14 +837,21 @@ object CorpusQueries {
                 .cast("long")))
         val r = q.withColumn("err",
           col("v") - (col("lo") + col("code") * (col("hi") - col("lo")) / 255.0))
+        // exact mse (r14 whitelist conversion): err is an identical
+        // double per row in both engines (built from stored floats and
+        // exact min/max/round selections), so round(err²·1e18) is one
+        // deterministic quantization; the sum is exact int128/DECIMAL
+        val x = r.withColumn("e2q",
+          round(col("err") * col("err") * 1000000000000000000L).cast("long"))
         graft.Tails.orderedSmall(
-          r.groupBy("dim", "lo", "hi")
+          x.groupBy("dim", "lo", "hi")
             .agg(
               count(lit(1)).as("n"),
               sum(col("code")).as("code_sum"),
               round(col("lo"), 4).as("lo_r"),
               round(col("hi"), 4).as("hi_r"),
-              round(avg(col("err") * col("err")) * 1000000, 4).as("mse_ppm"))
+              round(sum(col("e2q").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+                .cast("double") / 1000000000000.0 / count(lit(1)), 4).as("mse_ppm"))
             .select("dim", "n", "code_sum", "lo_r", "hi_r", "mse_ppm"),
           col("dim"))
       }),

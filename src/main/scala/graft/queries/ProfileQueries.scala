@@ -227,11 +227,13 @@ object ProfileQueries {
     // time-to-convert funnel metric: per signup-month cohort, the
     // median / p90 days from a user's FIRST signup to their first
     // purchase AFTER it (non-converters excluded by the join+filter, and
-    // counted). Day deltas are exact micros → one division; percentile ≡
-    // quantile_cont interpolation parity (value_quantiles precedent).
+    // counted). Day deltas are exact micros → one division; quantiles
+    // via the shared ExactQuantiles rank+interpolation construction —
+    // identical operands through identical operations in both engines,
+    // so the formerly-argued 1-ulp interpolation class cannot occur.
     QueryDef(
       "time_to_convert",
-      Some("""
+      Some(s"""
         WITH s AS (
           SELECT user_id, min(ts) AS signup_ts FROM events
           WHERE event_type = 'signup' GROUP BY user_id
@@ -241,15 +243,18 @@ object ProfileQueries {
           WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
           GROUP BY e.user_id
         ), d AS (
-          SELECT date_trunc('month', s.signup_ts) AS cohort_month,
+          SELECT CAST(date_trunc('month', s.signup_ts) AS DATE) AS cohort_month,
                  CAST(epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS DOUBLE) / 86400000000.0 AS days
           FROM s JOIN p ON s.user_id = p.user_id
+        ), q AS (
+          ${graft.operators.ExactQuantiles.oracleSql("d", Seq("cohort_month"), "days",
+             Seq("p50_days" -> 0.5, "p90_days" -> 0.9))}
+        ), c AS (
+          SELECT cohort_month, CAST(count(*) AS BIGINT) AS n_converted
+          FROM d GROUP BY cohort_month
         )
-        SELECT CAST(cohort_month AS DATE) AS cohort_month,
-               CAST(count(*) AS BIGINT) AS n_converted,
-               quantile_cont(days, 0.5) AS p50_days,
-               quantile_cont(days, 0.9) AS p90_days
-        FROM d GROUP BY cohort_month ORDER BY cohort_month
+        SELECT c.cohort_month, c.n_converted, q.p50_days, q.p90_days
+        FROM c JOIN q USING (cohort_month) ORDER BY cohort_month
       """.stripMargin.trim),
       (spark, dir) => {
         val ev = Tables.events(spark, dir)
@@ -263,11 +268,12 @@ object ProfileQueries {
           .select(to_date(date_trunc("month", col("signup_ts"))).as("cohort_month"),
             ((unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
               .cast("double") / 86400000000.0).as("days"))
+        val q = graft.operators.ExactQuantiles.perGroup(
+          d, Seq("cohort_month"), "days", Seq("p50_days" -> 0.5, "p90_days" -> 0.9))
+        val c = d.groupBy("cohort_month").agg(count(lit(1)).as("n_converted"))
         graft.Tails.orderedSmall(
-          d.groupBy("cohort_month").agg(
-            count(lit(1)).as("n_converted"),
-            expr("percentile(days, 0.5)").as("p50_days"),
-            expr("percentile(days, 0.9)").as("p90_days")),
+          c.join(q, Seq("cohort_month"))
+            .select("cohort_month", "n_converted", "p50_days", "p90_days"),
           col("cohort_month"))
       }),
 
@@ -530,31 +536,42 @@ object ProfileQueries {
     // median absolute deviation — the robust dispersion estimate that
     // survives the outliers stddev inflates on (winsorize's diagnostic
     // sibling): per-key median, then the median of absolute deviations
-    // from it. Both engines interpolate percentile/quantile_cont
-    // identically (raw doubles are safe — the established parity)
+    // from it. Both medians via the shared ExactQuantiles rank +
+    // interpolation construction (identical operands both engines), so
+    // med, the per-row deviations, and mad are bit-identical doubles —
+    // no interpolation-parity argument left to make.
     QueryDef(
       "mad_stats",
-      Some("""
+      Some(s"""
         WITH med AS (
-          SELECT user_id, quantile_cont(value, 0.5) AS med
-          FROM events GROUP BY user_id
+          ${graft.operators.ExactQuantiles.oracleSql("events", Seq("user_id"), "value",
+             Seq("med" -> 0.5))}
+        ), dev AS (
+          SELECT e.user_id, abs(e.value - m.med) AS dv
+          FROM events e JOIN med m ON e.user_id = m.user_id
+          WHERE e.value IS NOT NULL
+        ), mad AS (
+          ${graft.operators.ExactQuantiles.oracleSql("dev", Seq("user_id"), "dv",
+             Seq("mad" -> 0.5))}
+        ), cnt AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
         )
-        SELECT e.user_id, m.med,
-               quantile_cont(abs(e.value - m.med), 0.5) AS mad,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events e JOIN med m ON e.user_id = m.user_id
-        GROUP BY e.user_id, m.med
-        ORDER BY e.user_id
+        SELECT c.user_id, m.med, d.mad, c.n
+        FROM cnt c JOIN med m ON c.user_id = m.user_id
+                   JOIN mad d ON c.user_id = d.user_id
+        ORDER BY c.user_id
       """.stripMargin.trim),
       (spark, dir) => {
         val ev = Tables.events(spark, dir).select("user_id", "value")
-        val med = ev.groupBy("user_id")
-          .agg(expr("percentile(value, 0.5)").as("med"))
-        ev.join(med, "user_id")
-          .groupBy("user_id", "med")
-          .agg(
-            expr("percentile(abs(value - med), 0.5)").as("mad"),
-            count(lit(1)).as("n"))
+        val med = graft.operators.ExactQuantiles.perGroup(
+          ev, Seq("user_id"), "value", Seq("med" -> 0.5))
+        val dev = ev.join(med, "user_id")
+          .filter(col("value").isNotNull)
+          .select(col("user_id"), abs(col("value") - col("med")).as("dv"))
+        val mad = graft.operators.ExactQuantiles.perGroup(
+          dev, Seq("user_id"), "dv", Seq("mad" -> 0.5))
+        val cnt = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        cnt.join(med, "user_id").join(mad, "user_id")
           .select("user_id", "med", "mad", "n")
           .orderBy("user_id")
       }),
@@ -783,82 +800,106 @@ object ProfileQueries {
           .orderBy("metric", "quartile")
       }),
 
-    // exact interpolated quantiles per group: both engines sort the group
-    // and apply the same linear interpolation — identical doubles
+    // exact interpolated quantiles per group, via the shared
+    // ExactQuantiles rank + interpolation construction: order statistics
+    // are exact row selections and the interpolation expression is the
+    // same text in both engines — bit-identical doubles by construction
+    // (quantile_cont and percentile agree on the DEFINITION but not the
+    // last-ulp FORMULA; this removes the parity argument)
     QueryDef(
       "value_quantiles",
-      Some("""
-        SELECT event_type,
-               COUNT(*) AS n,
-               quantile_cont(value, 0.5) AS p50,
-               quantile_cont(value, 0.9) AS p90,
-               quantile_cont(value, 0.99) AS p99
-        FROM events
-        GROUP BY event_type
+      Some(s"""
+        WITH q AS (
+          ${graft.operators.ExactQuantiles.oracleSql("events", Seq("event_type"), "value",
+             Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))}
+        ), c AS (
+          SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        )
+        SELECT c.event_type, c.n, q.p50, q.p90, q.p99
+        FROM c JOIN q USING (event_type)
         ORDER BY event_type
       """.stripMargin.trim),
       (spark, dir) => {
-        Tables.events(spark, dir)
-          .groupBy(col("event_type"))
-          .agg(
-            count(lit(1)).as("n"),
-            expr("percentile(value, 0.5)").as("p50"),
-            expr("percentile(value, 0.9)").as("p90"),
-            expr("percentile(value, 0.99)").as("p99"))
+        val ev = Tables.events(spark, dir)
+        val q = graft.operators.ExactQuantiles.perGroup(
+          ev, Seq("event_type"), "value",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        val c = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        c.join(q, Seq("event_type"))
+          .select("event_type", "n", "p50", "p90", "p99")
           .orderBy("event_type")
       }),
 
     // winsorized robust statistics: clamp each group's values to its
     // [p05, p95] before the moments — the outlier-robust normalization a
-    // feature pipeline applies before training. Quantiles are one
-    // exact-percentile agg per group (at 100 TB: swap for
-    // approx_percentile, same plan); the tiny per-group bounds table
-    // broadcast-joins back, so the big side shuffles only for the final
-    // group agg. Clamped moments round(4) (summation-order drift);
-    // quantile bounds are interpolation-identical doubles, emitted raw
+    // feature pipeline applies before training. Bounds via the shared
+    // ExactQuantiles construction (bit-identical doubles both engines),
+    // rounded to the 1e-6 grid so clamped values sit on an integer
+    // micro grid; moments are then EXACT integer sums (cents for the
+    // raw mean, micros and squared-micros in int128/DECIMAL(38,0) for
+    // the winsorized mean/std — the r13 fixed-point pattern, one tier
+    // wider for the sum of squares) with one trailing float expression
+    // over identical operands. The strict `value < lo` boundary test
+    // compares identical doubles — engine-stable by construction, not
+    // by the r11 grid-rounding mitigation alone. The tiny per-group
+    // bounds table broadcast-joins back, so the big side shuffles only
+    // for the final group agg (at 100 TB: swap for approx_percentile,
+    // same plan shape).
     QueryDef(
       "winsorize_stats",
-      Some("""
-        WITH q AS (
-          SELECT event_type,
-                 round(quantile_cont(value, 0.05), 6) AS lo,
-                 round(quantile_cont(value, 0.95), 6) AS hi
-          FROM events GROUP BY event_type
+      Some(s"""
+        WITH b AS (
+          SELECT event_type, round(p05, 6) AS lo, round(p95, 6) AS hi
+          FROM (
+            ${graft.operators.ExactQuantiles.oracleSql("events", Seq("event_type"), "value",
+               Seq("p05" -> 0.05, "p95" -> 0.95))}
+          ) _bq
+        ), j AS (
+          SELECT e.event_type, e.value, b.lo, b.hi,
+                 CAST(round(e.value * 100e0) AS BIGINT) AS cents,
+                 CAST(round(greatest(b.lo, least(b.hi, e.value)) * 1000000e0) AS BIGINT) AS wq
+          FROM events e JOIN b USING (event_type)
         )
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+               CAST(sum(CAST(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS BIGINT)) AS BIGINT) AS n_clamped,
                lo, hi,
-               round(avg(value), 4) AS raw_mean,
-               round(avg(greatest(lo, least(hi, value))), 4) AS wins_mean,
-               round(stddev_samp(greatest(lo, least(hi, value))), 4) AS wins_std
-        FROM events JOIN q USING (event_type)
+               round(CAST(SUM(CAST(cents AS HUGEINT)) AS DOUBLE) / 100e0 / count(value), 4) AS raw_mean,
+               round(CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) / 1000000e0 / count(value), 4) AS wins_mean,
+               round(sqrt(greatest((CAST(SUM(CAST(wq AS HUGEINT) * wq) AS DOUBLE) / 1000000000000e0
+                 - (CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) / 1000000e0) * (CAST(SUM(CAST(wq AS HUGEINT)) AS DOUBLE) / 1000000e0) / count(value))
+                 / (count(value) - 1), 0e0)), 4) AS wins_std
+        FROM j
         GROUP BY event_type, lo, hi
         ORDER BY event_type
       """.stripMargin.trim),
       (spark, dir) => {
+        import org.apache.spark.sql.types.DecimalType
         val ev = Tables.events(spark, dir)
-        // thresholds rounded to a fixed 1e-6 grid in BOTH engines: the
-        // exact-percentile interpolation ((1−f)·a + f·b) can differ by
-        // 1 ulp between engines — inside the float compare tolerance,
-        // but a STRICT `value < lo` boundary test flips on it (r11 sf1
-        // sweep: n_clamped off by 50 of 1M while lo/hi "matched").
-        // Winsorizing at a micro-rounded threshold is semantics-neutral
-        // for any data away from a 5e-7 rounding boundary and makes the
-        // boundary test engine-stable.
-        val bounds = ev.groupBy(col("event_type")).agg(
-          round(expr("percentile(value, 0.05)"), 6).as("lo"),
-          round(expr("percentile(value, 0.95)"), 6).as("hi"))
+        val bounds = graft.operators.ExactQuantiles.perGroup(
+            ev, Seq("event_type"), "value", Seq("p05" -> 0.05, "p95" -> 0.95))
+          .select(col("event_type"),
+            round(col("p05"), 6).as("lo"), round(col("p95"), 6).as("hi"))
         val clamped = greatest(col("lo"), least(col("hi"), col("value")))
-        ev.join(broadcast(bounds), Seq("event_type"))
-          .groupBy(col("event_type"), col("lo"), col("hi"))
+        val cents = round(col("value") * 100).cast("long")
+        val wq = round(clamped * 1000000L).cast("long")
+        val j = ev.join(broadcast(bounds), Seq("event_type"))
+          .select(col("event_type"), col("value"), col("lo"), col("hi"),
+            cents.as("cents"), wq.as("wq"))
+        val nv = count(col("value"))
+        val s1 = sum(col("wq").cast(DecimalType(38, 0))).cast("double")
+        val s2 = sum(col("wq").cast(DecimalType(38, 0)) * col("wq")).cast("double")
+        j.groupBy(col("event_type"), col("lo"), col("hi"))
           .agg(
             count(lit(1)).as("n"),
             sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
               .otherwise(0L)).as("n_clamped"),
-            round(avg(col("value")), 4).as("raw_mean"),
-            round(avg(clamped), 4).as("wins_mean"),
-            round(stddev_samp(clamped), 4).as("wins_std"))
+            round(sum(col("cents").cast(DecimalType(38, 0))).cast("double") / 100.0 / nv, 4)
+              .as("raw_mean"),
+            round(s1 / 1000000.0 / nv, 4).as("wins_mean"),
+            round(sqrt(greatest(
+              (s2 / 1000000000000.0 - (s1 / 1000000.0) * (s1 / 1000000.0) / nv) / (nv - 1),
+              lit(0.0))), 4).as("wins_std"))
           .select(col("event_type"), col("n"), col("n_clamped"), col("lo"), col("hi"),
             col("raw_mean"), col("wins_mean"), col("wins_std"))
           .orderBy("event_type")

@@ -67,10 +67,14 @@ object SimilarityQueries {
     // map-side combinable, 640 output rows at any corpus size.
     QueryDef(
       "label_centroids",
+      // mean is the exact fixed-point pattern (r14 whitelist
+      // conversion): the float32 has no decimal grid, so each value is
+      // quantized at 1e-8 (one deterministic round of an identical
+      // double), summed exactly (HUGEINT / DECIMAL(38,0)), divided once
       Some("""
         SELECT label, CAST(u.s.d AS BIGINT) AS dim,
                CAST(count(*) AS BIGINT) AS n,
-               round(avg(CAST(u.s.x AS DOUBLE)), 4) AS mean
+               round(CAST(SUM(CAST(round(CAST(u.s.x AS DOUBLE) * 100000000e0) AS HUGEINT)) AS DOUBLE) / 100000000e0 / count(*), 4) AS mean
         FROM embeddings,
              unnest(list_transform(embedding, (x, i) -> {'d': i, 'x': x})) AS u(s)
         GROUP BY label, u.s.d
@@ -82,7 +86,9 @@ object SimilarityQueries {
             .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
             .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
             .agg(count(lit(1)).as("n"),
-              round(avg(col("x").cast("double")), 4).as("mean")),
+              round(sum(round(col("x").cast("double") * 100000000L).cast("long")
+                  .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("double")
+                / 100000000.0 / count(lit(1)), 4).as("mean")),
           col("label"), col("dim"))
       }),
 
