@@ -71,11 +71,39 @@ object MinhashSizingSmoke {
 
     val (fS, tS, sS) = run("sized", Dedup.minhashParamsFor(bands * rows), rows)
     val (fP, tP, sP) = run("pinned", Dedup.minhashParams, Dedup.bandSize)
+
+    // θ=0.995 margin behind dedup_minhash_sized (r14 verdict #7): that
+    // entry's banding-free oracle is sound only while every qualifying
+    // pair is an exact duplicate, i.e. the corpus' max NON-identical
+    // jaccard stays below 0.995 — measured only at sf0.1 until now.
+    // Probe with the EXACT prefix-filtered pair join at 0.9 — UNCAPPED
+    // (maxDf = MaxValue), because the sized entry's jaccard definition
+    // carries no hot-shingle cap: any non-identical pair in [0.9, 1)
+    // surfaces with its exact jaccard; none found means the margin is
+    // at least 0.095 wide at this SF. A violation exits nonzero — the
+    // entry's threshold needs a bump BEFORE the hash flakes, which is
+    // the point of running this per SF.
+    val marginTheta = 0.9
+    val probeMax = Dedup.jaccardPairsPrefix(base, 5, marginTheta, maxDf = Int.MaxValue)
+      .filter(col("jaccard") < 1.0)
+      .agg(max(col("jaccard"))).head().getAs[Any](0)
+    val maxNonIdent = Option(probeMax).map(_.asInstanceOf[Double])
+    val marginOk = maxNonIdent.forall(_ < 0.995)
+    val maxStr = maxNonIdent.map(v => f"$v%.6f").getOrElse(s"<$marginTheta")
+
     println(
       f"""{"sf_dir":"$sfDir","n_docs":$n,"theta":$theta,"planted":$nPlant,""" +
         f""""planted_pairs_ge_theta":$truth,""" +
         f""""pinned":{"bands":4,"rows":4,"planted_found":$fP,"pairs":$tP,"secs":$sP%.1f},""" +
-        f""""sized":{"bands":$bands,"rows":$rows,"planted_found":$fS,"pairs":$tS,"secs":$sS%.1f}}""")
+        f""""sized":{"bands":$bands,"rows":$rows,"planted_found":$fS,"pairs":$tS,"secs":$sS%.1f},""" +
+        f""""max_nonidentical_jaccard":"$maxStr","theta995_margin_ok":$marginOk}""")
     spark.stop()
+    if (!marginOk) {
+      System.err.println(s"[minhash-sizing] theta=0.995 margin VIOLATED at $sfDir: " +
+        s"max non-identical jaccard $maxStr >= 0.995 - dedup_minhash_sized's " +
+        "certain-recall argument no longer holds at this corpus; raise the " +
+        "entry threshold above the measured value")
+      sys.exit(1)
+    }
   }
 }

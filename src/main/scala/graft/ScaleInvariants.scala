@@ -416,6 +416,100 @@ object ScaleInvariants {
       // already pinned by the multimodal_{meta,decode,features,frames}
       // restricted_eq passes above; the law here covers the columns the
       // replica construction preserves.
+      // ---- planted-skew law (r14): ScaleData replicas are UNIFORM — no
+      // key ever dominates — so the skew machinery's at-scale behavior
+      // was pinned only by ScaleOpsSpec's small synthetic. This check
+      // plants the hot key into the scaled corpus itself: k=20 verbatim
+      // copies of the whole base event feed under one reserved user
+      // (10⁹+7, clear of every replica keyspace; event_ids offset by
+      // 10¹²+i·E so they stay globally distinct and the deterministic
+      // salt spreads them), written as an events-only variant dir that
+      // the two skew entries read like any other corpus. Asserted:
+      //  1. NON-hot output on the skewed corpus is multiset-identical
+      //     to the unskewed run — the hot key perturbs nothing else;
+      //  2. the hot row matches exact integer expectations computed
+      //     independently from the base feed (n = k·rows,
+      //     total = k·centsSum; n_above = k·|{v > mu}| with mu
+      //     replicated bit-exactly in driver code — possible because
+      //     r14 made mu an exact fixed-point mean);
+      //  3. an UNSALTED shuffle join over the same skewed corpus gets
+      //     AQE's skew-split treatment (isSkewJoin) — ScaleOpsSpec's
+      //     synthetic assert re-proven on corpus-shaped data at scale.
+      "skew_planted_hot" -> Check("planted_hot_key", () => {
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val hot = 1000000007L
+        val k = 20
+        val baseEv = Tables.events(spark, baseDir)
+        val planted = (0 until k).map { i =>
+          baseEv.withColumn("user_id", lit(hot))
+            .withColumn("event_id", col("event_id") + lit(1000000000000L + i.toLong * E))
+        }.reduce(_ unionByName _)
+        val skewDir = scaledDir.stripSuffix("/") + "_skewvariant"
+        Tables.events(spark, scaledDir).unionByName(planted)
+          .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+        // exact integer expectations from the base feed
+        val head = baseEv.agg(
+          count(lit(1)).cast("long"),
+          sum(round(col("value") * 100).cast("long")),
+          count(col("value")).cast("long")).head()
+        val (rows1, s1, n1) = (head.getLong(0), head.getLong(1), head.getLong(2))
+        // mu exactly as the entry computes it over the k-copy feed:
+        // (k·S) and (k·n) are < 2^53, so the doubles below are the very
+        // operands Spark's codegen divides, and setScale(6, HALF_UP) is
+        // Spark round()'s own definition
+        val mu = BigDecimal((k * s1).toDouble / 100.0 / (k * n1).toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val above1 = baseEv.filter(col("value") > lit(mu)).count()
+        require(above1 > 0, "planted-skew law needs a nonempty above-mean set")
+        val sa = q("salted_agg_events")(spark, skewDir).localCheckpoint(true)
+        val sj = q("skew_join_salted")(spark, skewDir).localCheckpoint(true)
+        val saHot = sa.filter(col("user_id") === hot).select("n", "total").collect()
+        val sjHot = sj.filter(col("user_id") === hot).select("n_above").collect()
+        val saNon = sa.filter(col("user_id") =!= hot)
+        val sjNon = sj.filter(col("user_id") =!= hot)
+        val saPlain = scaled("salted_agg_events").localCheckpoint(true)
+        val sjPlain = scaled("skew_join_salted").localCheckpoint(true)
+        val saDiff = saNon.exceptAll(saPlain).count() + saPlain.exceptAll(saNon).count()
+        val sjDiff = sjNon.exceptAll(sjPlain).count() + sjPlain.exceptAll(sjNon).count()
+        val saHotOk = saHot.length == 1 &&
+          saHot(0).getLong(0) == k * rows1 && saHot(0).getLong(1) == k * s1
+        val sjHotOk = sjHot.length == 1 && sjHot(0).getLong(0) == k * above1
+        // 3: AQE skew-split on the unsalted join, ScaleOpsSpec's knobs
+        // scaled up (the hot shuffle partition carries k·base rows)
+        val prev = Map(
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+        ).map { case (c, v) =>
+          val old = spark.conf.getOption(c); spark.conf.set(c, v); c -> old
+        }
+        val aqeSkew = try {
+          val evS = Tables.events(spark, skewDir)
+          val dim = evS.groupBy("user_id").agg(count(col("value")).as("nv"))
+          val j = evS.join(dim, "user_id")
+            .groupBy().agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+          j.head()
+          def smjs(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
+            case s: SortMergeJoinExec => Seq(s)
+            case st: QueryStageExec => smjs(st.plan)
+            case a: AdaptiveSparkPlanExec => smjs(a.executedPlan)
+          }.flatten
+          val joins = smjs(j.queryExecution.executedPlan)
+          joins.nonEmpty && joins.exists(_.isSkewJoin)
+        } finally prev.foreach {
+          case (c, Some(v)) => spark.conf.set(c, v)
+          case (c, None) => spark.conf.unset(c)
+        }
+        (saDiff == 0 && saHotOk && sjDiff == 0 && sjHotOk && aqeSkew,
+          s"salted_agg nonhot_diff=$saDiff hot_ok=$saHotOk " +
+            s"(expect n=${k * rows1} total=${k * s1}); " +
+            s"skew_join nonhot_diff=$sjDiff hot_ok=$sjHotOk " +
+            s"(expect n_above=${k * above1}); aqe_skew_split=$aqeSkew")
+      }),
+
       "multimodal_rollup" -> Check("times_factor_law", () => {
         // replication factor derived from the data itself (10 at sf1,
         // 100 at sf10) — documents replicate exactly ×factor

@@ -552,7 +552,9 @@ object JoinQueries {
       "skew_join_salted",
       Some("""
         WITH ua AS (
-          SELECT user_id, round(AVG(value), 6) AS mu FROM events GROUP BY user_id
+          SELECT user_id,
+                 round(CAST(SUM(CAST(round(value * 100e0) AS BIGINT)) AS DOUBLE) / 100e0 / count(value), 6) AS mu
+          FROM events GROUP BY user_id
         )
         SELECT e.user_id, COUNT(*) AS n_above
         FROM events e JOIN ua ON e.user_id = ua.user_id
@@ -563,13 +565,15 @@ object JoinQueries {
       (spark, dir) => {
         val Salt = 8
         val ev = Tables.events(spark, dir)
-        // mu grid-rounded to 1e-6 in BOTH engines: `value > mu` is a
-        // strict boundary test against a float aggregate, the class the
-        // r11 sf1 sweep caught in winsorize_stats — cross-engine
-        // summation order can move an unrounded avg by 1 ulp and flip a
-        // value sitting exactly on it (QueryDef scaladoc convention;
-        // flagged mechanically by DeterminismAudit.strictFloatFlags).
-        val ua = ev.groupBy("user_id").agg(round(avg(col("value")), 6).as("mu"))
+        // mu is the EXACT fixed-point mean on the cent value grid (r14;
+        // was round(avg,6), which left `value > mu` exposed to an avg
+        // drifting across the 1e-6 rounding boundary): the integer cent
+        // sum is order-independent, the trailing division and round see
+        // identical operands in both engines, so the strict boundary
+        // test compares bit-identical doubles at any scale.
+        val ua = ev.groupBy("user_id")
+          .agg(round(sum(round(col("value") * 100).cast("long")).cast("double")
+            / 100.0 / count(col("value")), 6).as("mu"))
           .withColumn("salt", explode(lit((0 until Salt).toArray)))
         val fact = ev.withColumn("salt", pmod(col("event_id"), lit(Salt)).cast("int"))
         graft.Tails.orderedSmall(
