@@ -260,6 +260,121 @@ class StreamingSpec extends SparkSpec {
     assert(warehouse.groupBy("day", "user_id").count().filter($"count" > 1).count() == 0)
   }
 
+  test("shuffle-partition rescaling across restarts: candle loop output stays exact at 2x and half") {
+    import org.apache.spark.sql.functions._
+    // the knob a real cluster turns when executors scale: restart the
+    // stateful loop from the SAME checkpoint under a session now set to
+    // 2x, then half, the original shuffle partitions. Spark pins the
+    // state-store layout from the checkpoint (the offset log restores
+    // the recorded sql.shuffle.partitions for stateful operators), so
+    // the contract to prove is that turning the session knob between
+    // restarts neither corrupts state nor changes one output row vs an
+    // uninterrupted run — the candle/warehouse asserts of the restart
+    // test, now across three partition settings.
+    val n = 90000L
+    val ticks = spark.range(n).select(
+      pmod(hash(col("id") * 13), lit(20)).cast("long").as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 20000000L).as("ts"),
+      (abs(hash(col("id"))) % 20000 / 100.0 + 1.0).as("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rescale-src")
+    val third = n / 3
+    def stage(i: Long): Unit = {
+      val f = srcDir.resolve(s"chunk$i")
+      ticks.filter(
+        col("ts") >= timestamp_micros(lit(1704067200000000L + i * third * 20000000L)) &&
+          col("ts") < timestamp_micros(lit(1704067200000000L + (i + 1) * third * 20000000L)))
+        .coalesce(1).write.parquet(f.toString)
+      f.toFile.listFiles().foreach(_.setLastModified(1700000000000L + i * 60000L))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-rescale-out")
+    val warehousePath = out.resolve("daystocks").toString
+    val ckpt = out.resolve("ckpt").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(ticks.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+      val q = StreamingCandles.warehouseSink(
+        StreamingCandles.dailyCandles(stream, "user_id", "ts", "value"),
+        warehousePath, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      stage(0); runOnce() // phase 1: the original setting
+      assert(spark.read.parquet(warehousePath).count() > 0,
+        "phase 1 emitted nothing — the fixture proves nothing")
+      spark.conf.set("spark.sql.shuffle.partitions", (origParts.toInt * 2).toString)
+      stage(1); runOnce() // phase 2: restart at 2x
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1, origParts.toInt / 2).toString)
+      stage(2); runOnce() // phase 3: restart at half
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+
+    val cutoff = ticks.agg(max($"ts")).collect()(0).getTimestamp(0).toInstant.minusSeconds(86400)
+    val expected = Candles.ohlcvDaily(ticks, "user_id", "ts", "value")
+      .filter(col("day").cast("timestamp") + expr("INTERVAL 1 DAY") <=
+        lit(java.sql.Timestamp.from(cutoff)))
+    val warehouse = spark.read.parquet(warehousePath).drop("batch")
+    assert(warehouse.count() == expected.count())
+    assert(warehouse.join(expected,
+      Seq("day", "user_id", "open", "high", "low", "close", "volume"), "left_anti").count() == 0)
+    assert(warehouse.groupBy("day", "user_id").count().filter($"count" > 1).count() == 0)
+  }
+
+  test("shuffle-partition rescaling across restarts: dedup state drops duplicates seen before the resize") {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.DataFrame
+    // same knob, the DEDUP loop: a duplicate arriving AFTER the restart
+    // must still hit the state written BEFORE it under a different
+    // shuffle-partition setting — exactly-once emission per content
+    // identity across three partition settings
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", $"text")
+      .limit(100)
+      .withColumn("ts", timestamp_seconds(lit(1704103200L) + $"doc_id" * 60))
+      .localCheckpoint(true)
+    val b0 = docs.unionByName(docs.filter($"doc_id" % 3 === 0).limit(30))
+    val b1 = docs.filter($"doc_id" % 3 === 1).limit(30)
+      .withColumn("ts", $"ts" + expr("INTERVAL 10 minutes"))
+    val b2 = docs.filter($"doc_id" % 3 === 2).limit(30)
+      .withColumn("ts", $"ts" + expr("INTERVAL 20 minutes"))
+    val base = java.nio.file.Files.createTempDirectory("graft-rescale-dedup")
+    val srcDir = base.resolve("src")
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    def stage(name: String, df: DataFrame, i: Int): Unit = {
+      df.coalesce(1).write.parquet(srcDir.resolve(name).toString)
+      srcDir.resolve(name).toFile.listFiles().foreach(f =>
+        assert(f.setLastModified(1700000000000L + i * 60000L), s"mtime pin failed for $f"))
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+      val q = StreamingDedup.exactDedupWithinWatermark(stream, "ts", "2 days")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(outDir); ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val origParts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      stage("b0", b0, 0); runOnce()
+      spark.conf.set("spark.sql.shuffle.partitions", (origParts.toInt * 2).toString)
+      stage("b1", b1, 1); runOnce() // b1 replays content deduped at 4 parts
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(1, origParts.toInt / 2).toString)
+      stage("b2", b2, 2); runOnce() // b2 replays content deduped at 8 parts
+    } finally spark.conf.set("spark.sql.shuffle.partitions", origParts)
+
+    val got = spark.read.parquet(outDir)
+    val want = StreamingDedup.withContentHash(
+        b0.unionByName(b1).unionByName(b2), Seq("text"))
+      .dropDuplicates("content_hash")
+    assert(got.count() == 100L && want.count() == 100L)
+    assert(got.select("text").distinct().exceptAll(
+      want.select("text").distinct()).isEmpty)
+  }
+
   test("stream-static join: each micro-batch enriched against a batch dimension") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts", "value")
     val dim = ev.select($"user_id").distinct()
