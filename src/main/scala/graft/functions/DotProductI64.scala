@@ -106,6 +106,18 @@ object GraftFunctions {
     RollingWinnow(exprs(0), intArg(1), intArg(2), longArg(3), longArg(4))
   }
 
+  private[functions] def lshSigBuilder(exprs: Seq[Expression]): Expression = {
+    def intArg(i: Int): Int = exprs(i).eval().asInstanceOf[Number].intValue()
+    def longArg(i: Int): Long = exprs(i).eval().asInstanceOf[Number].longValue()
+    LshSignature(exprs(0), intArg(1), intArg(2), longArg(3))
+  }
+
+  private[functions] def lshFirstAgreeBuilder(exprs: Seq[Expression]): Expression = {
+    def intArg(i: Int): Int = exprs(i).eval().asInstanceOf[Number].intValue()
+    def longArg(i: Int): Long = exprs(i).eval().asInstanceOf[Number].longValue()
+    LshFirstAgree(exprs(0), intArg(1), intArg(2), intArg(3), intArg(4), longArg(5))
+  }
+
   // one registration per session, and none at all when the session was
   // built withExtensions(GraftExtensions) (the functions already exist):
   // createOrReplaceTempFunction logs a "replaced a previously registered
@@ -132,6 +144,10 @@ object GraftFunctions {
         "graft_jaro_winkler", exprs => JaroWinklerSim(exprs(0), exprs(1)), "built-in")
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_winnow", winnowBuilder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_lsh_sig", lshSigBuilder, "built-in")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_lsh_first_agree", lshFirstAgreeBuilder, "built-in")
     }
   }
 
@@ -185,6 +201,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[RollingWinnow].getName, "graft_winnow"),
       GraftFunctions.winnowBuilder _))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshSignature].getName, "graft_lsh_sig"),
+      GraftFunctions.lshSigBuilder _))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_first_agree"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshFirstAgree].getName, "graft_lsh_first_agree"),
+      GraftFunctions.lshFirstAgreeBuilder _))
     // pure range joins (inequality-only conditions) rewrite to the
     // bucketed equi-join plan instead of a nested loop / cartesian
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)

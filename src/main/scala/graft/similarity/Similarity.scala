@@ -253,45 +253,61 @@ object Similarity {
       tables: Int = 128,
       bandBits: Int = 4,
       seed: Long = 12345L): DataFrame =
-    // dedup BEFORE verify — the right order when the verify step is
-    // expensive per pair (fat payloads). The pair packs into one long
-    // for a single-column hash aggregate; bound: vec_id < 2^31 (2.1B
-    // vectors per dedup scope; shard the id space above that).
+    // already exactly-once per colliding pair: rawCandidates' minimal-
+    // table emission replaced the packed-long distinct this used to pay
+    // (that distinct shuffled the FULL candidate stream — at the wide
+    // 128×4 oracle config and 200k vectors that stream is ~10¹¹
+    // instances, the r13 sf10 disk-spill failure)
     rawCandidates(embeddings, sigBits, tables, bandBits, seed)
-      .select((shiftleft(col("vec_a"), 32) + col("vec_b")).as("pk"))
-      .distinct()
-      .select(
-        shiftright(col("pk"), 32).as("vec_a"),
-        col("pk").bitwiseAND(lit(0xffffffffL)).as("vec_b"))
 
-  /** Candidate pair stream WITHOUT dedup — each pair appears once per
-    * agreeing table. Building block for the two verify orders below.
+  /** Candidate pair stream, EXACTLY ONCE per colliding pair, via
+    * minimal-table emission: each side of the bucket join carries its
+    * one-long sign signature ([[graft.functions.LshSignature]]), and an
+    * instance from table t survives only when t is the FIRST table the
+    * two signatures agree on ([[graft.functions.LshFirstAgree]] over
+    * their XOR — early-exits, expected cost ≈ first-collision index).
+    * The filter runs INSIDE the bucket join's output pipeline, before
+    * any exchange: the `tables`× instance duplication is never shuffled,
+    * never sorted, and never verified more than once. Semantics are
+    * identical to the old emit-all + dedup (a pair colliding anywhere
+    * collides at exactly one minimal table); recall is untouched
+    * (SimilaritySpec audits == 1 vs the exact cartesian).
     */
   private def rawCandidates(
       embeddings: DataFrame,
-      sigBits: Int, tables: Int, bandBits: Int, seed: Long): DataFrame = {
+      sigBits: Int, tables: Int, bandBits: Int, seed: Long,
+      dims: Int = 64): DataFrame = {
     // ONE definition of the (quantize → graft_lsh_keys) construction:
     // batch candidates and the persisted ingest index must agree on
     // buckets for the same vectors, so both derive from the same helper
+    // (graft_lsh_sig shares the hyperplane derivation — LshDerivation)
     val hashed = buildEmbeddingIndex(embeddings, sigBits, tables, bandBits, seed)
-      .select(col("vec_id"), explode(col("tbs")).as("tb"))
+      .withColumn("sig", expr(s"graft_lsh_sig(q, $dims, $sigBits, ${seed}L)"))
+      .select(col("vec_id"), col("sig"), explode(col("tbs")).as("tb"))
       .repartition(col("tb"))
     hashed.as("x").join(hashed.as("y"), Seq("tb"))
       .filter(col("x.vec_id") < col("y.vec_id"))
+      .filter(
+        expr(s"graft_lsh_first_agree(x.sig ^ y.sig, $dims, $sigBits, $tables, $bandBits, ${seed}L)")
+          === shiftright(col("tb"), bandBits).cast("int"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
   }
 
-  /** Embedding near-dup pairs ≥ `threshold`: LSH candidate instances
-    * verified with the exact int64 cosine, then deduped.
+  /** Embedding near-dup pairs ≥ `threshold`: LSH candidates (exactly
+    * once per colliding pair — see `rawCandidates`) verified with the
+    * exact int64 cosine.
     *
-    * Verify-then-dedup, deliberately: a 64-dim integer dot is ~100
-    * compiled ops, so verifying every candidate INSTANCE (≈8× duplication
-    * at the default table count) and deduping only the tiny survivor set
-    * beats shuffling the full 16M-row candidate stream through a distinct
-    * first (measured 9.3 s → ~4 s at sf0.1). The vector lookups are plain
-    * equi-joins Spark auto-broadcasts when the corpus side fits. For a
-    * FAT verify (full documents, long embeddings) flip the order: dedup
-    * via `nearDupCandidates` first, then verify — same building blocks.
+    * The vector payload lookups are BROADCAST joins by contract: the
+    * candidate stream is the big side at every config (≥ the distinct
+    * collision count), so letting it be the shuffled/sorted side of a
+    * payload join is the scale failure mode — at the 128×4 oracle
+    * config and 200k vectors the stream is ~2·10¹⁰ pairs, and one SMJ
+    * sort of it spilled 76 GB (r13 sf10 attempt). The broadcast side is
+    * the quantized corpus (~600 B/vector — 200k vectors ≈ 120 MB); a
+    * corpus too large for that bound should not be batch-all-pairs
+    * deduped in one shot at all — shard the id space, or use the
+    * incremental index path (`incrementalNearDupPairs`), which is the
+    * 100 TB ingest shape.
     *
     * Default knobs are the PRODUCTION configuration from SCALE.md's
     * tables-vs-threshold table: 16 tables × 12-bit bands — perfect
@@ -299,8 +315,8 @@ object Similarity {
     * 50k vectors in single-digit seconds). Callers chasing a LOW
     * threshold (the catalog's oracle runs at 0.4, down in the
     * random-pair noise tail) must widen explicitly (128 tables × 4-bit
-    * bands there): 2^4 buckets ⇒ ~10B candidate instances at 50k
-    * vectors, which is why that config must never be a default anything
+    * bands there) and accept that the collision set approaches all
+    * pairs — which is why that config must never be a default anything
     * inherits silently.
     */
   def nearDupPairs(
@@ -314,13 +330,12 @@ object Similarity {
     val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("norm2").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("norm2").as("nb"))
     rawCandidates(embeddings, sigBits, tables, bandBits, seed)
-      .join(a, Seq("vec_a"))
-      .join(b, Seq("vec_b"))
+      .join(broadcast(a), Seq("vec_a"))
+      .join(broadcast(b), Seq("vec_b"))
       .withColumn("dot", dotExpr("qa", "qb"))
       .withColumn("cos", cosine(col("dot"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
-      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Self-describing tag of the LSH scheme an index was built with: keys
