@@ -17,9 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    rows, which hash equal under any order;
   *  - a STRICT comparison against a float aggregate (value < percentile
   *    threshold) flips on 1-ulp cross-engine interpolation differences
-  *    that the float tolerance hides — round such thresholds to a fixed
-  *    grid (1e-6) in BOTH engines before comparing (winsorize_stats,
-  *    r11);
+  *    that the float tolerance hides — derive such thresholds so both
+  *    engines compute the IDENTICAL double: exact fixed-point means
+  *    (cents sum / 100 / n), and order statistics through
+  *    `graft.operators.ExactQuantiles` (explicit rank selection + one
+  *    shared interpolation formula; never bare quantile_cont /
+  *    percentile, whose last-ulp formulas differ) — r11's 1e-6 grid
+  *    rounding was a mitigation, r14 made the operands identical;
   *  - every floating aggregate is `round(x, 4)` in BOTH engines
   *    (kills last-ulp summation-order differences) — but round() is a
   *    MITIGATION, not a proof: a group whose unrounded value drifts
