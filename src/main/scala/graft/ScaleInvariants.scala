@@ -104,8 +104,7 @@ object ScaleInvariants {
     "sql_adhoc_recursive" -> "key-arithmetic parent chains are not shift-equivariant at replica boundaries",
     "null_safe_join" -> "sector = user_id % 7 / % 10: the replica key shift remaps sectors, so per-sector counts do not scale uniformly",
     "zorder_curve" -> "the 11-bit interleave masks keys mod 2048, so shifted replica keys alias into base z-buckets non-uniformly",
-    "sql_adhoc_unpivot" -> "metric rows mix replication-invariant extremes with a rounded float avg whose scaled value rounds through a different float sum",
-    "pricing_summary_q1" -> "unrounded float avg columns drift sub-ulp across run orderings; sums covered by the sf1 oracle")
+    "sql_adhoc_unpivot" -> "metric rows mix replication-invariant extremes with a rounded float avg whose scaled value rounds through a different float sum")
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -479,35 +478,54 @@ object ScaleInvariants {
         // 3: AQE skew-split on the unsalted join, ScaleOpsSpec's knobs
         // scaled up (the hot shuffle partition carries k·base rows)
         val prev = Map(
+          "spark.sql.adaptive.skewJoin.enabled" -> "true",
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8MB",
           "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
           "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4MB",
-          "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          // the dim side below aggregates the SAME scan the probe side
+          // shuffles, so with reuse on, both SMJ children resolve to ONE
+          // exchange — and OptimizeSkewedJoin refuses to split a reused
+          // exchange (the split would desynchronize its other consumer).
+          // A real cluster's skewed fact⋈dim joins have independent
+          // sides; model that by disabling reuse for this probe only.
+          "spark.sql.exchange.reuse" -> "false"
         ).map { case (c, v) =>
           val old = spark.conf.getOption(c); spark.conf.set(c, v); c -> old
         }
-        val aqeSkew = try {
+        val (nSmj, nSkew) = try {
           val evS = Tables.events(spark, skewDir)
+          // materialize the dim side first (localCheckpoint): a computed
+          // dim leaves its agg exchange directly under the SMJ sort and
+          // OptimizeSkewedJoin only matches SMJ(Sort(ShuffleStage),
+          // Sort(ShuffleStage)) — a real skewed fact⋈dim join reads the
+          // dim from storage, which is what the severed lineage models
           val dim = evS.groupBy("user_id").agg(count(col("value")).as("nv"))
+            .localCheckpoint(true)
           val j = evS.join(dim, "user_id")
             .groupBy().agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
-          j.head()
+          // collect(), NOT head(): head(n) plans a NEW limited query, so
+          // j's own adaptive plan would never finalize and the walk below
+          // would read the unexecuted initial plan (isFinalPlan=false)
+          j.collect()
           def smjs(p: SparkPlan): Seq[SortMergeJoinExec] = p.collect {
             case s: SortMergeJoinExec => Seq(s)
             case st: QueryStageExec => smjs(st.plan)
             case a: AdaptiveSparkPlanExec => smjs(a.executedPlan)
           }.flatten
           val joins = smjs(j.queryExecution.executedPlan)
-          joins.nonEmpty && joins.exists(_.isSkewJoin)
+          (joins.size, joins.count(_.isSkewJoin))
         } finally prev.foreach {
           case (c, Some(v)) => spark.conf.set(c, v)
           case (c, None) => spark.conf.unset(c)
         }
+        val aqeSkew = nSmj > 0 && nSkew > 0
         (saDiff == 0 && saHotOk && sjDiff == 0 && sjHotOk && aqeSkew,
           s"salted_agg nonhot_diff=$saDiff hot_ok=$saHotOk " +
             s"(expect n=${k * rows1} total=${k * s1}); " +
             s"skew_join nonhot_diff=$sjDiff hot_ok=$sjHotOk " +
-            s"(expect n_above=${k * above1}); aqe_skew_split=$aqeSkew")
+            s"(expect n_above=${k * above1}); " +
+            s"aqe_skew_split=$aqeSkew (smj=$nSmj skew_marked=$nSkew)")
       }),
 
       "multimodal_rollup" -> Check("times_factor_law", () => {
@@ -652,6 +670,16 @@ object ScaleInvariants {
       factorLaw("json_extract_props", times = Seq("n", "k_sum"),
         eqCols = Seq("event_type", "k_min", "k_max")),
       factorLaw("month_histogram", times = Seq("n", "total_cents"), eqCols = Seq("y", "m")),
+      // registrable since r14 made the avgs exact fixed-point: the cent
+      // sums and count scale ×f exactly; the avg columns are dropped
+      // because round((f·S)/100/(f·n), 4) divides through different
+      // double operands than round(S/100/n, 4) — sub-ulp, and their
+      // cross-engine exactness is already pinned by the sf1 oracle
+      factorLaw("pricing_summary_q1",
+        times = Seq("sum_qty_cents", "sum_base_cents", "sum_disc_cents",
+          "sum_charge_cents", "count_order"),
+        eqCols = Seq("l_returnflag", "l_linestatus"),
+        drop = Seq("avg_qty", "avg_price", "avg_disc")),
       factorLaw("pivot_event_types",
         times = Seq("n_click", "n_purchase", "n_view", "cents_click", "cents_purchase", "cents_view"),
         eqCols = Seq("day")),
