@@ -63,20 +63,121 @@ object ScaleData {
   private def rotMap2(r: Int): (String, String) = rotOf(Common2, r / Common.length)
 
   def main(args: Array[String]): Unit = {
-    val inDir = args(0)
-    val outDir = args(1)
-    val factor = if (args.length > 2) args(2).toInt else 10
+    val factsOnly = args.contains("--facts-only")
+    val pos = args.filterNot(_.startsWith("--"))
+    val inDir = pos(0)
+    val outDir = pos(1)
+    val factor = if (pos.length > 2) pos(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .appName("graft-scaledata")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, inDir, outDir, factor)
+    if (factsOnly) runFacts(spark, inDir, outDir, factor)
+    else run(spark, inDir, outDir, factor)
     spark.stop()
+  }
+
+  /** FACTS-ONLY scale-up for factors beyond the content-transform design
+    * range (text rotations top out at 100 mappings, embedding transforms
+    * at 2·dim, the +r µs event shift at the base feed's min ts gap —
+    * 140 µs on the driver testdata). 100 TB is fact-table volume, so the
+    * factor-1000 question is answered on the fact tables:
+    *
+    *  - customer/supplier/part/orders/lineitem/events replicate with the
+    *    same disjoint-keyspace shifts as [[run]] — at ANY factor;
+    *  - replication is ONE scan per table (posexplode of a replica-index
+    *    sequence), not a `factor`-way union: a 1000-branch union plan is
+    *    itself a driver-side scale failure;
+    *  - events.ts shifts +(r mod gap) µs where gap = the measured min ts
+    *    gap of the base feed. GLOBAL ts uniqueness (run's contract) is
+    *    impossible past `gap` replicas by pigeonhole; what the fact-side
+    *    catalog families (per-key windows, graphs, interval joins,
+    *    aggregates) actually require is per-KEY uniqueness — each user
+    *    lives in exactly one replica, whose shift is a constant, so
+    *    (user_id, ts) stays duplicate-free; asserted on the written
+    *    output. Entries that rank by ts GLOBALLY must not be probed on a
+    *    facts-only corpus;
+    *  - documents/embeddings are NOT written: a verbatim base copy would
+    *    make content-family restricted_eq checks pass trivially
+    *    (scaled ≡ base) — misleading. Selecting one fails loudly on the
+    *    missing path instead.
+    */
+  def runFacts(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1
+    val cust = Tables.customer(spark, inDir)
+    val ord = Tables.orders(spark, inDir)
+    val ev = Tables.events(spark, inDir)
+    val C = maxOf(cust, "c_custkey")
+    val O = maxOf(ord, "o_orderkey")
+    val P = maxOf(Tables.part(spark, inDir), "p_partkey")
+    val S = maxOf(Tables.supplier(spark, inDir), "s_suppkey")
+    val E = maxOf(ev, "event_id")
+
+    // one scan per table: each row fans out through posexplode(sequence)
+    // and the key shifts are COLUMN arithmetic in _r — the plan has one
+    // generate + one project regardless of factor
+    def replicateN(base: DataFrame, files: Int, keys: (String, Long)*)(
+        extra: DataFrame => DataFrame): DataFrame = {
+      val fanned = base
+        .withColumn("_r", explode(sequence(lit(0L), lit(factor - 1L))))
+      val shifted = keys.foldLeft(fanned) { case (acc, (c, off)) =>
+        acc.withColumn(c, col(c) + col("_r") * lit(off))
+      }
+      extra(shifted).drop("_r")
+        .repartition(math.max(files, files * factor / 100))
+    }
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[scaledata] wrote $name (facts-only x$factor)")
+    }
+
+    Seq("region", "nation").foreach(t => write(t, Tables.load(spark, inDir, t).coalesce(1)))
+    write("customer", replicateN(cust, 4, "c_custkey" -> C)(identity))
+    write("supplier", replicateN(Tables.supplier(spark, inDir), 2, "s_suppkey" -> S)(identity))
+    write("part", replicateN(Tables.part(spark, inDir), 4, "p_partkey" -> P)(identity))
+    write("orders", replicateN(ord, 8, "o_orderkey" -> O, "o_custkey" -> C)(identity))
+    write("lineitem", replicateN(Tables.lineitem(spark, inDir), 32,
+      "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S)(identity))
+
+    val gap = {
+      // unix_micros needs TIMESTAMP; events.ts is NTZ (Tables
+      // canonicalization) — the UTC session tz makes the cast exact
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(us)
+      ev.select((us - lag(us, 1).over(w)).as("d"))
+        .filter(col("d").isNotNull)
+        .agg(min(col("d"))).head().getLong(0)
+    }
+    require(gap >= 1, s"base events carry duplicate ts (min gap $gap µs); " +
+      "per-key uniqueness cannot be established by any cyclic shift")
+    write("events", replicateN(ev, 16, "event_id" -> E, "user_id" -> C) { df =>
+      df.withColumn("ts",
+        expr(s"timestampadd(MICROSECOND, pmod(_r, ${gap}L), ts)")
+          .cast("timestamp_ntz"))
+    })
+    locally {
+      val scaled = Tables.events(spark, outDir)
+      val Array(total, distinct) = scaled
+        .agg(count(lit(1)).cast("long"),
+          countDistinct(col("user_id"), col("ts")).cast("long"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      require(total == distinct,
+        s"scaled events (user_id, ts) not unique ($distinct distinct of $total): " +
+          "the per-key determinism contract (min_by/max_by within a key) " +
+          "does not survive — the cyclic shift collided inside one replica")
+      println(s"[scaledata] events (user_id, ts) uniqueness verified: " +
+        s"$total rows, $distinct distinct (ts shift cycles mod $gap µs)")
+    }
+    println(s"[scaledata] done: $outDir FACTS-ONLY at ${factor}x of $inDir " +
+      "(documents/embeddings not written by design)")
   }
 
   def run(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {

@@ -79,4 +79,41 @@ class ScaleDataSpec extends SparkSpec {
     val badBase = base("documents").filter(length(col("text")) =!= col("n_chars")).count()
     assert(bad == factor * badBase, "letter rotation changed text lengths")
   }
+
+  test("facts-only mode: any factor, per-key ts uniqueness, no content tables") {
+    // 150 deliberately exceeds BOTH content-design caps run() enforces
+    // (100 text mappings, 128 embedding transforms) AND the base feed's
+    // min ts gap — the regime the mode exists for
+    val f = 150
+    val dir = java.nio.file.Files.createTempDirectory("graft-scalefacts").toString
+    ScaleData.runFacts(spark, sf, dir, f)
+    def fs(name: String) = spark.read.parquet(s"$dir/$name.parquet")
+    for ((t, key) <- Seq("customer" -> "c_custkey", "orders" -> "o_orderkey",
+      "events" -> "event_id", "part" -> "p_partkey", "supplier" -> "s_suppkey")) {
+      val n = base(t).count()
+      val s = fs(t).agg(count(lit(1)), countDistinct(col(key))).head()
+      assert(s.getLong(0) == f * n, s"$t rows: ${s.getLong(0)} != $f*$n")
+      assert(s.getLong(1) == f * n, s"$t keys not unique after offsetting")
+    }
+    assert(fs("lineitem").count() == f * base("lineitem").count())
+    // FK co-shift holds (the same contract the full mode pins)
+    assert(fs("orders").join(fs("customer"),
+      col("o_custkey") === col("c_custkey"), "left_anti").count() == 0)
+    // replica 0 is the base feed VERBATIM — what restricted_eq stands on
+    val ev = fs("events")
+    val baseEv = base("events")
+    assert(ev.join(baseEv, Seq("event_id")).count() == baseEv.count())
+    // per-KEY ts uniqueness (the facts-only contract; global uniqueness
+    // is impossible past `gap` replicas and deliberately not claimed)
+    val Array(total, dk) = ev
+      .agg(count(lit(1)).cast("long"),
+        countDistinct(col("user_id"), col("ts")).cast("long"))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(total == dk, s"(user_id, ts) collided: $dk distinct of $total")
+    // content tables intentionally absent — a base-verbatim copy would
+    // make content-family restricted_eq pass trivially
+    for (t <- Seq("documents", "embeddings"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$t.parquet")),
+        s"facts-only wrote $t")
+  }
 }
