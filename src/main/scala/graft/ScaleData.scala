@@ -121,18 +121,23 @@ object ScaleData {
     val S = maxOf(Tables.supplier(spark, inDir), "s_suppkey")
     val E = maxOf(ev, "event_id")
 
-    // one scan per table: each row fans out through posexplode(sequence)
+    // one scan per table: each row fans out through explode(sequence)
     // and the key shifts are COLUMN arithmetic in _r — the plan has one
-    // generate + one project regardless of factor
+    // generate + one project regardless of factor. The repartition runs
+    // BEFORE the explode: only base rows cross the shuffle, and each
+    // task fans out its slice ×factor straight into its output file —
+    // repartitioning after the explode shuffles factor× the data for
+    // nothing (at ×1000 that shuffle stalled the driver into a 197 s GC
+    // pause and a heartbeat death)
     def replicateN(base: DataFrame, files: Int, keys: (String, Long)*)(
         extra: DataFrame => DataFrame): DataFrame = {
       val fanned = base
+        .repartition(math.max(files, files * factor / 100))
         .withColumn("_r", explode(sequence(lit(0L), lit(factor - 1L))))
       val shifted = keys.foldLeft(fanned) { case (acc, (c, off)) =>
         acc.withColumn(c, col(c) + col("_r") * lit(off))
       }
       extra(shifted).drop("_r")
-        .repartition(math.max(files, files * factor / 100))
     }
     def write(name: String, df: DataFrame): Unit = {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")

@@ -193,9 +193,11 @@ object ScaleInvariants {
       name -> Check("restricted_eq", () => restrictedEq(name, restrict))
 
     // replication factor derived from the data itself (10 at sf1, 100 at
-    // sf10) — documents replicate exactly ×factor by construction
-    lazy val factor: Long = Tables.documents(spark, scaledDir).count() /
-      Tables.documents(spark, baseDir).count()
+    // sf10, 1000 on a facts-only corpus) — events replicate exactly
+    // ×factor in BOTH generator modes (documents don't exist in the
+    // facts-only variant, so the fact-side laws must not depend on them)
+    lazy val factor: Long = Tables.events(spark, scaledDir).count() /
+      Tables.events(spark, baseDir).count()
 
     /** Exact ×factor law for rollups grouped by replica-INVARIANT
       * attributes (days, event types, statuses, nations — unchanged per
