@@ -19,7 +19,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# SPARK_GRAFT_JAVA_OPTS: extra -D/-X flags (e.g. relaxed
+# spark.network.timeout for >= factor-1000 graph shuffles, where a long
+# driver GC pause can trip the local heartbeat and stop the context)
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  ${SPARK_GRAFT_JAVA_OPTS:-} \
   -cp "$SNAP:/opt/spark/jars/*" "$MAIN" "$@"
