@@ -153,13 +153,44 @@ object ScaleData {
       "l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S)(identity))
 
     val gap = {
+      // min adjacent ts gap WITHOUT a global window (a partitionless
+      // Window.orderBy pulls the whole feed through one task — at the
+      // base sizes this generator targets that single task is the
+      // bottleneck, and it is exactly the scale anti-pattern the rest
+      // of the repo bans): range-partition by ts, sort within each
+      // partition, fold each partition to (first, last, minGap), and
+      // combine the O(P) summaries on the driver — boundary gaps come
+      // from consecutive partitions' (last, first), which
+      // repartitionByRange's ascending range partitioner makes adjacent
+      import spark.implicits._
       // unix_micros needs TIMESTAMP; events.ts is NTZ (Tables
       // canonicalization) — the UTC session tz makes the cast exact
-      val us = unix_micros(col("ts").cast("timestamp"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(us)
-      ev.select((us - lag(us, 1).over(w)).as("d"))
-        .filter(col("d").isNotNull)
-        .agg(min(col("d"))).head().getLong(0)
+      val perPart = ev
+        .select(unix_micros(col("ts").cast("timestamp")).as("us"))
+        .repartitionByRange(64, col("us"))
+        .sortWithinPartitions("us")
+        .as[Long]
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val first = it.next()
+            var last = first
+            var minGap = Long.MaxValue
+            while (it.hasNext) {
+              val v = it.next()
+              if (v - last < minGap) minGap = v - last
+              last = v
+            }
+            Iterator((first, last, minGap))
+          }
+        }
+        .collect().sortBy(_._1)
+      val gaps = perPart.map(_._3).filter(_ != Long.MaxValue) ++
+        perPart.sliding(2).collect { case Array(a, b) => b._1 - a._2 }
+      require(gaps.nonEmpty,
+        s"base events feed has fewer than 2 rows (${perPart.length} non-empty " +
+          "partitions) — no ts gap exists to derive a replica shift from")
+      gaps.min
     }
     require(gap >= 1, s"base events carry duplicate ts (min gap $gap µs); " +
       "per-key uniqueness cannot be established by any cyclic shift")

@@ -106,11 +106,78 @@ object ScaleInvariants {
     "zorder_curve" -> "the 11-bit interleave masks keys mod 2048, so shifted replica keys alias into base z-buckets non-uniformly",
     "sql_adhoc_unpivot" -> "metric rows mix replication-invariant extremes with a rounded float avg whose scaled value rounds through a different float sum")
 
+  /** Checks runnable on a FACTS-ONLY corpus (`ScaleData --facts-only`:
+    * documents/embeddings not written; events.ts shifted mod the base
+    * feed's min gap, so only per-KEY ts uniqueness holds — which is all
+    * the per-user window/group entries require). Every name here reads
+    * fact tables only and its invariant survives any replication factor;
+    * the registered checks NOT in this set get a reasoned exclusion in
+    * the emitted JSON ([[factsOnlyExcludedReasons]] or the blanket
+    * content-family reason).
+    */
+  val factsOnlySafe: Set[String] = Set(
+    // events / user_id keyspace (per-user windows & groups)
+    "acf_lags", "bollinger", "drawdown", "ewma_smooth", "first_last_day",
+    "funnel_stages", "gapfill_daily", "golden_record", "interpolate_linear",
+    "lag_pct_change", "mad_stats", "mode_event_type", "nav_functions",
+    "pivot_user_event_types", "rank_functions", "row_stats",
+    "salted_agg_events", "scd2_intervals", "sessionization",
+    "skew_join_salted", "sql_adhoc_window", "tick_compression",
+    "tick_compression_scaled", "trailing_window_1h", "trend_slope",
+    "twap_daily", "union_distinct", "vwap_daily", "zscore_anomaly",
+    "weekly_candles", "company_chart_data", "ohlcv_daily", "ohlcv_typed",
+    "candles_incremental", "etl_pipeline",
+    // customer / orders / lineitem keyspaces
+    "anti_join_inactive", "semi_join_active", "prefix_search",
+    "market_map_text", "symbol_normalize", "sql_adhoc_exists",
+    "sql_adhoc_lateral", "set_operations", "dedup_keep_first",
+    "scd_last_writer", "filename_dates", "point_lookup", "math_functions",
+    "price_parse", "limit_offset_page", "pii_redact",
+    // event keyspace (per-event / per-user join semantics)
+    "asof_join_enrich", "broadcast_enrich", "click_attribution",
+    "range_cleanup", "stratified_sample",
+    // graphs (replica subgraphs are node-disjoint isomorphic copies)
+    "graph_kcore", "graph_triangles", "graph_mass_flow", "graph_bfs_hops",
+    "graph_sssp",
+    // planted-skew law (events-only variant corpus by construction)
+    "skew_planted_hot",
+    // exact ×factor rollup laws over fact tables
+    "activity_heatmap", "benford_digits", "cohort_retention", "cube_orders",
+    "data_profile", "dau_wau_stickiness", "event_paths_top",
+    "event_transitions", "expectations_report", "feature_binning",
+    "hopping_candles", "ivm_join_agg", "join_agg_revenue",
+    "json_extract_props", "month_histogram", "pricing_summary_q1",
+    "pivot_event_types", "resample_daily", "rollup_orders", "sql_adhoc_agg",
+    "sql_adhoc_grouping_sets", "sql_adhoc_join", "sql_adhoc_pivot",
+    "star_join_q5", "string_agg_segments", "table_stats",
+    "table_stats_approx", "union_schema_drift", "variant_extract_props")
+
+  /** Registered checks EXCLUDED from a facts-only run for a reason other
+    * than "its tables are not written": these are cost walls that scale
+    * ×f² by construction, so a factor-1000 probe would measure the
+    * generator's densification, not the engine.
+    */
+  val factsOnlyExcludedReasons: Map[String, String] = Map(
+    "interval_join_bucketed" -> ("pair stream scales x f^2: replicas share the base wall-clock span " +
+      "(ts shift < 1 gap), measured 4.29B pairs at factor 100 -> ~430B at 1000; hours-long by construction"),
+    "interval_join_rule" -> "pair stream scales x f^2 (see interval_join_bucketed)",
+    "interval_join_agg" -> "aggregates the same x f^2 match stream (no pair materialization, same probe cost)",
+    "fuzzy_match_names" -> ("supplier names replicate VERBATIM (facts-only shifts keys only), so every base " +
+      "match pair gains f^2 replica combinations: ~10^6 x output at factor 1000 measures the generator"),
+    "fuzzy_join_rule" -> "verbatim replica names -> f^2 pair stream (see fuzzy_match_names)",
+    "fuzzy_semi_rule" -> "verbatim replica names -> f^2 candidate stream (see fuzzy_match_names)",
+    "jaro_winkler_rank" -> "verbatim replica names -> f^2 candidate stream (see fuzzy_match_names)")
+
   def main(args: Array[String]): Unit = {
-    val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val scaledDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
-    val outJson = if (args.length > 2) Some(args(2)) else None
-    val only = if (args.length > 3) Some(args(3).split(",").toSet) else None
+    val factsOnly = args.contains("--facts-only")
+    val pos = args.filterNot(_.startsWith("--"))
+    val baseDir = if (pos.nonEmpty) pos(0) else "/root/testdata/sf0.1"
+    val scaledDir = if (pos.length > 1) pos(1) else "/tmp/graft_sf1"
+    val outJson = if (pos.length > 2) Some(pos(2)) else None
+    val explicit = if (pos.length > 3) Some(pos(3).split(",").toSet) else None
+    val only =
+      if (!factsOnly) explicit
+      else Some(explicit.map(_.intersect(factsOnlySafe)).getOrElse(factsOnlySafe))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -134,12 +201,22 @@ object ScaleInvariants {
     val body = results.toSeq.sortBy(_._1).map { case (n, (kind, pass, detail)) =>
       s""""$n": {"check": "$kind", "pass": $pass, "detail": "${esc(detail)}"}"""
     }.mkString(",\n")
-    val excl = excludedReasons.toSeq.sortBy(_._1).map { case (n, why) =>
+    // facts-only: every registered check NOT run gets its reason into the
+    // exclusion block — the cost-wall reasons by name, the rest by the
+    // blanket content-family reason (their tables do not exist)
+    val factsExcl: Map[String, String] =
+      if (!factsOnly) Map.empty
+      else (buildChecks(spark, baseDir, scaledDir).keySet -- factsOnlySafe)
+        .map(n => n -> factsOnlyExcludedReasons.getOrElse(n,
+          "content tables (documents/embeddings) not written by ScaleData --facts-only, by design"))
+        .toMap
+    val excl = (excludedReasons ++ factsExcl).toSeq.sortBy(_._1).map { case (n, why) =>
       s""""$n": "${esc(why)}""""
     }.mkString(",\n")
     // body can be empty (an --only filter matching no check) — joining
     // unconditionally would emit a leading comma and an unparseable file
-    val exclBlock = s""""_excluded": {\n$excl\n}"""
+    val exclBlock = s""""_excluded": {\n$excl\n}""" +
+      (if (factsOnly) ",\n\"_mode\": \"facts_only\"" else "")
     val json = "{\n" + Seq(body, exclBlock).filter(_.nonEmpty).mkString(",\n") + "\n}"
     outJson.foreach { p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p),
@@ -154,6 +231,19 @@ object ScaleInvariants {
 
   def runAll(spark: SparkSession, baseDir: String, scaledDir: String,
              only: Option[Set[String]]): Map[String, (String, Boolean, String)] = {
+    val checks = buildChecks(spark, baseDir, scaledDir)
+    val selected = only.map(names => checks.filter(c => names(c._1))).getOrElse(checks)
+    selected.map { case (name, c) =>
+      val t0 = System.nanoTime()
+      val (pass, detail) =
+        try c.run()
+        catch { case e: Exception => (false, s"ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}") }
+      println(f"[invariants] $name: ${if (pass) "PASS" else "FAIL"} ($detail, ${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      name -> (c.kind, pass, detail)
+    }
+  }
+
+  def buildChecks(spark: SparkSession, baseDir: String, scaledDir: String): Map[String, Check] = {
     val q = SparkEntry.queries
     def base(name: String): DataFrame = q(name)(spark, baseDir)
     def scaled(name: String): DataFrame = q(name)(spark, scaledDir)
@@ -713,14 +803,6 @@ object ScaleInvariants {
         eqCols = Seq("event_type", "k_decade"))
     ).toMap
 
-    val selected = only.map(names => checks.filter(c => names(c._1))).getOrElse(checks)
-    selected.map { case (name, c) =>
-      val t0 = System.nanoTime()
-      val (pass, detail) =
-        try c.run()
-        catch { case e: Exception => (false, s"ERR ${e.getClass.getSimpleName}: ${e.getMessage.take(120)}") }
-      println(f"[invariants] $name: ${if (pass) "PASS" else "FAIL"} ($detail, ${(System.nanoTime() - t0) / 1e9}%.1fs)")
-      name -> (c.kind, pass, detail)
-    }
+    checks
   }
 }
