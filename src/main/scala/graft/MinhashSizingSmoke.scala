@@ -56,12 +56,17 @@ object MinhashSizingSmoke {
       val t0 = System.nanoTime()
       val pairs = Dedup.minhashLshPairsWith(docs, 5, theta, params, r)
       // planted pair = (orig, orig + 1e8); count how many surface with
-      // jaccard >= theta (those BELOW theta are not the banding's fault)
-      val found = pairs
-        .filter(col("doc_b") === col("doc_a") + 100000000L && col("doc_a") < nPlant)
-        .count()
-      val total = pairs.count()
-      (found, total, (System.nanoTime() - t0) / 1e9)
+      // jaccard >= theta (those BELOW theta are not the banding's fault).
+      // ONE aggregation pass: counting `found` and `total` as separate
+      // actions re-evaluated the whole shingle→signature→verify DAG
+      // twice (shingles are deliberately uncached — Dedup scaladoc), and
+      // the r14 artifact's "superlinear" wall-clock carried that 2×
+      // measurement artifact inside it
+      val row = pairs.agg(
+        sum(when(col("doc_b") === col("doc_a") + 100000000L &&
+          col("doc_a") < nPlant, 1L).otherwise(0L)).as("found"),
+        count(lit(1)).as("total")).head()
+      (row.getLong(0), row.getLong(1), (System.nanoTime() - t0) / 1e9)
     }
     // ground truth: which planted pairs are really >= theta (exact Jaccard)
     val truth = Dedup.jaccardPairs(docs.filter(
@@ -71,6 +76,18 @@ object MinhashSizingSmoke {
 
     val (fS, tS, sS) = run("sized", Dedup.minhashParamsFor(bands * rows), rows)
     val (fP, tP, sP) = run("pinned", Dedup.minhashParams, Dedup.bandSize)
+
+    // bucket-occupancy accounting (r14 verdict #3): the smoke's wall
+    // clock follows the within-bucket candidate-instance volume
+    // Σ c·(c−1)/2, which the sizing bound only models in expectation —
+    // report the measured occupancy so the scaling exponent is
+    // attributable (fat buckets vs. more buckets) at every SF
+    def occJson(o: Map[String, Double]): String =
+      f"""{"buckets":${o("buckets")}%.0f,"max_c":${o("max_c")}%.0f,""" +
+        f""""p99_c":${o("p99_c")}%.0f,"mean_c":${o("mean_c")}%.3f,""" +
+        f""""cand_instances":${o("cand_instances")}%.0f}"""
+    val occS = Dedup.lshOccupancy(docs, 5, Dedup.minhashParamsFor(bands * rows), rows)
+    val occP = Dedup.lshOccupancy(docs, 5, Dedup.minhashParams, Dedup.bandSize)
 
     // θ=0.995 margin behind dedup_minhash_sized (r14 verdict #7): that
     // entry's banding-free oracle is sound only while every qualifying
@@ -94,8 +111,8 @@ object MinhashSizingSmoke {
     println(
       f"""{"sf_dir":"$sfDir","n_docs":$n,"theta":$theta,"planted":$nPlant,""" +
         f""""planted_pairs_ge_theta":$truth,""" +
-        f""""pinned":{"bands":4,"rows":4,"planted_found":$fP,"pairs":$tP,"secs":$sP%.1f},""" +
-        f""""sized":{"bands":$bands,"rows":$rows,"planted_found":$fS,"pairs":$tS,"secs":$sS%.1f},""" +
+        f""""pinned":{"bands":4,"rows":4,"planted_found":$fP,"pairs":$tP,"secs":$sP%.1f,"occupancy":${occJson(occP)}},""" +
+        f""""sized":{"bands":$bands,"rows":$rows,"planted_found":$fS,"pairs":$tS,"secs":$sS%.1f,"occupancy":${occJson(occS)}},""" +
         f""""max_nonidentical_jaccard":"$maxStr","theta995_margin_ok":$marginOk}""")
     spark.stop()
     if (!marginOk) {

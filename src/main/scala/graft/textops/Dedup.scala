@@ -366,6 +366,36 @@ object Dedup {
     bands.reduce(_ unionByName _)
   }
 
+  /** Per-bucket occupancy accounting for a banding (r14 verdict #3: the
+    * sizing bound b·n·s₀^r ≤ load models EXPECTED background collisions,
+    * but within-bucket candidate emission is Σ c·(c−1)/2 over ACTUAL
+    * bucket sizes c — quadratic in occupancy, and nothing reported it).
+    * Returns one row of corpus-wide stats: bucket count, max / p99 /
+    * mean occupancy, and the implied candidate-INSTANCE count (the
+    * pre-distinct join output volume — the cost the smoke's wall-clock
+    * follows). Diagnostic for MinhashSizingSmoke's artifact; not part of
+    * any oracled entry.
+    */
+  def lshOccupancy(documents: DataFrame, n: Int,
+                   params: Seq[(Long, Long)], rows: Int): Map[String, Double] = {
+    val keyed = shingles(documents, n).withColumn("s", expr(shingleKeyExpr))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("s") + lit(b)) % lit(minhashP)).as(s"mh$i")
+    }
+    val bands = lshBandsWith(
+      keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*), params.size, rows)
+    val occ = bands.groupBy(col("band"), col("band_key")).agg(count(lit(1)).as("c"))
+    val r = occ.agg(
+      count(lit(1)).cast("double").as("buckets"),
+      max(col("c")).cast("double").as("max_c"),
+      expr("percentile_approx(c, 0.99, 10000)").cast("double").as("p99_c"),
+      avg(col("c")).as("mean_c"),
+      sum(col("c") * (col("c") - lit(1)) / lit(2)).cast("double").as("cand_instances"))
+      .head()
+    Seq("buckets", "max_c", "p99_c", "mean_c", "cand_instances")
+      .zipWithIndex.map { case (k, i) => k -> r.getDouble(i) }.toMap
+  }
+
   /** MinHash-LSH near-dup pairs: docs sharing any band bucket, verified
     * with true shingle Jaccard ≥ `minJaccard`. The PINNED 16-hash 4×4
     * banding — frozen because its DuckDB oracle states these constants;
