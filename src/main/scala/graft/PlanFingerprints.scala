@@ -94,8 +94,18 @@ object PlanFingerprints {
     * `collect` alone does not cross.
     */
   def executedFingerprint(df: DataFrame): String = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     df.write.format("noop").mode("overwrite").save()
+    executedPlanFingerprint(df.queryExecution.executedPlan)
+  }
+
+  /** Fingerprint an ALREADY-EXECUTED plan (no action run here): the walk
+    * recurses through QueryStageExec / AdaptiveSparkPlanExec boundaries
+    * that `collect` alone does not cross. Used directly by the
+    * Checkpoints.onTruncate hook, whose DataFrames were executed by the
+    * loop's own eager checkpoint.
+    */
+  def executedPlanFingerprint(plan: SparkPlan): String = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     def names(p: SparkPlan): Seq[String] = {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
@@ -104,7 +114,7 @@ object PlanFingerprints {
       }
       p.getClass.getSimpleName +: (kids ++ p.subqueries).flatMap(names)
     }
-    names(df.queryExecution.executedPlan)
+    names(plan)
       .flatMap(interesting.get)
       .groupBy(identity).view.mapValues(_.size)
       .toSeq.sortBy(_._1)
@@ -188,9 +198,33 @@ object PlanFingerprints {
           .sortBy(_.name)
         require(entries.size == aqeTail.size,
           s"aqeTail names missing from catalog: ${aqeTail.toSet -- entries.map(_.name)}")
-        val fps = entries.map { qd =>
-          qd.name -> (try executedFingerprint(qd.run(spark, sfDir))
-          catch { case e: Exception => s"ERROR:${e.getClass.getSimpleName}" })
+        // r15 (r14 verdict #4): also pin the ITERATION-BODY shapes of
+        // checkpointed loops. The graph entries execute their rounds
+        // eagerly while the catalog function CONSTRUCTS the DataFrame,
+        // so the hook must be armed before qd.run; each truncate records
+        // the finalized adaptive plan of that round's body. The pinned
+        // value keeps the total truncate count (a rounds-to-converge
+        // invariant) plus the first distinct body shapes in first-seen
+        // order — later rounds legitimately repeat the same shape as
+        // sizes shrink, and a strategy decay shows up as a NEW shape or
+        // a changed count.
+        val fps: Seq[(String, String)] = entries.flatMap { qd =>
+          val loopFps = scala.collection.mutable.ArrayBuffer.empty[String]
+          val fp =
+            try {
+              graft.operators.Checkpoints.onTruncate =
+                d => loopFps += executedPlanFingerprint(d.queryExecution.executedPlan)
+              executedFingerprint(qd.run(spark, sfDir))
+            } catch { case e: Exception => s"ERROR:${e.getClass.getSimpleName}" }
+            finally graft.operators.Checkpoints.onTruncate = _ => ()
+          val loop =
+            if (loopFps.isEmpty) Nil
+            else {
+              val distinctShapes = loopFps.distinct.take(8)
+              Seq(s"${qd.name}::loop" ->
+                (s"truncates=${loopFps.size} " + distinctShapes.mkString(" | ")))
+            }
+          Seq(qd.name -> fp) ++ loop
         }
         spark.stop()
         val errs = fps.filter(_._2.startsWith("ERROR:"))

@@ -23,6 +23,19 @@ import org.apache.spark.sql.DataFrame
   * `spark.cleaner.referenceTracking.cleanCheckpoints`).
   */
 object Checkpoints {
+  /** Audit hook (PlanFingerprints --aqe): when set, called with each
+    * truncated DataFrame AFTER its eager checkpoint executed — at that
+    * point the DataFrame's `queryExecution.executedPlan` is the FINAL
+    * adaptive plan, so iteration-BODY shapes of checkpointed loops
+    * (kcore/bfs/sssp/mass-flow rounds, star-contraction steps) can be
+    * fingerprinted without re-running the loop. The r14 AQE pin only saw
+    * these entries' final checkpointed read (`rddscan=1 shuffle=1
+    * sort=1`) — the runtime guard never reached the loop body where a
+    * strategy decay would actually cost. Never set in production paths;
+    * reset to the no-op in a finally.
+    */
+  @volatile private[graft] var onTruncate: DataFrame => Unit = _ => ()
+
   // setCheckpointDir is NOT idempotent: each call mkdirs a fresh UUID
   // subdirectory under the given path and points the context at it, so
   // calling it per round would scatter a 16-round loop across 16
@@ -63,8 +76,14 @@ object Checkpoints {
             read.lock() // downgrade before releasing write
           } finally write.unlock()
         }
-        try df.checkpoint(eager = true)
-        finally read.unlock()
-      case None => df.localCheckpoint(eager = true)
+        try {
+          val out = df.checkpoint(eager = true)
+          onTruncate(df)
+          out
+        } finally read.unlock()
+      case None =>
+        val out = df.localCheckpoint(eager = true)
+        onTruncate(df)
+        out
     }
 }
