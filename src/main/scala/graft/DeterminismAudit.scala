@@ -521,14 +521,23 @@ object DeterminismAudit {
     // that remain here aggregate values that are THEMSELVES transcendental
     // per-row doubles (ln/exp outputs) — a value grid would change the
     // semantics, and the bounded-group + sf1-measured argument stands.)
+    // r15: each surviving row carries a MACHINE-CHECKED bound, not only
+    // the prose — graft.DriftBounds derives a worst-case cross-engine
+    // drift from the group's term count and Σ|term| (ulp summation
+    // model) and certifies every output row sits ≥8× that drift away
+    // from its nearest round(4) boundary (DriftBoundsSpec at sf0.001 on
+    // every sbt test; tools/drift_bounds_r15.json at sf0.1 — closest
+    // measured margin 3.6e3×, so a cross-engine flip is impossible on
+    // these corpora, not merely unobserved).
     "bigram_lm_perplexity" -> ("avg_nll/ppl per document: bigrams-per-" +
-      "doc bounded by text length; log/exp of identical operands"),
+      "doc bounded by text length; log/exp of identical operands; " +
+      "round(4) absorption machine-certified by DriftBounds"),
     "perplexity_filter" -> ("same per-document avg_nll/ppl class as " +
-      "bigram_lm_perplexity"),
+      "bigram_lm_perplexity; DriftBounds-certified"),
     "tfidf_search" -> ("score sums <= 3 query-term tf*idf products per " +
-      "doc - bounded tiny groups"),
+      "doc - bounded tiny groups; DriftBounds-certified"),
     "bm25_search" -> ("score sums <= 3 query-term BM25 terms per doc - " +
-      "same bounded tiny-group class as tfidf_search"))
+      "same bounded tiny-group class as tfidf_search; DriftBounds-certified"))
 
   /** The class-3 flag set for one entry: float-aggregate output aliases
     * (from the oracle SQL) that are NOT int_exact AND are float-typed in
