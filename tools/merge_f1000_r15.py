@@ -5,15 +5,21 @@ then the shuffle-heavy graphs + planted-skew — so a disk blow-up in the
 heavy pass could not take down the recorded light results).
 
 Usage: merge_f1000_r15.py <light.json> <heavy.json> <out.json> \
-          <gen_wall_sec> <gen_max_gc_pause_ms>
+          <gen_wall_sec> <gen_max_gc_pause_ms> [runlog...]
 """
-import json, sys
+import json, re, sys
 
 light, heavy, out, wall, gc = sys.argv[1:6]
 a = json.load(open(light))
 b = json.load(open(heavy))
 checks = {k: v for src in (a, b) for k, v in src.items()
           if not k.startswith("_") and isinstance(v, dict)}
+# per-check wall seconds from the run logs ("[invariants] name: PASS (..., 12.3s)")
+for log in sys.argv[6:]:
+    for line in open(log, errors="replace"):
+        m = re.match(r"\[invariants\] (\S+): (?:PASS|FAIL) \(.*, ([0-9.]+)s\)", line.strip())
+        if m and m.group(1) in checks:
+            checks[m.group(1)]["secs"] = float(m.group(2))
 excluded = {**a.get("_excluded", {}), **b.get("_excluded", {})}
 n_pass = sum(1 for v in checks.values() if v["pass"])
 doc = {

@@ -46,8 +46,11 @@ SF1=/tmp/graft_sf1
 SF10=/tmp/graft_sf10
 F1000=/tmp/graft_f1000
 FAIL=0
+# append across invocations: the suite is restartable per step, so a
+# round often runs as several --steps subsets — the manifest must cover
+# the union (the final python dedups by step name, last record wins)
 MANIFEST=/tmp/round_manifest_r$ROUND.jsonl
-: > "$MANIFEST"
+touch "$MANIFEST"
 has_step() { [[ ",$STEPS," == *",$1,"* ]]; }
 note() { echo "[round-proofs] $*"; }
 step_rc() { # step_rc <name> <rc> [artifact]: record, keep going
@@ -228,7 +231,12 @@ fi
 python3 - "$ROUND" "$MANIFEST" "$FAIL" <<'EOF'
 import json, subprocess, sys
 rnd, manifest, fail = sys.argv[1], sys.argv[2], int(sys.argv[3])
-steps = [json.loads(l) for l in open(manifest)]
+by_step = {}
+for l in open(manifest):
+    rec = json.loads(l)
+    by_step[rec["step"]] = rec  # last record per step wins
+steps = list(by_step.values())
+fail = max(fail, max((r["rc"] != 0 for r in steps), default=0))
 out = {
     "round": int(rnd),
     "head": subprocess.check_output(["git", "rev-parse", "HEAD"]).decode().strip(),
