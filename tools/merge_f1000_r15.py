@@ -14,13 +14,29 @@ a = json.load(open(light))
 b = json.load(open(heavy))
 checks = {k: v for src in (a, b) for k, v in src.items()
           if not k.startswith("_") and isinstance(v, dict)}
+
+# the graph family at x1000 is a measured refusal on this box (SCALE.md
+# round-15 section: three attempts, three environmental failure
+# signatures), recorded as exclusions with the evidence, never as passes
+GRAPH_REFUSAL = (
+    "box-infeasible at factor 1000, measured: the ~590M-edge graph's "
+    "1.2B directed rows need 40-60 GB of localCheckpoint/shuffle scratch "
+    "per entry - kcore/sssp/bfs/mass-flow died on 'No space left on "
+    "device' with 38-50 GB free (solo and concurrent), bfs OOMed an "
+    "80 GiB heap with spark.rdd.compress=true, and single-pass triangles "
+    "filled 60 GB in 18 min (logs /tmp/f1000_graph_*.log). Factor-100 "
+    "evidence is green (147/147, sf10); x1000 needs a real cluster's "
+    "aggregate disk, which is the deployment answer, not a plan change")
+graph_excl = {g: GRAPH_REFUSAL for g in (
+    "graph_kcore", "graph_triangles", "graph_mass_flow",
+    "graph_bfs_hops", "graph_sssp") if g not in checks}
 # per-check wall seconds from the run logs ("[invariants] name: PASS (..., 12.3s)")
 for log in sys.argv[6:]:
     for line in open(log, errors="replace"):
         m = re.match(r"\[invariants\] (\S+): (?:PASS|FAIL) \(.*, ([0-9.]+)s\)", line.strip())
         if m and m.group(1) in checks:
             checks[m.group(1)]["secs"] = float(m.group(2))
-excluded = {**a.get("_excluded", {}), **b.get("_excluded", {})}
+excluded = {**a.get("_excluded", {}), **b.get("_excluded", {}), **graph_excl}
 n_pass = sum(1 for v in checks.values() if v["pass"])
 doc = {
     "purpose": "factor-1000 invariant run on the FACTS-ONLY corpus "

@@ -38,8 +38,10 @@ def main():
     a = ap.parse_args()
     rn, rp = a.round, a.round - 1
 
+    # the catalog list comes from `ls` of a Verify out dir, which also
+    # holds oracle_sql.json — entry names never contain a dot
     catalog = sorted(set(n for n in re.split(r"[\s,]+", open(a.catalog).read())
-                         if n and not n.startswith("_")))
+                         if n and not n.startswith("_") and "." not in n))
     prev = json.load(open(a.prev_ledger))["entries"]
     changed = set(n for n in a.changed.split(",") if n)
     approx = set(n for n in a.approx.split(",") if n)
