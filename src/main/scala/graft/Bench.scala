@@ -119,6 +119,13 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":$sfNum$failedJson$excludedJson$driftJson}"""
     }
+    // trim the per-query map (slowest first) until the line fits the
+    // driver's 2000-byte stdout tail with margin
+    def fitLine(driftJson: String): String = {
+      var kept = results.sortBy(-_._2)
+      while (line(kept.sortBy(_._1), driftJson).length > 1900 && kept.nonEmpty) kept = kept.dropRight(8)
+      line(kept.sortBy(_._1), driftJson)
+    }
     val detail = results.map { case (k, v) =>
       val runs = samples.map(_(k)).mkString("[", ",", "]")
       "\"" + k + s"""":{"median":$v,"runs":$runs}"""
@@ -130,7 +137,12 @@ object Bench {
       val failedFull =
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-      s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"queries":$detail$failedFull$excludedJson}""".getBytes("UTF-8")
+      // metric_line: the exact stdout object this run will print, minus
+      // the drift block — persisted BEFORE the drift control runs so a
+      // run killed inside the control still leaves a parseable record of
+      // what the catalog scored (r15: BENCH_r15.json was rc=124 with no
+      // metric line because the control overran the driver's timeout)
+      s"""{"total":$total,"sf":"$sfDir","n_runs":$nRuns,"metric_line":${fitLine("")},"queries":$detail$failedFull$excludedJson}""".getBytes("UTF-8")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath), detailBytes)
     // full-catalog runs ALSO land the detail at a stable committed path —
@@ -144,17 +156,14 @@ object Bench {
 
     // same-day drift control (BenchDrift Scaladoc): full-catalog runs
     // only — dev ONLY-filtered runs and the control's own child probes
-    // (which set SPARK_GRAFT_BENCH_DRIFT=off) skip it
+    // (which set SPARK_GRAFT_BENCH_DRIFT=off) skip it. The control is
+    // budget-bounded and prefers reusing the round ritual's committed
+    // same-pair measurement over re-probing a just-hammered host.
     val driftJson =
       if (only.isEmpty && !sys.env.get("SPARK_GRAFT_BENCH_DRIFT").contains("off"))
         BenchDrift.control(sfDir, cpus, shuffleParts)
       else ""
 
-    // trim the per-query map (slowest first) until the line fits the
-    // driver's 2000-byte stdout tail with margin
-    var kept = results.sortBy(-_._2)
-    while (line(kept.sortBy(_._1), driftJson).length > 1900 && kept.nonEmpty) kept = kept.dropRight(8)
-    val out = line(kept.sortBy(_._1), driftJson)
-    println(out) // final stdout line — nothing may follow it
+    println(fitLine(driftJson)) // final stdout line — nothing may follow it
   }
 }

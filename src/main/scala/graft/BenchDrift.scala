@@ -51,6 +51,27 @@ import java.nio.file.{Files, Paths}
   * ever add a `"drift":{"status":"skipped",...}` note, never take the
   * bench line down. Child stdout/stderr go to /tmp files — the driver
   * contract (ONE final stdout line) is preserved.
+  *
+  * r16 (after the r15 control violated exactly that contract —
+  * per-step 900 s timeouts with no GLOBAL deadline and a pair loop that
+  * kept launching after a failed side let one hung probe push the
+  * driver's bench past its outer timeout: BENCH_r15.json was rc=124
+  * with no metric line at all):
+  *
+  *  - ONE wall-clock budget for the whole control (default 420 s,
+  *    SPARK_GRAFT_DRIFT_BUDGET to override), measured from controlImpl
+  *    entry; every child-wait and compile timeout is clamped to the
+  *    remainder and the control bails to `skipped("drift budget ...")`
+  *    the moment the remainder can't fit the next step;
+  *  - the pair loop SHORT-CIRCUITS on the first failed side (r15 ran
+  *    pairs 2 and 3 after pair 1's A-side had already timed out);
+  *  - end-of-round reuse: if a committed `tools/bench_drift_r*.json`
+  *    already records the same (HEAD src/main tree, prev src/main tree)
+  *    pair — the round ritual's `drift` step runs the control that
+  *    morning on an idle host — its drift block is re-emitted with a
+  *    `reused_from` marker instead of re-probing a just-hammered host.
+  *    src/main subtree hashes, not commit trees: the driver's round
+  *    commit adds artifact files, which must not defeat the match.
   */
 object BenchDrift {
 
@@ -120,7 +141,6 @@ object BenchDrift {
       while (it.hasNext) {
         val e = it.next()
         val m = e.getValue.get("median")
-        val runs = e.getValue.get("runs")
         if (m != null) b += e.getKey -> m.asDouble()
       }
       Some(b.result())
@@ -146,7 +166,8 @@ object BenchDrift {
     */
   private final class Probe(classesDir: String, cwd: String, val tag: String,
                             queries: Seq[String], sfDir: String, cpus: String,
-                            shuffleParts: String, runs: Int) {
+                            shuffleParts: String, runs: Int,
+                            mainClass: String = "graft.Bench") {
     private val detail = s"/tmp/graft_drift_probe_$tag.json"
     private val log = s"/tmp/graft_drift_probe_$tag.log"
     Files.deleteIfExists(Paths.get(detail))
@@ -154,7 +175,7 @@ object BenchDrift {
       val cmd = Seq("java") ++ addOpens ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-        "-cp", s"$classesDir:/opt/spark/jars/*", "graft.Bench")
+        "-cp", s"$classesDir:/opt/spark/jars/*", mainClass)
       val pb = new ProcessBuilder(cmd: _*)
       pb.directory(new java.io.File(cwd))
       pb.redirectErrorStream(true)
@@ -171,13 +192,17 @@ object BenchDrift {
       pb.start()
     }
     def finish(timeoutSec: Long = 900): Option[Map[String, Double]] = {
-      val done = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      val done = timeoutSec > 0 &&
+        proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { proc.destroyForcibly(); proc.waitFor() }
       if (!done || proc.exitValue() != 0) {
         System.err.println(s"[drift] probe $tag rc=${if (done) proc.exitValue() else -1} (log: $log)")
         None
       } else readDetail(detail)
     }
+    /** Kill without waiting out the timeout — used when the twin probe
+      * already failed and this one's result can no longer form a ratio. */
+    def kill(): Unit = { proc.destroyForcibly(); proc.waitFor() }
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -208,34 +233,87 @@ object BenchDrift {
     */
   final case class Interleaved(common: Seq[String], aMedians: Map[String, Double],
                                aSum: Double, bSum: Double,
-                               ratios: Seq[Double], factor: Double)
+                               ratios: Seq[Double], factor: Double,
+                               perQuery: Map[String, Seq[Double]],
+                               note: String = "") {
+    /** Queries whose EVERY pair ratio exceeds the threshold — a 2×
+      * regression in one 0.5 s probe query hides inside a neutral
+      * 12-query sum (r15 verdict stretch); requiring all pairs to agree
+      * keeps single-pair stragglers from flagging. */
+    def flagged(threshold: Double = 1.3): Map[String, Seq[Double]] =
+      perQuery.filter(_._2.forall(_ > threshold))
+  }
 
+  /** `deadlineNanos`: global budget — no pair launches once past it, and
+    * each child wait is clamped to the remainder (r15: unbounded
+    * per-step waits let the control overrun the driver's own timeout).
+    * The loop short-circuits on the FIRST failed side: the twin is
+    * killed and no further pairs launch. Failures DEGRADE, not discard:
+    * if at least one pair completed, the factor is reported from the
+    * completed pairs with a `note` naming what was cut (pair_ratios'
+    * length makes the reduced evidence visible); only a first-pair
+    * failure skips the control outright.
+    *
+    * `minPairSec`: don't launch a pair the remaining budget can't fit —
+    * a full-probe pair at sf0.1 runs ~250-300 s (r15 ritual: 1084 s for
+    * compile + 3 pairs + solo), so launching into a 60 s remainder
+    * guarantees a wasted kill.
+    */
   private[graft] def interleaved(aClasses: String, aCwd: String,
                                  bClasses: String, bCwd: String,
                                  queries: Seq[String], sfDir: String,
                                  cpus: String, shuffleParts: String,
                                  minCommon: Int, tagPrefix: String,
                                  runsPerProbe: Int = 3,
-                                 nPairs: Int = 3): Either[String, Interleaved] = {
-    val pairs = (1 to nPairs).map { i =>
-      val a = new Probe(aClasses, aCwd, s"${tagPrefix}_a$i", queries, sfDir,
-        cpus, shuffleParts, runsPerProbe)
-      val b = new Probe(bClasses, bCwd, s"${tagPrefix}_b$i", queries, sfDir,
-        cpus, shuffleParts, runsPerProbe)
-      (a.finish(), b.finish())
+                                 nPairs: Int = 3,
+                                 deadlineNanos: Long = Long.MaxValue,
+                                 minPairSec: Long = 10,
+                                 mainClass: String = "graft.Bench"): Either[String, Interleaved] = {
+    def remainingSec: Long =
+      if (deadlineNanos == Long.MaxValue) 900L
+      else math.max(0L, (deadlineNanos - System.nanoTime()) / 1000000000L)
+    val as = Seq.newBuilder[Map[String, Double]]
+    val bs = Seq.newBuilder[Map[String, Double]]
+    var done = 0
+    var note = ""
+    var i = 1
+    while (i <= nPairs && note.isEmpty) {
+      if (remainingSec < minPairSec) {
+        if (done == 0)
+          return Left(s"drift budget exhausted before pair 1 (${remainingSec}s left)")
+        note = s"budget exhausted after $done of $nPairs pairs"
+      } else {
+        val a = new Probe(aClasses, aCwd, s"${tagPrefix}_a$i", queries, sfDir,
+          cpus, shuffleParts, runsPerProbe, mainClass)
+        val b = new Probe(bClasses, bCwd, s"${tagPrefix}_b$i", queries, sfDir,
+          cpus, shuffleParts, runsPerProbe, mainClass)
+        a.finish(math.min(900L, remainingSec)) match {
+          case None =>
+            b.kill()
+            if (done == 0) return Left(s"A-side probe ${tagPrefix}_a$i failed")
+            note = s"pair $i A-side failed; reporting $done completed pairs"
+          case Some(ra) =>
+            b.finish(math.min(900L, math.max(1L, remainingSec))) match {
+              case None =>
+                if (done == 0) return Left(s"B-side probe ${tagPrefix}_b$i failed")
+                note = s"pair $i B-side failed; reporting $done completed pairs"
+              case Some(rb) => as += ra; bs += rb; done += 1; i += 1
+            }
+        }
+      }
     }
-    val (aRuns, bRuns) = (pairs.map(_._1), pairs.map(_._2))
-    if (aRuns.exists(_.isEmpty)) return Left("an A-side probe failed")
-    if (bRuns.exists(_.isEmpty)) return Left("a B-side probe failed")
-    val (as, bs) = (aRuns.flatten, bRuns.flatten)
-    val common = queries.filter(q => (as ++ bs).forall(_.get(q).exists(_ >= 0)))
+    if (note.nonEmpty) System.err.println(s"[drift] $note")
+    val (aOk, bOk) = (as.result(), bs.result())
+    val common = queries.filter(q => (aOk ++ bOk).forall(_.get(q).exists(_ >= 0)))
     if (common.size < minCommon)
       return Left(s"only ${common.size} common probe queries (need $minCommon)")
     def sum(m: Map[String, Double]): Double = common.map(m).sum
-    val ratios = as.zip(bs).map { case (a, b) => sum(b) / sum(a) }
-    val aMed = common.map(q => q -> median(as.map(_(q)))).toMap
-    Right(Interleaved(common, aMed, median(as.map(sum)), median(bs.map(sum)),
-      ratios, median(ratios)))
+    val ratios = aOk.zip(bOk).map { case (a, b) => sum(b) / sum(a) }
+    val aMed = common.map(q => q -> median(aOk.map(_(q)))).toMap
+    val perQuery = common.map(q =>
+      q -> aOk.zip(bOk).map { case (a, b) => b(q) / a(q) }).toMap
+    Right(Interleaved(common, aMed, median(aOk.map(sum)), median(bOk.map(sum)),
+      ratios, median(ratios), perQuery, note))
   }
 
   /** Harness self-test: both sides are THIS tree's compiled classes, so a
@@ -259,26 +337,82 @@ object BenchDrift {
   }
 
   /** Manual / round-ritual entry point: run the control standalone and
-    * print the drift JSON (without the leading comma) — lets a round
+    * print ONE VALID JSON OBJECT `{"drift":{...}}` (the r15 ritual's
+    * raw-fragment output wasn't parseable on its own) — lets a round
     * exercise the real prev-round comparison without a 20-minute
-    * full-catalog Bench run.
+    * full-catalog Bench run. Full mode: emits the per-query pair-ratio
+    * block and never reuses a prior artifact (this run IS the producer
+    * the end-of-round bench reuses).
     */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val frag = control(sfDir, sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
-      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-    println(frag.stripPrefix(","))
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+      full = true, allowReuse = false)
+    println("{" + frag.stripPrefix(",") + "}")
   }
 
+  /** Whole-control wall-clock budget (seconds). The driver's bench has
+    * ONE outer timeout for the entire JVM; inside it the control must
+    * fit whatever headroom the catalog run left, so the end-of-round
+    * default is tight (420 s — enough for one concurrent pair when no
+    * committed artifact is reusable, and reuse is the expected path).
+    * The round ritual's standalone run is the PRODUCER of that artifact
+    * and owns its whole process: it gets the full-measurement budget
+    * (r15's complete ritual run took 1084 s). */
+  private def budgetSec(full: Boolean): Long = sys.env.get("SPARK_GRAFT_DRIFT_BUDGET")
+    .flatMap(s => scala.util.Try(s.toLong).toOption)
+    .getOrElse(if (full) 1800L else 420L)
+
   /** The control proper. Returns a JSON fragment starting with a comma
-    * (to splice into the bench line) — either the measured factors or a
-    * skipped note. Never throws.
+    * (to splice into the bench line) — either the measured factors, a
+    * reused committed measurement of the same tree pair, or a skipped
+    * note. Never throws, and returns within [[budgetSec]] plus
+    * child-kill grace.
     */
-  def control(sfDir: String, cpus: String, shuffleParts: String): String =
-    try controlImpl(sfDir, cpus, shuffleParts)
+  def control(sfDir: String, cpus: String, shuffleParts: String,
+              full: Boolean = false, allowReuse: Boolean = true): String =
+    try controlImpl(sfDir, cpus, shuffleParts, full, allowReuse)
     catch { case t: Throwable => skipped(s"${t.getClass.getSimpleName}: ${t.getMessage}") }
 
-  private def controlImpl(sfDir: String, cpus: String, shuffleParts: String): String = {
+  /** Committed drift artifact recording the same (head src/main tree,
+    * prev src/main tree) pair, if any — the round ritual's `drift` step
+    * measures on an idle host; re-measuring at end-of-round on a host
+    * the full catalog just hammered adds risk (r15: it added a timeout),
+    * not information. Highest round number wins.
+    */
+  private def reusable(headSrc: String, prevSrc: String): Option[String] = {
+    val dir = new java.io.File("tools")
+    val pat = "bench_drift_r(\\d+)\\.json".r
+    val candidates = Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+      pat.findFirstMatchIn(f.getName).map(m => m.group(1).toInt -> f)
+    }.sortBy(-_._1)
+    candidates.iterator.flatMap { case (_, f) =>
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+          Files.readAllBytes(f.toPath))
+        val d = if (root.has("drift")) root.get("drift") else root
+        val matches = d.isObject && d.has("code_factor") &&
+          Option(d.get("head_src")).exists(_.asText() == headSrc) &&
+          Option(d.get("prev_src")).exists(_.asText() == prevSrc)
+        if (matches) {
+          val obj = d.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          obj.put("reused_from", f.getPath)
+          // the ritual artifact carries the full per-query block; the
+          // bench line has a 1900-byte stdout budget — keep `flagged`
+          // (normally absent), drop the bulk
+          obj.remove("per_query")
+          Some(s""","drift":${obj.toString}""")
+        } else None
+      } catch { case _: Throwable => None }
+    }.nextOption()
+  }
+
+  private def controlImpl(sfDir: String, cpus: String, shuffleParts: String,
+                          full: Boolean, allowReuse: Boolean): String = {
+    val budget = budgetSec(full)
+    val deadline = System.nanoTime() + budget * 1000000000L
+    def remaining: Long = math.max(0L, (deadline - System.nanoTime()) / 1000000000L)
     // 1. previous round's tree = the latest `round N:` commit whose TREE
     //    differs from HEAD's. The driver benches AFTER committing the
     //    round snapshot, so the latest round commit is usually HEAD
@@ -295,6 +429,20 @@ object BenchDrift {
       .getOrElse(return skipped("every round commit shares HEAD's tree (self-comparison)"))
     val short = prevRef.take(8)
 
+    // src/main subtree hashes identify the CODE pair being compared —
+    // the whole-tree hash changes whenever an artifact file lands, which
+    // must not defeat reuse of a same-code measurement. A dirty src/main
+    // (uncommitted operator edits) can't be identified by any committed
+    // hash, so it always measures fresh.
+    val headSrc = git("rev-parse", "HEAD:src/main").getOrElse("").take(12)
+    val prevSrc = git("rev-parse", s"$prevRef:src/main").getOrElse("").take(12)
+    val srcDirty = git("status", "--porcelain", "src/main").isDefined
+    if (allowReuse && !srcDirty && headSrc.nonEmpty && prevSrc.nonEmpty)
+      reusable(headSrc, prevSrc).foreach { frag =>
+        System.err.println(s"[drift] reusing committed same-pair measurement")
+        return frag
+      }
+
     // 2. cached worktree (ref in the path — a new round's ref gets a
     //    fresh dir; stale dirs are pruned by the OS tmp cleaner)
     val wt = s"/tmp/graft_drift_$short"
@@ -304,16 +452,19 @@ object BenchDrift {
         "/tmp/graft_drift_wt.log", 60)
       git("worktree", "prune")
       val rc = runProc(Seq("git", "worktree", "add", "--detach", wt, prevRef),
-        ".", Map.empty, "/tmp/graft_drift_wt.log", 120)
+        ".", Map.empty, "/tmp/graft_drift_wt.log", math.min(120L, remaining))
       if (rc != 0) return skipped(s"worktree add rc=$rc")
     }
 
-    // 3. compile the previous tree once (reused while the ref is current)
+    // 3. compile the previous tree once (reused while the ref is current).
+    //    A cold compile is ~3-4 min: it only starts if the budget can
+    //    still fit it AND leave ~floor for at least one probe pair.
     val prevClasses = s"$wt/target/scala-2.13/classes"
     val compiled = Files.exists(Paths.get(s"$prevClasses/graft/Bench.class"))
     if (!compiled) {
+      if (remaining < 60) return skipped(s"drift budget exhausted before compile (${budget}s)")
       val rc = runProc(Seq("sbt", "-batch", "compile"), wt, Map.empty,
-        "/tmp/graft_drift_compile.log", 900)
+        "/tmp/graft_drift_compile.log", remaining)
       if (rc != 0 || !Files.exists(Paths.get(s"$prevClasses/graft/Bench.class")))
         return skipped(s"prev tree compile rc=$rc")
     }
@@ -331,10 +482,11 @@ object BenchDrift {
     val measured =
       try {
         val pairs = interleaved(prevClasses, wt, snap, ".", probeQueries, sfDir,
-          cpus, shuffleParts, minCommon = 6, tagPrefix = "ctl")
-        val solo = pairs.toOption.flatMap { _ =>
+          cpus, shuffleParts, minCommon = 6, tagPrefix = "ctl",
+          deadlineNanos = deadline, minPairSec = 240)
+        val solo = pairs.toOption.filter(_ => remaining >= 10).flatMap { _ =>
           new Probe(prevClasses, wt, "ctl_solo", probeQueries, sfDir, cpus,
-            shuffleParts, runs = 3).finish()
+            shuffleParts, runs = 3).finish(math.min(900L, remaining))
         }
         (pairs, solo)
       } finally runProc(Seq("rm", "-rf", snap), ".", Map.empty, "/tmp/graft_drift_wt.log", 60)
@@ -369,6 +521,18 @@ object BenchDrift {
       case _ => ""
     }
     val ratiosJson = m.ratios.map(r => f"$r%.3f").mkString("[", ",", "]")
-    f""","drift":{"prev_ref":"$short","probe_n":${m.common.size},"prev_concurrent":${m.aSum}%.2f,"this_concurrent":${m.bSum}%.2f,"pair_ratios":$ratiosJson,"code_factor":${m.factor}%.3f$driftPart}"""
+    def ratioMap(qs: Map[String, Seq[Double]]): String = qs.toSeq.sortBy(_._1)
+      .map { case (q, rs) => "\"" + q + "\":" + rs.map(r => f"$r%.3f").mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // a query whose EVERY pair ratio exceeds 1.3 regressed beyond what a
+    // neutral probe-sum can hide; the bench line carries only these
+    // (normally none), the ritual artifact carries the full block
+    val flaggedPart = {
+      val fl = m.flagged()
+      if (fl.isEmpty) "" else s""","flagged":${ratioMap(fl)}"""
+    }
+    val perQueryPart = if (full) s""","per_query":${ratioMap(m.perQuery)}""" else ""
+    val notePart = if (m.note.isEmpty) "" else s""","note":"${esc(m.note)}""""
+    f""","drift":{"prev_ref":"$short","head_src":"$headSrc","prev_src":"$prevSrc","probe_n":${m.common.size},"prev_concurrent":${m.aSum}%.2f,"this_concurrent":${m.bSum}%.2f,"pair_ratios":$ratiosJson,"code_factor":${m.factor}%.3f$driftPart$flaggedPart$perQueryPart$notePart}"""
   }
 }

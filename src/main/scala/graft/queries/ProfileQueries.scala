@@ -1393,27 +1393,28 @@ object ProfileQueries {
           SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, round(AVG(cnt), 4) AS avg_cnt
           FROM k
         ), top AS (
-          SELECT user_id, cnt,
-                 row_number() OVER (ORDER BY cnt DESC, user_id) AS rn
-          FROM k
+          SELECT user_id, cnt FROM k ORDER BY cnt DESC, user_id LIMIT 10
         )
         SELECT t.user_id, CAST(t.cnt AS BIGINT) AS cnt,
                round(t.cnt / s.avg_cnt, 4) AS skew_factor,
                round(CAST(t.cnt AS DOUBLE) / s.n_rows, 4) AS share
         FROM top t CROSS JOIN s
-        WHERE t.rn <= 10
         ORDER BY cnt DESC, t.user_id
       """.stripMargin.trim),
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val k = Tables.events(spark, dir)
           .groupBy("user_id").agg(count(lit(1)).as("cnt"))
         val s = k.agg(
           sum(col("cnt")).cast("long").as("n_rows"),
           round(avg(col("cnt")), 4).as("avg_cnt"))
-        val top = k.withColumn("rn",
-          row_number().over(Window.orderBy(col("cnt").desc, col("user_id"))))
-          .filter(col("rn") <= 10)
+        // top-10 with a total-order tiebreak: orderBy().limit() plans
+        // TakeOrderedAndProject — per-partition heaps, no single task
+        // ever sees more than 10 rows. The previous row_number() over a
+        // PARTITIONLESS window serialized every distinct user through
+        // one task (r15 verdict): at 100 TB that population is ~10⁹
+        // rows, and this is the very report that decides whether a key
+        // needs salting.
+        val top = k.orderBy(col("cnt").desc, col("user_id")).limit(10)
         graft.Tails.orderedSmall(
           top.crossJoin(broadcast(s))
             .select(

@@ -165,8 +165,11 @@ class PlanAuditSpec extends SparkSpec {
   // is bounded by construction may use the shape:
   private val boundedInputGlobalWindow = Set(
     "company_registration", // dense-id assignment over ONE ingest batch's new companies
-    "seasonal_decompose",   // O(days) daily aggregate
-    "skew_diagnostics")     // O(shuffle.partitions) stats rows
+    "seasonal_decompose")   // O(days) daily aggregate
+    // skew_diagnostics left this list in r16: its top-10 now plans
+    // TakeOrderedAndProject (orderBy().limit(10)), no window at all —
+    // the old whitelist justification ("stats rows") mismatched the
+    // code, whose window input was O(distinct users)
   test("no catalog query runs a partitionless window over unbounded input") {
     // gini_concentration and rfm_segmentation used to fail this —
     // row_number()/ntile() OVER (ORDER BY ...) across every user — and

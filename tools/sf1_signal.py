@@ -48,7 +48,13 @@ def main():
 
     fresh = {}
     for line in open(a.check):
-        m = re.match(r"(ordered-FAIL|PASS|FAIL)\s+([^\s:]+)", line.strip())
+        # check.py's real tags: "PASS name (N rows)", "FAIL name: ...",
+        # "ordered-FAIL/sorted-PASS name: ..." (r15 ADVICE: the old
+        # alternation never matched the order-failure tag, so an
+        # order-regressed entry silently dropped out of `fresh`).
+        # sorted-PASS counts as a FAILURE here, same as the sweep step:
+        # ordered output is part of the contract unless approx downgrades
+        m = re.match(r"(ordered-FAIL/sorted-PASS|PASS|FAIL)\s+([^\s:]+)", line.strip())
         if m:
             fresh[m.group(2)] = m.group(1) == "PASS"
 
@@ -84,6 +90,14 @@ def main():
                                      "pass": bool(inv[name]["pass"])}
         out[name] = sig
 
+    # age ledger (r15 verdict #5): the round a hash signal was actually
+    # minted, so the rotation policy's effect is auditable — the oldest
+    # signal should never fall more than ~5 rounds behind
+    minted = {}
+    for s in out.values():
+        m = re.search(r"sf1_hash_match_r(\d+)$", s["signal"])
+        if m:
+            minted[int(m.group(1))] = minted.get(int(m.group(1)), 0) + 1
     summary = {
         "n_entries": len(catalog),
         f"hash_match_r{rn}": sum(1 for s in out.values()
@@ -94,6 +108,8 @@ def main():
                                  if s["signal"].startswith("planted") and s["pass"]),
         "with_secondary_invariant": sum(1 for s in out.values()
                                         if s.get("also_invariant", {}).get("pass")),
+        "oldest_hash_signal_round": min(minted) if minted else None,
+        "hash_signal_rounds": {str(k): v for k, v in sorted(minted.items())},
         "uncovered": uncovered,
         "failed": failed,
     }
