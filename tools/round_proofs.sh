@@ -153,10 +153,38 @@ fi
 if has_step sweep; then
   step_t0
   if [[ -n "$SWEEP_SET" ]]; then
-    SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
-      tools/run_main.sh graft.Verify $SF1 /tmp/vsf1_r$ROUND "$SWEEP_SET"
-    rc=$?
+    # restartable: skip the Spark dump if every sweep entry already has
+    # output from a previous invocation of THIS round's sweep (the
+    # check phase is the restart-prone half — r16: one infeasible
+    # oracle cost an hour before being killed)
+    rc=0
+    missing=$(python3 -c "
+import os
+names='$SWEEP_SET'.split(',')
+out='/tmp/vsf1_r$ROUND'
+print(sum(1 for n in names if not os.path.isdir(f'{out}/{n}')))")
+    if [[ "$missing" -gt 0 ]]; then
+      SPARK_GRAFT_SHUFFLE_PARTITIONS=64 \
+        tools/run_main.sh graft.Verify $SF1 /tmp/vsf1_r$ROUND "$SWEEP_SET"
+      rc=$?
+    else
+      note "sweep: all $(tr ',' '\n' <<<"$SWEEP_SET" | grep -c .) entry dumps present, skipping Verify rerun"
+    fi
     if [[ $rc -eq 0 ]]; then
+      # approx-by-contract oracles are ALL-PAIRS joins (exact cosine /
+      # jaccard verify) — infeasible in DuckDB at sf1 (embedding_clusters'
+      # ~70k x 70k cosine join ran >1h before being killed, r16). Their
+      # sf1 signal is the planted invariant BY DESIGN (the ledger
+      # discards their hash result either way), so drop them from the
+      # check phase instead of burning hours on a discarded answer.
+      python3 - /tmp/vsf1_r$ROUND "$APPROX" <<'EOF'
+import json, sys
+p = f"{sys.argv[1]}/oracle_sql.json"
+o = json.load(open(p))
+dropped = [n for n in sys.argv[2].split(",") if o.pop(n, None) is not None]
+json.dump(o, open(p, "w"), indent=0)
+print(f"[round-proofs] sweep: {len(dropped)} approx oracles skip the sf1 check: {','.join(dropped)}")
+EOF
       python3 tools/check.py ${SF1}_flat /tmp/vsf1_r$ROUND \
         | tee /tmp/sf1_check_r$ROUND.log
       crc=${PIPESTATUS[0]}
