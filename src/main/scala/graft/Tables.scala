@@ -14,8 +14,79 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Size-adaptive scan spread (r17, guide §2.5/§6): the testdata writes
+    * each table as ONE parquet row group, so a bare scan is a single
+    * task no matter how many cores the session has — and every
+    * tokenize/shingle/codec pass downstream of it serializes on one core
+    * (measured: curate_neardup ran five ~0.8–1.9 s single-task jobs at
+    * sf0.1 on local[32]; winnow_fingerprints one 3.1 s single-task job).
+    * A hash repartition (on the table's natural key, [[spreadKey]]) to
+    * the session's parallelism right after the scan fixes the straggler
+    * shape for a few-MB shuffle.
+    *
+    * Scale-adaptive, not a local[32] constant: the spread fires only
+    * when the relation's estimated size is below parallelism ×
+    * maxPartitionBytes — i.e. when the scan CANNOT fill the cluster
+    * anyway — so at production scale (TBs of input, thousands of
+    * row groups) scans keep their natural splits and no extra exchange
+    * of the corpus is ever paid. `spark.graft.scan.spreadMaxBytes`
+    * overrides the cap (0 disables).
+    *
+    * Filters/projections still reach the parquet scan: Catalyst pushes
+    * deterministic predicates below Repartition, so PushedFilters /
+    * ReadSchema are unchanged (pinned by PlanAuditSpec).
+    */
+  /** Tables that OPT IN to the scan spread, with the natural key used as
+    * its HASH partitioning key. Hash, not round-robin: round-robin pays
+    * a full local SORT of the input inside the — by hypothesis single —
+    * scan task (SPARK-23207; measured as a uniform +0.3–0.8 s tax on
+    * every light query at sf0.1), hash is sort-free and deterministic
+    * under task retry by construction.
+    *
+    * Opt-in, not blanket (r17 A/B over the full catalog): the spread's
+    * map side IS the single scan task, which pays the serialization of
+    * every row one-threaded — so spreading only wins when downstream
+    * per-row compute dominates that serialization. Measured: documents
+    * (tokenize/shingle/codec consumers, −0.2…−2.6 s each) and supplier
+    * (md5 name synthesis + fuzzy blocking, −0.2…−1.0 s) win
+    * consistently; lineitem/orders/events/embeddings consumers are
+    * mostly scan→aggregate shapes where the extra AQE stage cost more
+    * than the parallelism returned (+0.3…+0.7 s each over ~100 light
+    * entries — net −30 s by reverting those).
+    */
+  private val spreadKey: Map[String, String] = Map(
+    "documents" -> "doc_id", "supplier" -> "s_suppkey")
+
+  private def spread(df: DataFrame, name: String): DataFrame = {
+    val key = spreadKey.getOrElse(name, return df)
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    if (par <= 1) return df
+    val cap = spark.conf.getOption("spark.graft.scan.spreadMaxBytes")
+      .map(_.toLong)
+      .getOrElse(par.toLong * spark.sessionState.conf.filesMaxPartitionBytes)
+    if (cap <= 0) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes <= cap)
+      df.repartition(par, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
+  /** Memoized per (session, dir, name): `spark.read.parquet` re-lists
+    * the path and re-reads footers for schema inference on EVERY call —
+    * ~20–50 ms of driver time per table per query construction, paid
+    * ~2000 times per bench (r17; the registerAll views were already
+    * memoized for exactly this reason in round 1). The cached value is
+    * an immutable logical plan — no data is cached; every action still
+    * scans parquet. A dir switch (different SF) misses the key and
+    * re-reads.
+    */
+  private val loaded =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    loaded.computeIfAbsent((spark, dir, name),
+      _ => spread(spark.read.parquet(s"$dir/$name.parquet"), name))
 
   /** Canonicalize `events.ts` across testdata generations: older drops
     * write parquet TIMESTAMP(NANOS) (Spark 4 reads it only as a nanos

@@ -233,8 +233,11 @@ object FuzzyJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           Some(cntAlias.toAttribute))
       } else (left, None)
 
-    val klAlias = Alias(keysL, "_graft_keys_l")()
-    val krAlias = Alias(keysR, "_graft_keys_r")()
+    // OptimizerBarrier (r17): without it, InferFiltersFromGenerate +
+    // alias pushdown duplicate the entire key-array expression into a
+    // per-row Filter below these projects — see OptimizerBarrier docs
+    val klAlias = Alias(OptimizerBarrier(keysL), "_graft_keys_l")()
+    val krAlias = Alias(OptimizerBarrier(keysR), "_graft_keys_r")()
     val leftProj = Project(leftBase.output :+ klAlias, leftBase)
     val rightProj = Project(right.output :+ krAlias, right)
 

@@ -43,14 +43,24 @@ object JoinQueries {
         LIMIT 20
       """.stripMargin.trim),
       (spark, dir) => {
-        val op = Tables.lineitem(spark, dir)
+        // r17 (guide §2.3/§2.4, the copurchaseEdges rewrite): the pair
+        // table used to come from `op ⋈ op ON same order` — two row-grain
+        // exchanges keyed by order plus the distinct's. One basket-grain
+        // aggregation now feeds all three consumers (pairs, per-part
+        // counts, order count) via exchange reuse; per-order part counts
+        // are basket-bounded, so the pair explode is O(1) per row.
+        val byOrder = Tables.lineitem(spark, dir)
           .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-          .distinct()
-        val nOrders = op.select(countDistinct(col("o")).as("n_orders"))
-        val pc = op.groupBy("p").agg(count(lit(1)).as("n_p"))
-        val pairs = op.alias("a").join(op.alias("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+          .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+        val nOrders = byOrder.agg(count(lit(1)).as("n_orders"))
+        val pc = byOrder.select(explode(col("ps")).as("p"))
+          .groupBy("p").agg(count(lit(1)).as("n_p"))
+        val pairs = byOrder
+          .select(explode(expr(
+            """flatten(transform(ps, (x, i) ->
+                 transform(slice(ps, i + 2, size(ps) - i - 1), y -> struct(x AS pa, y AS pb))))"""))
+            .as("e"))
+          .groupBy(col("e.pa").as("pa"), col("e.pb").as("pb"))
           .agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 2)
         pairs

@@ -88,7 +88,9 @@ object Dedup {
     */
   def jaccardPairs(documents: DataFrame, n: Int = 5, minJaccard: Double = 0.8,
                    maxDf: Int = hotShingleMaxDf): DataFrame = {
-    val sh = cappedShingles(documents, n, maxDf)
+    // one tokenize+shingle pass for the three consumers (sizes + both
+    // join sides) — the minhashLshPairsWith checkpoint discipline (r17)
+    val sh = cappedShingles(documents, n, maxDf).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -188,7 +190,8 @@ object Dedup {
     */
   def containmentPairs(documents: DataFrame, n: Int = 5, minContainment: Double = 0.8,
                        maxDf: Int = hotShingleMaxDf): DataFrame = {
-    val sh = cappedShingles(documents, n, maxDf)
+    // shared shingle materialization — see jaccardPairs (r17)
+    val sh = cappedShingles(documents, n, maxDf).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -423,10 +426,17 @@ object Dedup {
   def minhashLshPairsWith(documents: DataFrame, n: Int, minJaccard: Double,
                           params: Seq[(Long, Long)], rows: Int): DataFrame = {
     require(params.size % rows == 0, s"k=${params.size} not divisible by rows=$rows")
-    // recompute shingles per use instead of cache(): materializing the
-    // cache blocks pipelining and hides size stats from AQE's broadcast
-    // planning — measured 3× slower cached at sf0.1
-    val sh0 = shingles(documents, n)
+    // materialize the shingle table ONCE (r17, guide §1.2 per-task work):
+    // four consumers below (signature keys, both verify sides, sizes)
+    // each re-ran tokenize + shingle + per-shingle md5 — the dominant CPU
+    // of the whole LSH family (ProfileRun: ~60 s of task time per
+    // dedup_clusters run at sf0.1, mostly these passes). localCheckpoint,
+    // NOT cache(): an earlier round measured cache() 3× slower here
+    // (blocks pipelining, hides AQE size stats); the eager checkpoint is
+    // the jaccardPairsPrefix discipline — O(corpus shingles) rows of
+    // (doc_id, shingle), materialized once, read four times. At 100 TB
+    // this is 1 corpus tokenization instead of 4.
+    val sh0 = shingles(documents, n).localCheckpoint()
     val keyed = sh0.withColumn("s", expr(shingleKeyExpr))
     val aggs = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("s") + lit(b)) % lit(minhashP)).as(s"mh$i")
@@ -468,19 +478,24 @@ object Dedup {
     */
   def incrementalLshPairs(newDocs: DataFrame, store: DataFrame,
                           n: Int = 5, minJaccard: Double = 0.7): DataFrame = {
-    def bandsOf(docs: DataFrame): DataFrame = {
-      val keyed = shingles(docs, n).withColumn("s", expr(shingleKeyExpr))
+    // NOT checkpointed (r17 A/B: the two eager checkpoints serialize
+    // phases that otherwise run as overlapping jobs — measured +0.7 s on
+    // dedup_incremental at sf0.1; the batch side is tiny and the store
+    // side's production shape is the persisted signature table anyway,
+    // see incrementalSigPairs)
+    val shNew = shingles(newDocs, n)
+    val shOld = shingles(store, n)
+    def bandsOf(sh: DataFrame): DataFrame = {
+      val keyed = sh.withColumn("s", expr(shingleKeyExpr))
       val aggs = minhashParams.zipWithIndex.map { case ((a, b), i) =>
         min((lit(a) * col("s") + lit(b)) % lit(minhashP)).as(s"mh$i")
       }
       lshBands(keyed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*))
     }
-    val candidates = bandsOf(newDocs).as("x")
-      .join(bandsOf(store).as("y"), Seq("band", "band_key"))
+    val candidates = bandsOf(shNew).as("x")
+      .join(bandsOf(shOld).as("y"), Seq("band", "band_key"))
       .select(col("x.doc_id").as("doc_new"), col("y.doc_id").as("doc_store"))
       .distinct()
-    val shNew = shingles(newDocs, n)
-    val shOld = shingles(store, n)
     val sizesNew = shNew.groupBy(col("doc_id")).agg(count(lit(1)).as("n_new"))
     val sizesOld = shOld.groupBy(col("doc_id")).agg(count(lit(1)).as("n_old"))
     val inter = candidates

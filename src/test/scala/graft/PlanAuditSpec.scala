@@ -210,7 +210,15 @@ class PlanAuditSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange".r.findAllIn(plan).length -
       "ReusedExchange".r.findAllIn(plan).length
-    assert(exchanges == 1, s"expected exactly the tail exchange, got $exchanges:\n$plan")
+    // r17: the size-gated scan spread (Tables.spread) adds ONE
+    // hash-partitioned exchange directly above the documents scan —
+    // deliberate (it parallelizes the winnow kernel off the single-row-
+    // group scan task) and absent at production scale by the size gate.
+    // The audit's real target is unchanged: no shuffle between the
+    // winnow projection and the tail.
+    val spreadExchanges = "Exchange hashpartitioning\\(doc_id".r.findAllIn(plan).length
+    assert(exchanges - spreadExchanges == 1,
+      s"expected exactly the tail exchange beyond the scan spread, got $exchanges:\n$plan")
     assert(plan.contains("graft_winnow"), "kernel missing from the plan")
   }
 
