@@ -57,15 +57,18 @@ object MassFlow {
       // dead ends (d null) keep everything; others keep mass mod d
       val keep = md.select(col("node"),
         when(col("d").isNull, col("mass"))
-          .otherwise(col("mass") % col("d")).as("keep"))
+          .otherwise(col("mass") % col("d")).as("c"))
       val share = md.filter(col("d").isNotNull)
         .select(col("node"), expr("mass div d").as("share"))
-      val inc = e.join(share, e("src") === share("node"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("share")).as("got"))
-      m = ck(keep.join(inc, Seq("node"), "left")
-        .select(col("node"),
-          (col("keep") + coalesce(col("got"), lit(0L))).as("mass")))
+      val sends = e.join(share, e("src") === share("node"))
+        .select(col("dst").as("node"), col("share").as("c"))
+      // r17 (guide §2.4): keeps and incoming shares fold in ONE
+      // aggregation instead of aggregating the sends and LEFT-JOINING
+      // them back onto the keeps — one join/exchange fewer per round;
+      // identical masses (every send target has a keep row, addition is
+      // associative, and the exact-BIGINT sum is order-independent)
+      m = ck(keep.unionByName(sends)
+        .groupBy(col("node")).agg(sum(col("c")).as("mass")))
     }
     m
   }

@@ -194,7 +194,9 @@ object Decontaminate {
     * fingerprints the scrubbed text ('' when everything was scrubbed).
     */
   def scrubDupSpans(documents: DataFrame, n: Int = 8): DataFrame = {
-    val pos = positionalShingles(documents, n)
+    // shared across firstOcc + the dup-start probe (r17, the Dedup
+    // checkpoint discipline): one tokenize+shingle pass instead of two
+    val pos = positionalShingles(documents, n).localCheckpoint()
     val firstOcc = pos.groupBy(col("shingle"))
       .agg(min(col("doc_id") * 1000000L + col("pos")).as("_fk"))
     val dupStarts = pos.join(firstOcc, Seq("shingle"))
@@ -227,7 +229,10 @@ object Decontaminate {
     * Documents shorter than n tokens have no spans and are absent.
     */
   def dupSpanStats(documents: DataFrame, n: Int = 8): DataFrame = {
+    // shared across the frequency agg + the join probe (r17) — one
+    // tokenize+shingle pass instead of two
     val pos = positionalShingles(documents, n).filter(col("shingle").isNotNull)
+      .localCheckpoint()
     val freq = pos.groupBy(col("shingle"))
       .agg(countDistinct(col("doc_id")).as("_nd"))
     pos.join(freq, Seq("shingle"))
